@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Typed loaders for the driver-generated parquet tables.
+  *
+  * All readers are plain `spark.read.parquet` scans so Catalyst keeps
+  * full freedom for column pruning and filter pushdown — at 100 TB the
+  * scan is the dominant cost and must only read what the plan needs.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark
+    * has no native type for. Read it as raw nanos (legacy flag) and
+    * truncate to microsecond timestamps — exactly what DuckDB does on
+    * the oracle side, so values stay comparable.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(s, d, "events")
+    import org.apache.spark.sql.types.LongType
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Exact-arithmetic cast used for money-style measures on BOTH the
+    * Spark side and the DuckDB oracle side: summing DECIMAL(18,6) is
+    * exact and engine-independent, where summing doubles is
+    * order-dependent and would hash-mismatch between engines.
+    */
+  def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast(DecimalType(18, 6))
+}

@@ -1,0 +1,372 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables._
+import graft.operators.QanOps
+
+/** Block B — the reference's own QAN semantics (SURVEY §2.B), mapped
+  * onto the `events` log table: user_id→instance, event_type→statement
+  * digest, value→timer-wait metric, ts→__time (SURVEY §3).
+  */
+object Qan {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
+
+  /** Cumulative-counter view of `events`: per (instance, digest) the
+    * running sum of `value`, resetting each day — a deterministic
+    * stand-in for performance_schema's monotonic counters including
+    * server-restart resets. Derived, not synthesized: pure window over
+    * the driver's table.
+    */
+  private def snapshots(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"), col("event_type"), date_trunc("day", col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d).withColumn("counter",
+      sum(col("value").cast(DecimalType(18, 6))).over(w))
+  }
+
+  private val snapshotsSql = """
+    SELECT *, SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        PARTITION BY user_id, event_type, date_trunc('day', ts)
+        ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS counter
+    FROM events"""
+
+  // --------------------------------------------------- qan_snapshot_delta
+  // The reference's core transform (snapshot.go:158): deltas between
+  // successive cumulative snapshots, with counter resets (day
+  // boundaries here) yielding the current value as the delta.
+  private val qanSnapshotDelta: Q = (s, d) =>
+    QanOps.snapshotDelta(snapshots(s, d),
+        keys = Seq("user_id", "event_type"),
+        ord = Seq(col("ts"), col("event_id")),
+        counter = col("counter"), out = "delta")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("delta").cast(DoubleType).as("delta_value"))
+      .orderBy(col("event_id"))
+
+  private val qanSnapshotDeltaSql = s"""
+    WITH snap AS ($snapshotsSql),
+    lagged AS (
+      SELECT event_id, user_id, event_type, counter,
+        LAG(counter) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev
+      FROM snap)
+    SELECT event_id, user_id, event_type,
+      CAST(CASE WHEN prev IS NULL THEN counter
+                WHEN counter >= prev THEN counter - prev
+                ELSE counter END AS DOUBLE) AS delta_value
+    FROM lagged
+    ORDER BY event_id"""
+
+  // --------------------------------------------------- qan_rollup_minute
+  // Druid-style rollup (qan_db_ingestion.json / metrics_db rollup:
+  // sum/max/min at uniform granularity).
+  private val qanRollupMinute: Q = (s, d) =>
+    QanOps.timeRollup(events(s, d), col("ts"), "minute",
+        dims = Seq(col("event_type")),
+        metrics = Seq(
+          count(lit(1)).as("sum_calls"),
+          dsum(col("value")).as("sum_value"),
+          max(col("value")).as("max_value"),
+          min(col("value")).as("min_value")))
+      .orderBy(col("bucket"), col("event_type"))
+
+  private val qanRollupMinuteSql = """
+    SELECT date_trunc('minute', ts) AS bucket, event_type,
+      COUNT(*) AS sum_calls,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+      MAX(value) AS max_value,
+      MIN(value) AS min_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2"""
+
+  // --------------------------------------------------- qan_top_queries
+  // Notebook get_top_queries (02-Query_Analysis.ipynb): top digests by
+  // summed metric with per-call average.
+  private val qanTopQueries: Q = (s, d) =>
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(dsum(col("value")).as("total_value"), count(lit(1)).as("calls"))
+      .withColumn("avg_per_call",
+        when(col("calls") > 0, col("total_value") / col("calls")).otherwise(0.0))
+      .orderBy(col("total_value").desc, col("event_type"))
+      .limit(10)
+
+  private val qanTopQueriesSql = """
+    SELECT event_type,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+      COUNT(*) AS calls,
+      CASE WHEN COUNT(*) > 0
+           THEN CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+           ELSE 0.0 END AS avg_per_call
+    FROM events
+    GROUP BY event_type
+    ORDER BY total_value DESC, event_type
+    LIMIT 10"""
+
+  // --------------------------------------------------- qan_query_trend
+  // Notebook analyze_query_trend: one digest, 5-minute buckets.
+  private val qanQueryTrend: Q = (s, d) =>
+    events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(timestamp_seconds(floor(unix_timestamp(col("ts")) / 300) * 300).as("time_bucket"))
+      .agg(count(lit(1)).as("calls"), dsum(col("value")).as("total_value"))
+      .withColumn("avg_per_call", col("total_value") / col("calls"))
+      .orderBy(col("time_bucket"))
+
+  private val qanQueryTrendSql = """
+    SELECT TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS time_bucket,
+      COUNT(*) AS calls,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_per_call
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY 1"""
+
+  // --------------------------------------------------- qan_multi_metric_rank
+  // Notebook get_top_by_multiple_metrics: independent ROW_NUMBER
+  // rankings over several metrics, UNION ALL'd with a metric label.
+  private val qanMultiMetricRank: Q = (s, d) => {
+    val agg = events(s, d)
+      .groupBy(col("event_type"))
+      .agg(dsum(col("value")).as("exec_time"),
+        count(lit(1)).cast(DoubleType).as("calls"),
+        max(col("value")).as("max_value"))
+    def branch(metric: String, v: Column) = agg
+      .withColumn("rank", row_number().over(Window.orderBy(v.desc, col("event_type"))))
+      .filter(col("rank") <= 3)
+      .select(lit(metric).as("metric"), col("event_type").as("query_id"),
+        v.as("value"), col("rank"))
+    branch("exec_time", col("exec_time"))
+      .unionByName(branch("calls", col("calls")))
+      .unionByName(branch("max_value", col("max_value")))
+      .orderBy(col("metric"), col("rank"))
+  }
+
+  private val qanMultiMetricRankSql = """
+    WITH agg AS (
+      SELECT event_type,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS exec_time,
+        CAST(COUNT(*) AS DOUBLE) AS calls,
+        MAX(value) AS max_value
+      FROM events GROUP BY event_type),
+    r AS (
+      SELECT 'exec_time' AS metric, event_type AS query_id, exec_time AS value,
+        ROW_NUMBER() OVER (ORDER BY exec_time DESC, event_type) AS rank FROM agg
+      UNION ALL
+      SELECT 'calls', event_type, calls,
+        ROW_NUMBER() OVER (ORDER BY calls DESC, event_type) FROM agg
+      UNION ALL
+      SELECT 'max_value', event_type, max_value,
+        ROW_NUMBER() OVER (ORDER BY max_value DESC, event_type) FROM agg)
+    SELECT metric, query_id, value, rank FROM r
+    WHERE rank <= 3
+    ORDER BY metric, rank"""
+
+  // --------------------------------------------------- qan_system_compare
+  // Notebook metrics_query: per-system distinct digests, totals and
+  // conditional averages. `system` is derived deterministically from
+  // the instance id.
+  private val qanSystemCompare: Q = (s, d) =>
+    events(s, d)
+      .withColumn("db_system",
+        when(col("user_id") % 2 === 0, "mysql").otherwise("postgresql"))
+      .groupBy(col("db_system"))
+      .agg(
+        countDistinct(col("event_type")).as("unique_queries"),
+        count(lit(1)).as("total_executions"),
+        dsum(col("value")).as("total_time"))
+      .withColumn("avg_execution_time", col("total_time") / col("total_executions"))
+      .orderBy(col("db_system"))
+
+  private val qanSystemCompareSql = """
+    SELECT CASE WHEN user_id % 2 = 0 THEN 'mysql' ELSE 'postgresql' END AS db_system,
+      COUNT(DISTINCT event_type) AS unique_queries,
+      COUNT(*) AS total_executions,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_time,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_execution_time
+    FROM events
+    GROUP BY 1
+    ORDER BY 1"""
+
+  // --------------------------------------------------- qan_hit_ratio
+  // Notebook buffer-hit-ratio shape (01-Connect_and_Metrics.ipynb):
+  // conditional sums per time bucket, then a ratio.
+  private val qanHitRatio: Q = (s, d) =>
+    events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("hits"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("reads"))
+      .withColumn("hit_ratio",
+        when(col("hits") + col("reads") > 0,
+          col("hits").cast(DoubleType) / (col("hits") + col("reads")).cast(DoubleType)))
+      .orderBy(col("bucket"))
+
+  private val qanHitRatioSql = """
+    SELECT date_trunc('hour', ts) AS bucket,
+      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hits,
+      SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS reads,
+      CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              + SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
+           THEN CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   + SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE)
+      END AS hit_ratio
+    FROM events
+    GROUP BY 1
+    ORDER BY 1"""
+
+  // --------------------------------------------------- qan_rate
+  // CalculateDiff rates (adaptive/mysql_collector.go): QPS =
+  // count / elapsed over each (instance, day) window, elapsed from
+  // exact microsecond timestamps.
+  private val qanRate: Q = (s, d) =>
+    events(s, d)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("elapsed_us"))
+      .withColumn("qps",
+        when(col("elapsed_us") > 0,
+          col("n_events").cast(DoubleType) * 1000000.0 / col("elapsed_us").cast(DoubleType)))
+      .orderBy(col("user_id"), col("day"))
+
+  private val qanRateSql = """
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      COUNT(*) AS n_events,
+      MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS elapsed_us,
+      CASE WHEN MAX(epoch_us(ts)) - MIN(epoch_us(ts)) > 0
+           THEN CAST(COUNT(*) AS DOUBLE) * 1000000.0
+              / CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS DOUBLE)
+      END AS qps
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2"""
+
+  // --------------------------------------------------- qan_load_factor
+  // CalculateLoad composite (adaptive/mysql_collector.go:88):
+  // 0.7·clamp(running/connected) + 0.3·clamp(slow/questions), with
+  // error events as "running threads" and purchases as "slow queries".
+  private def loadPerDay(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("slow"))
+      .withColumn("load_factor", QanOps.loadFactor(
+        col("errors").cast(DoubleType) / col("total").cast(DoubleType),
+        col("slow").cast(DoubleType) / col("total").cast(DoubleType)))
+
+  private val loadPerDaySql = """
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      COUNT(*) AS total,
+      SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS slow,
+      LEAST(1.0, CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 0.7
+      + LEAST(1.0, CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 0.3
+        AS load_factor
+    FROM events
+    GROUP BY 1, 2"""
+
+  private val qanLoadFactor: Q = (s, d) =>
+    loadPerDay(s, d).orderBy(col("user_id"), col("day"))
+
+  private val qanLoadFactorSql =
+    s"$loadPerDaySql\n    ORDER BY 1, 2"
+
+  // --------------------------------------------------- qan_ewma
+  // Governor EMAs (adaptive/governor.go:55): fast α=0.3 and slow
+  // α=0.05 folds over each instance's daily load series, in event-time
+  // order — the exact recurrence, not an approximation.
+  private val qanEwma: Q = (s, d) =>
+    loadPerDay(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"),
+        array_sort(collect_list(struct(col("day"), col("load_factor")))).as("series"))
+      .withColumn("loads", expr("transform(series, x -> x.load_factor)"))
+      .withColumn("fast_ema", QanOps.ewmaExpr("loads", 0.3))
+      .withColumn("slow_ema", QanOps.ewmaExpr("loads", 0.05))
+      .select(col("user_id"), col("n_days"), col("fast_ema"), col("slow_ema"))
+      .orderBy(col("user_id"))
+
+  private val qanEwmaSql = s"""
+    WITH load AS ($loadPerDaySql)
+    SELECT user_id, COUNT(*) AS n_days,
+      list_reduce(list(load_factor ORDER BY day), (acc, x) -> acc + 0.3 * (x - acc)) AS fast_ema,
+      list_reduce(list(load_factor ORDER BY day), (acc, x) -> acc + 0.05 * (x - acc)) AS slow_ema
+    FROM load
+    GROUP BY user_id
+    ORDER BY user_id"""
+
+  // --------------------------------------------------- qan_governor_interval
+  // adjustInterval thresholds (governor.go:192). Loads in this data
+  // sit around 0.2, so a documented ×4 stress factor exercises the
+  // high-load backoff branch; rounded to 6dp to absorb pow() ulp
+  // differences across engines.
+  private val qanGovernorInterval: Q = (s, d) =>
+    loadPerDay(s, d)
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("day"), col("load_factor")))).as("series"))
+      .withColumn("loads", expr("transform(series, x -> least(1.0D, x.load_factor * 4.0D))"))
+      .withColumn("fast_ema", QanOps.ewmaExpr("loads", 0.3))
+      .select(
+        col("user_id"),
+        round(col("fast_ema"), 6).as("fast_ema"),
+        round(QanOps.governorInterval(col("fast_ema")), 6).as("interval_s"),
+        when(col("fast_ema") > 0.9, "critical")
+          .when(col("fast_ema") > 0.7, "high")
+          .otherwise("normal").as("load_state"))
+      .orderBy(col("user_id"))
+
+  private val qanGovernorIntervalSql = s"""
+    WITH load AS ($loadPerDaySql),
+    ema AS (
+      SELECT user_id,
+        list_reduce(list(LEAST(1.0, load_factor * 4.0) ORDER BY day),
+                    (acc, x) -> acc + 0.3 * (x - acc)) AS fast_ema
+      FROM load GROUP BY user_id)
+    SELECT user_id, ROUND(fast_ema, 6) AS fast_ema,
+      ROUND(CASE WHEN fast_ema > 0.9 THEN 60.0
+                 WHEN fast_ema > 0.7 THEN LEAST(1.0 * POW(2.0, fast_ema / 0.7 - 1.0), 60.0)
+                 ELSE 1.0 END, 6) AS interval_s,
+      CASE WHEN fast_ema > 0.9 THEN 'critical'
+           WHEN fast_ema > 0.7 THEN 'high'
+           ELSE 'normal' END AS load_state
+    FROM ema
+    ORDER BY user_id"""
+
+  val entries: Map[String, Q] = Map(
+    "qan_snapshot_delta" -> qanSnapshotDelta,
+    "qan_rollup_minute" -> qanRollupMinute,
+    "qan_top_queries" -> qanTopQueries,
+    "qan_query_trend" -> qanQueryTrend,
+    "qan_multi_metric_rank" -> qanMultiMetricRank,
+    "qan_system_compare" -> qanSystemCompare,
+    "qan_hit_ratio" -> qanHitRatio,
+    "qan_rate" -> qanRate,
+    "qan_load_factor" -> qanLoadFactor,
+    "qan_ewma" -> qanEwma,
+    "qan_governor_interval" -> qanGovernorInterval)
+
+  val oracles: Map[String, String] = Map(
+    "qan_snapshot_delta" -> qanSnapshotDeltaSql,
+    "qan_rollup_minute" -> qanRollupMinuteSql,
+    "qan_top_queries" -> qanTopQueriesSql,
+    "qan_query_trend" -> qanQueryTrendSql,
+    "qan_multi_metric_rank" -> qanMultiMetricRankSql,
+    "qan_system_compare" -> qanSystemCompareSql,
+    "qan_hit_ratio" -> qanHitRatioSql,
+    "qan_rate" -> qanRateSql,
+    "qan_load_factor" -> qanLoadFactorSql,
+    "qan_ewma" -> qanEwmaSql,
+    "qan_governor_interval" -> qanGovernorIntervalSql)
+}

@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Tables._
+
+/** Block C — training-data text pipeline (SURVEY §2.C) over
+  * `documents`. These are the operations a 100 TB LLM-data pipeline
+  * runs: exact/near dedup, language ID, quality scoring, token
+  * counting. Everything below is pure `functions._` expressions
+  * (whole-stage codegen), no UDFs.
+  */
+object Text {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Number of occurrences of `w` in `' '+lower(text)+' '` — identical
+    * replace/length semantics in Spark and DuckDB.
+    */
+  private def occurrences(padded: Column, w: String): Column =
+    (length(padded) - length(expr(s"replace(padded, '$w', '')"))) / w.length
+
+  private def occSql(w: String): String =
+    s"(length(padded) - length(replace(padded, '$w', ''))) / ${w.length}"
+
+  // --------------------------------------------------- doc_exact_dedup
+  // Exact dedup by content hash (here: md5 of the normalized 40-char
+  // prefix so the synthetic corpus actually has collisions). Scales as
+  // a single hash-aggregate on the digest — the canonical 100 TB exact
+  // dedup plan.
+  private val docExactDedup: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("content_key", md5(substring(lower(col("text")), 1, 40)))
+      .groupBy(col("content_key"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("keep_doc_id"))
+
+  private val docExactDedupSql = """
+    SELECT md5(substr(lower(text), 1, 40)) AS content_key,
+      MIN(doc_id) AS keep_doc_id,
+      COUNT(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    ORDER BY keep_doc_id"""
+
+  // --------------------------------------------------- doc_ngram_jaccard_pairs
+  // Brute-force character-3-gram Jaccard near-dup pairs. This is the
+  // small-scale ORACLE/baseline; the scale path is doc_minhash_lsh
+  // (candidates via banding, never O(n²)). Capped to doc_id < 200 so
+  // the pair count is sf-independent.
+  private val docNgramJaccard: Q = (s, d) => {
+    val g = documents(s, d)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        expr("array_distinct(transform(sequence(1, greatest(length(text)-2, 1)), i -> substring(text, i, 3)))").as("grams"))
+    val a = g.select(col("doc_id").as("a_id"), col("grams").as("a_grams"))
+    val b = g.select(col("doc_id").as("b_id"), col("grams").as("b_grams"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_grams"), col("b_grams"))))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (size(col("a_grams")) + size(col("b_grams")) - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val docNgramJaccardSql = """
+    WITH g AS (
+      SELECT doc_id,
+        list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)),
+                                     i -> substr(text, CAST(i AS INT), 3))) AS grams
+      FROM documents WHERE doc_id < 200),
+    p AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        len(list_intersect(a.grams, b.grams)) AS inter,
+        len(a.grams) AS na, len(b.grams) AS nb
+      FROM g a JOIN g b ON a.doc_id < b.doc_id)
+    SELECT a_id, b_id,
+      CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
+    FROM p
+    WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.8
+    ORDER BY a_id, b_id"""
+
+  // --------------------------------------------------- doc_lang_id
+  // Heuristic language ID: CJK codepoint detection, else argmax of
+  // per-language stopword occurrence counts (fixed priority on ties).
+  // Pure string ops — deterministic and cheap enough to run inline
+  // with the scan at 100 TB.
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " la ", " et "),
+    "es" -> Seq(" el ", " que ", " los "))
+
+  private val docLangId: Q = (s, d) => {
+    val base = documents(s, d)
+      .withColumn("padded", concat(lit(" "), lower(col("text")), lit(" ")))
+      .withColumn("cjk", regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")))
+    val scored = langStops.foldLeft(base) { case (df, (l, ws)) =>
+      df.withColumn(s"score_$l", ws.map(w => occurrences(col("padded"), w)).reduce(_ + _))
+    }
+    scored.select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        when(col("cjk") > 0, "zh")
+          .when(col("score_en") >= col("score_de") && col("score_en") >= col("score_fr") && col("score_en") >= col("score_es"), "en")
+          .when(col("score_de") >= col("score_fr") && col("score_de") >= col("score_es"), "de")
+          .when(col("score_fr") >= col("score_es"), "fr")
+          .otherwise("es").as("pred_lang"),
+        col("score_en"), col("score_de"), col("score_fr"), col("score_es"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val docLangIdSql = {
+    val scores = langStops.map { case (l, ws) =>
+      ws.map(occSql).mkString(" + ") + s" AS score_$l"
+    }.mkString(",\n        ")
+    s"""
+    WITH base AS (
+      SELECT doc_id, lang, text,
+        ' ' || lower(text) || ' ' AS padded,
+        len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang, cjk,
+        $scores
+      FROM base)
+    SELECT doc_id, lang AS labeled_lang,
+      CASE WHEN cjk > 0 THEN 'zh'
+           WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+           WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+           WHEN score_fr >= score_es THEN 'fr'
+           ELSE 'es' END AS pred_lang,
+      score_en, score_de, score_fr, score_es
+    FROM scored
+    ORDER BY doc_id"""
+  }
+
+  // --------------------------------------------------- doc_quality_score
+  // Quality features: length, word count, punctuation ratio,
+  // stopword ratio, and a fixed weighted score — the filter stage of a
+  // pretraining pipeline.
+  private val docQualityScore: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("padded", concat(lit(" "), lower(col("text")), lit(" ")))
+      .withColumn("n_chars_m", length(col("text")))
+      .withColumn("n_words", size(split(trim(col("text")), "\\s+")))
+      .withColumn("punct_cnt", length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+      .withColumn("stop_cnt",
+        occurrences(col("padded"), " the ") + occurrences(col("padded"), " a "))
+      .withColumn("punct_ratio", col("punct_cnt").cast(DoubleType) / col("n_chars_m").cast(DoubleType))
+      .withColumn("stop_ratio", col("stop_cnt").cast(DoubleType) / col("n_words").cast(DoubleType))
+      .withColumn("quality",
+        least(lit(1.0), col("n_words").cast(DoubleType) / 200.0) * 0.4
+          + (lit(1.0) - col("punct_ratio")) * 0.3
+          + least(lit(1.0), col("stop_ratio") * 10.0) * 0.3)
+      .select(col("doc_id"), col("n_chars_m"), col("n_words"), col("punct_cnt"),
+        col("stop_cnt"), col("punct_ratio"), col("stop_ratio"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  private val docQualityScoreSql = s"""
+    WITH base AS (
+      SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded,
+        length(text) AS n_chars_m,
+        len(string_split_regex(trim(text), '\\s+')) AS n_words,
+        length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_cnt,
+        ${occSql(" the ")} + ${occSql(" a ")} AS stop_cnt
+      FROM documents)
+    SELECT doc_id, n_chars_m, n_words, punct_cnt, stop_cnt,
+      CAST(punct_cnt AS DOUBLE) / CAST(n_chars_m AS DOUBLE) AS punct_ratio,
+      CAST(stop_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio,
+      LEAST(1.0, CAST(n_words AS DOUBLE) / 200.0) * 0.4
+        + (1.0 - CAST(punct_cnt AS DOUBLE) / CAST(n_chars_m AS DOUBLE)) * 0.3
+        + LEAST(1.0, CAST(stop_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) * 10.0) * 0.3 AS quality
+    FROM base
+    ORDER BY doc_id"""
+
+  // --------------------------------------------------- doc_token_count
+  // Token counting: whitespace tokens and a BPE-ish regex
+  // (letter-runs | digit-runs | single punctuation).
+  private val tokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  private val docTokenCount: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("ws_tokens", size(split(trim(col("text")), "\\s+")))
+      .withColumn("re_tokens", regexp_count(col("text"), lit(tokenRe)))
+      .select(col("doc_id"), col("ws_tokens"), col("re_tokens"),
+        length(col("text")).as("n_chars_m"))
+      .orderBy(col("doc_id"))
+
+  private val docTokenCountSql = s"""
+    SELECT doc_id,
+      len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+      len(regexp_extract_all(text, '$tokenRe')) AS re_tokens,
+      length(text) AS n_chars_m
+    FROM documents
+    ORDER BY doc_id"""
+
+  // --------------------------------------------------- mm_binary_meta
+  // Multimodal plumbing: materialize an opaque binary column (UTF-8
+  // bytes of the text — in production: image/audio payloads) plus
+  // typed metadata: byte length, leading-bytes magic, multibyte flag.
+  private val mmBinaryMeta: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).as("byte_len"),
+        substring(hex(col("payload")), 1, 8).as("magic_hex"),
+        length(col("text")).as("n_chars_utf8"),
+        (octet_length(col("payload")) > length(col("text"))).as("is_multibyte"))
+      .orderBy(col("doc_id"))
+
+  private val mmBinaryMetaSql = """
+    SELECT doc_id,
+      octet_length(encode(text)) AS byte_len,
+      substr(hex(encode(text)), 1, 8) AS magic_hex,
+      length(text) AS n_chars_utf8,
+      octet_length(encode(text)) > length(text) AS is_multibyte
+    FROM documents
+    ORDER BY doc_id"""
+
+  val entries: Map[String, Q] = Map(
+    "doc_exact_dedup" -> docExactDedup,
+    "doc_ngram_jaccard_pairs" -> docNgramJaccard,
+    "doc_lang_id" -> docLangId,
+    "doc_quality_score" -> docQualityScore,
+    "doc_token_count" -> docTokenCount,
+    "mm_binary_meta" -> mmBinaryMeta)
+
+  val oracles: Map[String, String] = Map(
+    "doc_exact_dedup" -> docExactDedupSql,
+    "doc_ngram_jaccard_pairs" -> docNgramJaccardSql,
+    "doc_lang_id" -> docLangIdSql,
+    "doc_quality_score" -> docQualityScoreSql,
+    "doc_token_count" -> docTokenCountSql,
+    "mm_binary_meta" -> mmBinaryMetaSql)
+}
