@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.Relational.entries ++
       graft.queries.Qan.entries ++
       graft.queries.Text.entries ++
-      graft.queries.Vectors.entries
+      graft.queries.Vectors.entries ++
+      graft.queries.ScaleOps.entries
 
   /** DuckDB-equivalent SQL per query key (driver correctness gate). */
   def oracleSql: Map[String, String] =

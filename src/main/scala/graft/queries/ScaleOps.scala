@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+import graft.Tables._
+import graft.functions.expressions.GraftFunctions
+import graft.operators.{AnnLsh, Dedup, Multimodal}
+
+/** Rows-only operators (SURVEY §2): the scale paths whose algorithms
+  * aren't expressible in DuckDB SQL (seeded MinHash/SimHash/LSH,
+  * partition-batched decode). The driver records a rows-only check;
+  * semantics are covered by ScalaTest specs that compare against the
+  * exact brute-force baselines.
+  */
+object ScaleOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  // MinHash+LSH near-dup pairs, exact-verified at threshold 0.8 —
+  // same contract as doc_ngram_jaccard_pairs but candidate-driven
+  // (see Dedup.minhashNearDupPairs for the 100 TB argument).
+  private val docMinhashLsh: Q = (s, d) =>
+    Dedup.minhashNearDupPairs(documents(s, d), "doc_id", "text",
+        n = 3, k = 32, bands = 8, tau = 0.8)
+      .orderBy(col("a_id"), col("b_id"))
+
+  // SimHash fingerprint per document plus its banding chunks.
+  private val docSimhash: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), GraftFunctions.simhash64(col("text")).as("simhash"))
+      .withColumn("chunk0", expr("simhash & 65535"))
+      .orderBy(col("doc_id"))
+
+  // Polynomial rolling-hash fingerprint (custom codegen Expression).
+  private val docFingerprint: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), GraftFunctions.polyFingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  // LSH-bucketed approximate top-k — the scale path matching
+  // emb_cosine_topk's contract (recall measured in AnnSpec).
+  private val embAnnLsh: Q = (s, d) => {
+    val e = embeddings(s, d).withColumn("v", col("embedding").cast(ArrayType(DoubleType)))
+    val corpus = e.select(col("vec_id").as("id"), col("v"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    AnnLsh.topK(corpus, queries, k = 10, bits = 6, dim = 64)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // Multimodal: binary payload → per-partition batched (stubbed)
+  // decode → typed feature rows.
+  private val mmFeatureStub: Q = (s, d) => {
+    val withBin = documents(s, d).withColumn("payload", encode(col("text"), "UTF-8"))
+    Multimodal.extractFeatures(s, withBin, "doc_id", "payload")
+      .toDF()
+      .select(col("doc_id"), col("byte_len"), col("fake_width"), col("fake_height"),
+        round(element_at(col("features"), 1), 4).as("f0"),
+        round(element_at(col("features"), 8), 4).as("f7"))
+      .orderBy(col("doc_id"))
+  }
+
+  val entries: Map[String, Q] = Map(
+    "doc_minhash_lsh" -> docMinhashLsh,
+    "doc_simhash" -> docSimhash,
+    "doc_fingerprint" -> docFingerprint,
+    "emb_ann_lsh" -> embAnnLsh,
+    "mm_feature_stub" -> mmFeatureStub)
+
+  val oracles: Map[String, String] = Map.empty
+}

@@ -1,0 +1,24 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 made the Column↔Expression bridge (`ExpressionUtils`) and
+  * `sessionState` private[sql]; this object lives inside the sql
+  * package tree to re-expose exactly the two conversions and the
+  * function-registration hook graft's custom expressions need.
+  * Public-API surface otherwise.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL-callable function backed by a Catalyst expression
+    * builder, e.g. `registerFunction(spark, "simhash64", es => SimHash64(es.head))`.
+    */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+
+  test("ann lsh recall@10 vs brute force, and perfect-precision ranks inside probed buckets") {
+    val exact = SparkEntry.queries("emb_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = SparkEntry.queries("emb_ann_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(approx.nonEmpty, "ann produced no results")
+    val recalls = exact.keys.toSeq.map { q =>
+      val hit = approx.getOrElse(q, Set.empty)
+      exact(q).intersect(hit).size.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    // 6-bit codes + Hamming-1 multiprobe covers 7/64 of the space;
+    // on this near-uniform corpus mean recall ~0.2-0.5 is expected —
+    // assert it beats random bucket selection by a wide margin.
+    assert(mean >= 0.15, s"mean recall@10 $mean too low: $recalls")
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val approx = SparkEntry.queries("q13_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n <= 0.05, s"$k: approx $a vs exact $n")
+    }
+  }
+
+  test("multimodal stub: features deterministic and shaped") {
+    val out = SparkEntry.queries("mm_feature_stub")(spark, sf).collect()
+    assert(out.length == Tables.documents(spark, sf).count())
+    out.foreach { r =>
+      assert(r.getInt(1) > 0)                  // byte_len
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 640) // fake_width
+    }
+    // determinism: rerun hashes to same values
+    val again = SparkEntry.queries("mm_feature_stub")(spark, sf).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.expressions.{GraftFunctions, PolyHash}
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  test("minhash LSH finds the exact-jaccard pairs (high recall) and only verified pairs (perfect precision)") {
+    // brute-force truth on the capped range the oracle query uses
+    val truth = SparkEntry.queries("doc_ngram_jaccard_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.minhashNearDupPairs(
+        Tables.documents(spark, sf).filter(col("doc_id") < 200), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is exact by construction (candidates are verified)
+    assert(got.subsetOf(truth), s"unverified pairs leaked: ${got -- truth}")
+    // recall: 32 hashes / 8 bands of 4 → P(collide | j≥0.8) ≈ 1-(1-0.8^4)^8 ≈ 0.98
+    if (truth.nonEmpty) {
+      val recall = got.intersect(truth).size.toDouble / truth.size
+      assert(recall >= 0.6, s"recall $recall too low (truth=${truth.size}, got=${got.size})")
+    }
+  }
+
+  test("simhash: identical text → identical fingerprint; token-permuted text → equal; distinct text → distinct") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "dog lazy the over jumps fox brown quick the"), // same token multiset
+      (4L, "completely different content about spark engines")
+    ).toDF("id", "text").withColumn("fp", GraftFunctions.simhash64(col("text")))
+    val fps = df.select("id", "fp").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) == fps(3L), "simhash must be order-invariant over tokens")
+    assert(fps(1L) != fps(4L))
+  }
+
+  test("simhash near-dup pairing: guaranteed recall inside radius 3, rejects distant docs") {
+    import spark.implicits._
+    // token-permuted duplicate → hamming 0, inside the radius-3
+    // pigeonhole guarantee (4 chunks, ≤3 differing bits ⇒ ≥1 chunk equal)
+    val df = Seq(
+      (1L, "spark query engine with adaptive execution and columnar storage layout"),
+      (2L, "columnar storage layout with adaptive execution and spark query engine"),
+      (3L, "postgres write ahead log replication internals deep dive tutorial")
+    ).toDF("id", "text")
+    val pairs = Dedup.simhashNearDupPairs(df, "id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+    assert(!pairs.contains((2L, 3L)))
+  }
+
+  test("poly fingerprint: deterministic, text-sensitive, matches reference implementation") {
+    import spark.implicits._
+    val df = Seq((1L, "abc"), (2L, "abd"), (3L, "abc")).toDF("id", "text")
+      .withColumn("fp", GraftFunctions.polyFingerprint(col("text")))
+    val fps = df.select("id", "fp").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(3L))
+    assert(fps(1L) != fps(2L))
+    assert(fps(1L) == PolyHash.ofBytes("abc".getBytes("UTF-8")))
+  }
+
+  test("hamming64 expression") {
+    import spark.implicits._
+    val got = Seq((0L, 0L), (1L, 0L), (-1L, 0L), (0xffL, 0x0fL))
+      .toDF("a", "b")
+      .select(GraftFunctions.hamming64(col("a"), col("b")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 1L, 64L, 4L))
+  }
+
+  test("exact dedup keeps one representative per content key") {
+    val out = SparkEntry.queries("doc_exact_dedup")(spark, sf)
+    val total = out.agg(sum("n_dups")).collect()(0).getLong(0)
+    val docs = Tables.documents(spark, sf).count()
+    assert(total == docs, "every doc must be accounted for exactly once")
+  }
+}
