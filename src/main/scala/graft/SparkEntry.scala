@@ -23,12 +23,14 @@ object SparkEntry {
       graft.queries.Qan.entries ++
       graft.queries.Text.entries ++
       graft.queries.Vectors.entries ++
-      graft.queries.ScaleOps.entries
+      graft.queries.ScaleOps.entries ++
+      graft.queries.Streaming.entries
 
   /** DuckDB-equivalent SQL per query key (driver correctness gate). */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Qan.oracles ++
       graft.queries.Text.oracles ++
-      graft.queries.Vectors.oracles
+      graft.queries.Vectors.oracles ++
+      graft.queries.Streaming.oracles
 }
