@@ -121,6 +121,173 @@ object SimHash {
   }
 }
 
+object MinHash {
+  /** k-permutation MinHash over an array of shingles: one 64-bit base
+    * hash per shingle (FNV-1a over UTF-8 bytes), then k affine
+    * permutations h_i = a_i·h + b_i (odd multipliers from a seeded
+    * xorshift), min per slot.
+    *
+    * This replaces a nested higher-order-function formulation
+    * (`transform(sequence(0,k-1), i -> array_min(transform(grams, g ->
+    * xxhash64(g, i))))`): Spark HOF lambdas are interpreted per
+    * element, which made signatures the dominant cost of the LSH
+    * pipeline (k·|grams| interpreted evals per row). Here it's one
+    * tight compiled loop.
+    */
+  def signature(hashes: Array[Long], k: Int, seed: Long = 0x5EED5EEDL): Array[Long] = {
+    val as = new Array[Long](k)
+    val bs = new Array[Long](k)
+    var s = seed
+    def next(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s }
+    var i = 0
+    while (i < k) { as(i) = next() | 1L; bs(i) = next(); i += 1 }
+    val out = Array.fill(k)(Long.MaxValue)
+    var g = 0
+    while (g < hashes.length) {
+      val h = hashes(g)
+      i = 0
+      while (i < k) {
+        val p = as(i) * h + bs(i)
+        if (p < out(i)) out(i) = p
+        i += 1
+      }
+      g += 1
+    }
+    out
+  }
+
+  def fnv64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= bytes(i) & 0xffL
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+}
+
+/** MinHash signature (k slots) of a pre-hashed shingle set
+  * (array<long>, from GramHashes).
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val hashes = Array.tabulate(arr.numElements())(i => arr.getLong(i))
+    new GenericArrayData(MinHash.signature(hashes, k))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** Count of positions where two equal-length long arrays agree —
+  * the MinHash jaccard estimator numerator. Compiled loop over
+  * ArrayData (the zip_with/aggregate HOF chain interprets per
+  * element, which dominates on millions of candidate pairs).
+  */
+case class SignatureOverlap(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "signature_overlap"
+}
+
+/** Sorted distinct 64-bit hashes of an array<string> — the compact
+  * shingle-set representation: set ops on longs instead of strings
+  * (collision odds ~|set|²/2⁶⁴, irrelevant for dedup).
+  */
+case class GramHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val hs = Array.tabulate(arr.numElements())(i => MinHash.fnv64(arr.getUTF8String(i).getBytes))
+    java.util.Arrays.sort(hs)
+    // dedupe in place over the sorted array
+    var n = 0
+    var i = 0
+    while (i < hs.length) {
+      if (n == 0 || hs(i) != hs(n - 1)) { hs(n) = hs(i); n += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, n))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "gram_hashes"
+}
+
+/** Intersection size of two SORTED long arrays (merge walk) — exact
+  * set intersection at ~600 long compares per pair instead of a
+  * per-pair hash set of strings.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0L
+    while (i < x.numElements() && j < y.numElements()) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_intersect_count"
+}
+
+/** Cosine similarity of two array<double> vectors in one compiled
+  * pass (dot and both norms together). Sequential accumulation order
+  * matches the HOF `aggregate` formulation and DuckDB's
+  * list_cosine_similarity to within ulps (outputs are rounded to 4dp
+  * wherever oracle-compared).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_similarity"
+}
+
 /** SimHash64 fingerprint of a document's token stream. */
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -138,6 +305,11 @@ case class SimHash64(child: Expression)
 object GraftFunctions {
   import org.apache.spark.sql.graft.Bridge.{column, expression}
   def hamming64(a: Column, b: Column): Column = column(HammingDistance64(expression(a), expression(b)))
+  def minhashSignature(grams: Column, k: Int): Column = column(MinHashSignature(expression(grams), k))
+  def signatureOverlap(a: Column, b: Column): Column = column(SignatureOverlap(expression(a), expression(b)))
+  def gramHashes(grams: Column): Column = column(GramHashes(expression(grams)))
+  def cosineSimilarity(a: Column, b: Column): Column = column(CosineSimilarity(expression(a), expression(b)))
+  def sortedIntersectCount(a: Column, b: Column): Column = column(SortedIntersectCount(expression(a), expression(b)))
   def polyFingerprint(c: Column): Column = column(PolyFingerprint(expression(c)))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
 }

@@ -46,12 +46,9 @@ object AnnLsh {
     */
   def topK(vecs: DataFrame, queries: DataFrame, k: Int, bits: Int, dim: Int): DataFrame = {
     val hp = hyperplanes(bits, dim)
-    val corpus = vecs
-      .withColumn("code", bucketCode("v", hp))
-      .withColumn("norm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+    val corpus = vecs.withColumn("code", bucketCode("v", hp))
     val q = queries
       .withColumn("code0", bucketCode("qv", hp))
-      .withColumn("qn", sqrt(expr("aggregate(qv, 0D, (acc, x) -> acc + x * x)")))
       // multiprobe: own bucket + every Hamming-1 bucket, as an
       // exploded equi-join key (never an inequality join)
       .withColumn("code", explode(expr(
@@ -59,8 +56,7 @@ object AnnLsh {
     q.join(corpus, Seq("code"))
       .filter(col("query_id") =!= col("id"))
       .withColumn("cos_sim",
-        expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-          (col("qn") * col("norm")))
+        graft.functions.expressions.GraftFunctions.cosineSimilarity(col("qv"), col("v")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("id"))))
       .filter(col("rank") <= k)

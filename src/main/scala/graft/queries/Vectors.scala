@@ -6,26 +6,21 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.Tables._
+import graft.functions.expressions.GraftFunctions
 
 /** Block D — similarity search over the `embeddings` table (SURVEY
-  * §2.D). Dot products / norms are `zip_with` + `aggregate`
-  * higher-order functions — codegen'd, no UDFs. Brute-force variants
-  * are the correctness baselines; the LSH variant is the 100 TB path
-  * (bucket join instead of cross join).
+  * §2.D). The pairwise kernel is the native CosineSimilarity
+  * expression (one compiled pass; the HOF zip_with/aggregate chain
+  * interprets per element and dominated the join). Brute-force
+  * variants are the correctness baselines; the LSH variant is the
+  * 100 TB path (bucket join instead of cross join).
   */
 object Vectors {
   type Q = (SparkSession, String) => DataFrame
 
-  /** embeddings with the float vector upcast to double and its L2 norm
-    * precomputed once (norms before the join, not per pair).
-    */
   private def vecs(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
       .withColumn("v", col("embedding").cast(ArrayType(DoubleType)))
-      .withColumn("norm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
-
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
 
   // --------------------------------------------------- emb_cosine_topk
   // Brute-force cosine top-k: the exact-ANN baseline. Query set is
@@ -34,11 +29,11 @@ object Vectors {
   // fold-order ulps.
   private val embCosineTopk: Q = (s, d) => {
     val e = vecs(s, d)
-    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"))
       .filter(col("query_id") < 5)
-    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("norm").as("cn"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
     q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", dot("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("cos_sim", GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))))
       .filter(col("rank") <= 10)
@@ -69,10 +64,10 @@ object Vectors {
   // distribution (max ≈ 0.51).
   private val embNearDupPairs: Q = (s, d) => {
     val e = vecs(s, d).filter(col("vec_id") < 500)
-    val a = e.select(col("vec_id").as("a_id"), col("v").as("av"), col("norm").as("an"), col("label").as("a_label"))
-    val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"), col("norm").as("bn"), col("label").as("b_label"))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("av"), col("label").as("a_label"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"), col("label").as("b_label"))
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn("cos_sim", dot("av", "bv") / (col("an") * col("bn")))
+      .withColumn("cos_sim", GraftFunctions.cosineSimilarity(col("av"), col("bv")))
       .filter(col("cos_sim") >= 0.4)
       .select(col("a_id"), col("b_id"), round(col("cos_sim"), 4).as("cos_sim"),
         (col("a_label") === col("b_label")).as("same_label"))
