@@ -246,16 +246,17 @@ object Relational {
     ORDER BY o_orderpriority"""
 
   // ---------------------------------------------------------------- q11
-  // Top-N per group via ROW_NUMBER window — the scalable alternative
-  // to per-group sorts; one shuffle on the partition key.
-  private val q11: Q = (s, d) => {
-    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc, col("p_partkey"))
-    part(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+  // Top-N per group via the custom TopKPerGroup operator (bounded
+  // per-group heaps after one hash shuffle — see graft.plans.TopKPlan;
+  // the ROW_NUMBER window formulation it replaces sorts every group's
+  // full row set). Hash-matches the windowed DuckDB oracle.
+  private val q11: Q = (s, d) =>
+    graft.plans.TopK.perGroup(part(s, d),
+        groupCols = Seq("p_brand"),
+        orders = Seq(("p_retailprice", true), ("p_partkey", false)),
+        k = 3)
       .select(col("p_brand"), col("rn"), col("p_partkey"), col("p_retailprice"))
       .orderBy(col("p_brand"), col("rn"))
-  }
 
   private val q11Sql = """
     SELECT p_brand, rn, p_partkey, p_retailprice

@@ -14,6 +14,13 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Build a DataFrame from a raw logical plan (classic
+    * Dataset.ofRows is private[sql]).
+    */
+  def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a SQL-callable function backed by a Catalyst expression
     * builder, e.g. `registerFunction(spark, "simhash64", es => SimHash64(es.head))`.
     */

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.TopK
+
+class PlanSpec extends SparkSpec {
+
+  /** Final (post-AQE) physical plan: execute first, then read the
+    * plan — before execution AdaptiveSparkPlan hides codegen stages
+    * and runtime join selections.
+    */
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("TopKPerGroup matches the ROW_NUMBER window formulation exactly") {
+    val p = Tables.part(spark, sf)
+    val expected = p
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc, col("p_partkey"))))
+      .filter(col("rn") <= 3)
+      .select(col("p_brand"), col("rn"), col("p_partkey"), col("p_retailprice"))
+      .collect().map(_.toString).sorted.toSeq
+    val got = TopK.perGroup(p, Seq("p_brand"),
+        Seq(("p_retailprice", true), ("p_partkey", false)), 3)
+      .select(col("p_brand"), col("rn"), col("p_partkey"), col("p_retailprice"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == expected)
+  }
+
+  test("TopKPerGroup plans one hash shuffle and no sort") {
+    val plan = SparkEntry.queries("q11_window_topn_per_group")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan)
+    // the outer orderBy sorts 75 result rows; the TopK child itself
+    // must not sort — its input side has an exchange and no Sort below
+    val belowTopK = plan.substring(plan.indexOf("TopKPerGroup"))
+    assert(!belowTopK.contains("Sort [") || belowTopK.indexOf("Sort [") > belowTopK.indexOf("Scan"),
+      s"unexpected sort below TopKPerGroup:\n$plan")
+  }
+
+  test("q06 pushes its filters and prunes columns at the parquet scan") {
+    val plan = executedPlan("q06_selective_agg")
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("l_shipdate"), plan)
+    val schemaPart = plan.substring(plan.indexOf("ReadSchema"))
+    assert(!schemaPart.contains("l_orderkey"), s"unpruned scan: $plan")
+  }
+
+  test("q02/q05 broadcast their dimension sides") {
+    assert(executedPlan("q02_top_orders").contains("BroadcastHashJoin"))
+    assert(executedPlan("q05_region_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("q01 aggregates inside whole-stage codegen") {
+    val plan = executedPlan("q01_pricing_summary")
+    // "*(n)" prefixes mark whole-stage-codegen spans in plan strings
+    assert(plan.contains("*("), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("partial_sum"), s"no map-side partial aggregation: $plan")
+  }
+
+  test("global top-N (q02) plans as TakeOrderedAndProject, not a full sort") {
+    assert(executedPlan("q02_top_orders").contains("TakeOrderedAndProject"))
+  }
+}
