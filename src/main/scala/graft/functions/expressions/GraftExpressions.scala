@@ -1,7 +1,8 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -16,8 +17,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * fingerprints (SimHash near-dup distance).
   */
 case class HammingDistance64(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
   override def nullSafeEval(a: Any, b: Any): Any =
     java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long]).toLong
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -61,9 +63,9 @@ object PolyHash {
   * fingerprinting for dedup joins: 8 bytes instead of the full text).
   */
 case class PolyFingerprint(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = LongType
-  def inputTypes: Seq[DataType] = Seq(StringType)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def nullSafeEval(v: Any): Any =
     PolyHash.ofBytes(v.asInstanceOf[UTF8String].getBytes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -172,9 +174,10 @@ object MinHash {
   * (array<long>, from GramHashes).
   */
 case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
   import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
   override def dataType: DataType = org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val hashes = Array.tabulate(arr.numElements())(i => arr.getLong(i))
@@ -190,9 +193,10 @@ case class MinHashSignature(child: Expression, k: Int)
   * element, which dominates on millions of candidate pairs).
   */
 case class SignatureOverlap(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
   import org.apache.spark.sql.catalyst.util.ArrayData
   override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -215,9 +219,10 @@ case class SignatureOverlap(left: Expression, right: Expression)
   * (collision odds ~|set|²/2⁶⁴, irrelevant for dedup).
   */
 case class GramHashes(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
   import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
   override def dataType: DataType = org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val hs = Array.tabulate(arr.numElements())(i => MinHash.fnv64(arr.getUTF8String(i).getBytes))
@@ -240,9 +245,10 @@ case class GramHashes(child: Expression)
   * per-pair hash set of strings.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
   import org.apache.spark.sql.catalyst.util.ArrayData
   override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -267,9 +273,10 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * wherever oracle-compared).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
   import org.apache.spark.sql.catalyst.util.ArrayData
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -290,9 +297,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 /** SimHash64 fingerprint of a document's token stream. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
   override def dataType: DataType = LongType
-  def inputTypes: Seq[DataType] = Seq(StringType)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def nullSafeEval(v: Any): Any =
     SimHash.ofTokens(v.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

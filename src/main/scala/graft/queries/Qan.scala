@@ -344,7 +344,45 @@ object Qan {
     FROM ema
     ORDER BY user_id"""
 
+  // --------------------------------------------------- qan_otel_export
+  // The reference's log-emission shape (mysql/collector.go:208
+  // deltaToLogs): one OTel log record per positive digest delta.
+  private val qanOtelExport: Q = (s, d) => {
+    val deltas = QanOps.snapshotDelta(snapshots(s, d),
+        keys = Seq("user_id", "event_type"),
+        ord = Seq(col("ts"), col("event_id")),
+        counter = col("counter"), out = "delta")
+      .withColumn("delta_value", col("delta").cast(DoubleType))
+    graft.sources.OtelLogs.toLogRecords(deltas)
+      .orderBy(col("timestamp"), col("resource_instance_id"), col("db_statement_digest"))
+  }
+
+  private val qanOtelExportSql = s"""
+    WITH snap AS ($snapshotsSql),
+    lagged AS (
+      SELECT event_id, user_id, event_type, ts, counter,
+        LAG(counter) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev
+      FROM snap),
+    deltas AS (
+      SELECT event_id, user_id, event_type, ts,
+        CAST(CASE WHEN prev IS NULL THEN counter
+                  WHEN counter >= prev THEN counter - prev
+                  ELSE counter END AS DOUBLE) AS delta_value
+      FROM lagged)
+    SELECT ts AS timestamp,
+      'INFO' AS severity_text,
+      'graft' AS service_name,
+      CASE WHEN user_id % 2 = 0 THEN 'mysql' ELSE 'postgresql' END AS db_system,
+      'instance-' || user_id AS resource_instance_id,
+      event_type AS db_statement_digest,
+      event_type AS body,
+      delta_value
+    FROM deltas
+    WHERE delta_value > 0
+    ORDER BY timestamp, resource_instance_id, db_statement_digest"""
+
   val entries: Map[String, Q] = Map(
+    "qan_otel_export" -> qanOtelExport,
     "qan_snapshot_delta" -> qanSnapshotDelta,
     "qan_rollup_minute" -> qanRollupMinute,
     "qan_top_queries" -> qanTopQueries,
@@ -358,6 +396,7 @@ object Qan {
     "qan_governor_interval" -> qanGovernorInterval)
 
   val oracles: Map[String, String] = Map(
+    "qan_otel_export" -> qanOtelExportSql,
     "qan_snapshot_delta" -> qanSnapshotDeltaSql,
     "qan_rollup_minute" -> qanRollupMinuteSql,
     "qan_top_queries" -> qanTopQueriesSql,

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.GraftExtensions
+import graft.sources.OtelLogs
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("runtime-installed SQL functions evaluate through spark.sql") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      """SELECT simhash64('a b c') AS sh,
+                poly_fingerprint('abc') AS pf,
+                hamming64(255, 15) AS hd,
+                cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cs""")
+      .collect()(0)
+    assert(r.getLong(2) == 4L)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+    assert(r.getLong(1) == graft.functions.expressions.PolyHash.ofBytes("abc".getBytes("UTF-8")))
+  }
+
+  test("withExtensions sessions get the functions and strategy declaratively") {
+    // a cloned session picks up nothing automatically — apply the
+    // extensions object to prove the injection path works
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(exts)
+    // builders are registered; smoke one of them
+    assert(GraftExtensions.functionBuilders.map(_._1).contains("simhash64"))
+  }
+
+  test("otel log export round-trips through the JSON sink/source") {
+    val out = SparkEntry.queries("qan_otel_export")(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("otel_logs").toString
+    OtelLogs.writeJson(out, dir)
+    val back = OtelLogs.readJson(spark, dir)
+    assert(back.count() == out.count())
+    assert(back.columns.sorted.toSeq == out.columns.sorted.toSeq)
+    // all exported deltas are positive, per collector.go:230
+    assert(back.filter(col("delta_value") <= 0).count() == 0)
+  }
+}
