@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.Text.entries ++
       graft.queries.Vectors.entries ++
       graft.queries.ScaleOps.entries ++
-      graft.queries.Streaming.entries
+      graft.queries.Streaming.entries ++
+      graft.queries.Extended.entries
 
   /** DuckDB-equivalent SQL per query key (driver correctness gate). */
   def oracleSql: Map[String, String] =
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.Qan.oracles ++
       graft.queries.Text.oracles ++
       graft.queries.Vectors.oracles ++
-      graft.queries.Streaming.oracles
+      graft.queries.Streaming.oracles ++
+      graft.queries.Extended.oracles
 }

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+
+import graft.Tables._
+
+/** Extended SQL surface (SURVEY §2.F): the remaining query classes a
+  * Druid-SQL user of the reference exercises — JSON label extraction
+  * (metrics_db's `metric.labels` json dimension), general window
+  * functions, date dimensions, and quantiles.
+  */
+object Extended {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
+
+  // --------------------------------------------------- qan_label_metrics
+  // metrics_db_ingestion.json models labels as a JSON dimension; the
+  // events table's `props` JSON column plays that role. Extraction is
+  // a shared-regex pull (identical semantics in both engines), rolled
+  // up per (bucket, metric).
+  private val qanLabelMetrics: Q = (s, d) =>
+    events(s, d)
+      .withColumn("label_k", regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast(IntegerType))
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("label_k")).as("sum_k"),
+        min(col("label_k")).as("min_k"),
+        max(col("label_k")).as("max_k"))
+      .withColumn("avg_k", col("sum_k").cast(DoubleType) / col("n").cast(DoubleType))
+      .orderBy(col("bucket"), col("event_type"))
+
+  private val qanLabelMetricsSql = """
+    WITH e AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+        CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS label_k
+      FROM events)
+    SELECT bucket, event_type, COUNT(*) AS n,
+      SUM(label_k) AS sum_k, MIN(label_k) AS min_k, MAX(label_k) AS max_k,
+      CAST(SUM(label_k) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_k
+    FROM e
+    GROUP BY 1, 2
+    ORDER BY 1, 2"""
+
+  // --------------------------------------------------- q14_window_suite
+  // The window-function family beyond ROW_NUMBER: rank, dense_rank,
+  // lag/lead, and a running sum — per customer over their orders.
+  private val q14: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .filter(col("o_custkey") < 50)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        rank().over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("price_rank"),
+        dense_rank().over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderpriority"))).as("prio_rank"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        sum(col("o_totalprice").cast(DecimalType(18, 6)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val q14Sql = """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+      RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+      DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS prio_rank,
+      LAG(o_totalprice, 1) OVER w AS prev_price,
+      LEAD(o_totalprice, 1) OVER w AS next_price,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey"""
+
+  // --------------------------------------------------- q15_date_dims
+  // Date-dimension extraction + grouping (time_floor analytics over
+  // calendar parts instead of fixed buckets).
+  private val q15: Q = (s, d) =>
+    orders(s, d)
+      .groupBy(
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("y"), col("q"), col("m"))
+
+  private val q15Sql = """
+    SELECT CAST(year(o_orderdate) AS INT) AS y,
+      CAST(quarter(o_orderdate) AS INT) AS q,
+      CAST(month(o_orderdate) AS INT) AS m,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3"""
+
+  // --------------------------------------------------- q16_percentiles
+  // Exact interpolated percentiles per group (Druid exposes
+  // APPROX_QUANTILE; the exact form is the verifiable baseline and
+  // Spark's `percentile` matches DuckDB's quantile_cont interpolation).
+  private val q16: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("round(percentile(l_extendedprice, 0.5), 4)").as("p50"),
+        expr("round(percentile(l_extendedprice, 0.9), 4)").as("p90"),
+        expr("round(percentile(l_extendedprice, 0.99), 4)").as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val q16Sql = """
+    SELECT l_returnflag,
+      ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+      COUNT(*) AS n
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY 1"""
+
+  // --------------------------------------------------- q17_string_funcs
+  // String-function family over part names.
+  private val q17: Q = (s, d) =>
+    part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 5).as("name_pfx"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        when(col("p_name").like("%green%"), 1).otherwise(0).as("is_green"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("no_vowels"))
+      .orderBy(col("p_partkey"))
+
+  private val q17Sql = """
+    SELECT p_partkey,
+      upper(p_brand) AS brand_u,
+      length(p_name) AS name_len,
+      substr(p_name, 1, 5) AS name_pfx,
+      concat_ws('|', p_brand, p_type) AS brand_type,
+      CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS is_green,
+      regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels
+    FROM part
+    ORDER BY p_partkey"""
+
+  val entries: Map[String, Q] = Map(
+    "qan_label_metrics" -> qanLabelMetrics,
+    "q14_window_suite" -> q14,
+    "q15_date_dims" -> q15,
+    "q16_percentiles" -> q16,
+    "q17_string_funcs" -> q17)
+
+  val oracles: Map[String, String] = Map(
+    "qan_label_metrics" -> qanLabelMetricsSql,
+    "q14_window_suite" -> q14Sql,
+    "q15_date_dims" -> q15Sql,
+    "q16_percentiles" -> q16Sql,
+    "q17_string_funcs" -> q17Sql)
+}
