@@ -34,5 +34,6 @@ object SparkEntry {
       graft.queries.Text.oracles ++
       graft.queries.Vectors.oracles ++
       graft.queries.Streaming.oracles ++
-      graft.queries.Extended.oracles
+      graft.queries.Extended.oracles ++
+      graft.queries.ScaleOps.oracles
 }

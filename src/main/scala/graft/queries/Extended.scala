@@ -152,7 +152,26 @@ object Extended {
     FROM part
     ORDER BY p_partkey"""
 
+  // --------------------------------------------------- q18_approx_percentile
+  // Druid-style APPROX_QUANTILE: bounded-memory sketch percentiles
+  // (constant state per group at any scale). Different sketch than
+  // DuckDB → rows-only; AnnSpec bounds its error against q16's exact
+  // percentiles.
+  private val q18: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").as("pcts"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        element_at(col("pcts"), 1).as("p50"),
+        element_at(col("pcts"), 2).as("p90"),
+        element_at(col("pcts"), 3).as("p99"),
+        col("n"))
+      .orderBy(col("l_returnflag"))
+
   val entries: Map[String, Q] = Map(
+    "q18_approx_percentile" -> q18,
     "qan_label_metrics" -> qanLabelMetrics,
     "q14_window_suite" -> q14,
     "q15_date_dims" -> q15,

@@ -61,6 +61,27 @@ object ScaleOps {
       .orderBy(col("doc_id"))
   }
 
+  /** DuckDB can replay PolyHash exactly: decode UTF-8 bytes via hex
+    * pairs, then a HUGEINT fold of (acc·base + byte) mod 2⁶¹−1 — so
+    * the custom codegen expression gets a real cross-engine oracle.
+    */
+  private val docFingerprintSql = """
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(CAST(0 AS HUGEINT),
+            list_transform(range(1, n + 1),
+              i -> CAST((instr('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1) * 16
+                 + instr('0123456789ABCDEF', substr(h, 2*i, 1)) - 1 AS HUGEINT))),
+          (acc, v) -> (acc * 1000003 + v) % 2305843009213693951) AS fp
+      FROM b)
+    SELECT doc_id, CAST(fp AS BIGINT) AS fingerprint
+    FROM f
+    ORDER BY doc_id"""
+
   val entries: Map[String, Q] = Map(
     "doc_minhash_lsh" -> docMinhashLsh,
     "doc_simhash" -> docSimhash,
@@ -68,5 +89,6 @@ object ScaleOps {
     "emb_ann_lsh" -> embAnnLsh,
     "mm_feature_stub" -> mmFeatureStub)
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "doc_fingerprint" -> docFingerprintSql)
 }
