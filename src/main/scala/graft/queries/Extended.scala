@@ -152,6 +152,70 @@ object Extended {
     FROM part
     ORDER BY p_partkey"""
 
+  // --------------------------------------------------- qan_sessionize
+  // Gap-based sessionization of the event log (6h inactivity gap):
+  // the classic log-analytics operator; one shuffle on the entity key
+  // (operators.Temporal.sessionize).
+  private val qanSessionize: Q = (s, d) =>
+    graft.operators.Temporal.sessionize(events(s, d), Seq("user_id"), "ts", gapSec = 21600)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"),
+        dsum(col("value")).as("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+
+  private val qanSessionizeSql = """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+        CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 21600000000
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts, value,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+      MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY 1, 2
+    ORDER BY 1, 2"""
+
+  // --------------------------------------------------- qan_asof_enrich
+  // Backward as-of join: each event enriched with the customer's most
+  // recent order at event time (operators.Temporal.asofBackward —
+  // tagged-union + window, one shuffle; the oracle uses DuckDB's
+  // native ASOF JOIN). Right side deduped to one row per (key, ts).
+  private val qanAsofEnrich: Q = (s, d) => {
+    val dedupedOrders = orders(s, d)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_custkey"), col("o_orderdate")).orderBy(col("o_orderkey").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    graft.operators.Temporal.asofBackward(
+        events(s, d).select(col("event_id"), col("user_id"), col("ts")),
+        dedupedOrders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        rightPayload = Seq("o_orderkey", "o_orderdate", "o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  private val qanAsofEnrichSql = """
+    WITH deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                     ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1)
+    SELECT e.event_id, e.user_id, e.ts, d.o_orderkey, d.o_orderdate, d.o_totalprice
+    FROM events e
+    ASOF LEFT JOIN deduped d
+      ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+    ORDER BY e.event_id"""
+
   // --------------------------------------------------- q18_approx_percentile
   // Druid-style APPROX_QUANTILE: bounded-memory sketch percentiles
   // (constant state per group at any scale). Different sketch than
@@ -172,6 +236,8 @@ object Extended {
 
   val entries: Map[String, Q] = Map(
     "q18_approx_percentile" -> q18,
+    "qan_sessionize" -> qanSessionize,
+    "qan_asof_enrich" -> qanAsofEnrich,
     "qan_label_metrics" -> qanLabelMetrics,
     "q14_window_suite" -> q14,
     "q15_date_dims" -> q15,
@@ -179,6 +245,8 @@ object Extended {
     "q17_string_funcs" -> q17)
 
   val oracles: Map[String, String] = Map(
+    "qan_sessionize" -> qanSessionizeSql,
+    "qan_asof_enrich" -> qanAsofEnrichSql,
     "qan_label_metrics" -> qanLabelMetricsSql,
     "q14_window_suite" -> q14Sql,
     "q15_date_dims" -> q15Sql,
