@@ -93,6 +93,52 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Connected components over near-dup pairs → cluster labels
+    * (min id in the component), the final step of corpus dedup: keep
+    * one representative per cluster, drop the rest.
+    *
+    * Iterative min-label propagation over the edge list: each round
+    * every node adopts the minimum label in its neighborhood; rounds
+    * are whole-stage joins (no driver graph state) and the iteration
+    * count is bounded by the component diameter — near-dup clusters
+    * are shallow (dozens of hops at most), so this converges in a
+    * handful of shuffles even at 100 TB edge scale.
+    *
+    * @param ids   one column `id` — every node (incl. singletons)
+    * @param pairs columns `a_id`, `b_id`
+    * @return (id, cluster) where cluster = min id of the component
+    */
+  def connectedComponents(ids: DataFrame, pairs: DataFrame,
+      maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = ids.select(col("id"), col("id").as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      // each node's candidate = min(own label, min neighbor label)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.withColumnRenamed("cluster", "next_cluster")
+        .join(labels, Seq("id"))
+        .filter(col("next_cluster") =!= col("cluster")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** SimHash fingerprints + near-dup pairs within a Hamming ball.
     *
     * Candidates come from matching any of 4 16-bit fingerprint chunks

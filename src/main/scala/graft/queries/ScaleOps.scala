@@ -25,6 +25,18 @@ object ScaleOps {
         n = 3, k = 32, bands = 8, tau = 0.8)
       .orderBy(col("a_id"), col("b_id"))
 
+  // Cluster formation over MinHash near-dup pairs: connected
+  // components → one representative per cluster with its size — the
+  // "drop all but one" dedup decision table.
+  private val docDedupClusters: Q = (s, d) => {
+    val docs = documents(s, d).select(col("doc_id").as("id"))
+    val pairs = Dedup.minhashNearDupPairs(documents(s, d), "doc_id", "text")
+    Dedup.connectedComponents(docs, pairs)
+      .groupBy(col("cluster").as("representative_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy(col("representative_id"))
+  }
+
   // SimHash fingerprint per document plus its banding chunks.
   private val docSimhash: Q = (s, d) =>
     documents(s, d)
@@ -84,6 +96,7 @@ object ScaleOps {
 
   val entries: Map[String, Q] = Map(
     "doc_minhash_lsh" -> docMinhashLsh,
+    "doc_dedup_clusters" -> docDedupClusters,
     "doc_simhash" -> docSimhash,
     "doc_fingerprint" -> docFingerprint,
     "emb_ann_lsh" -> embAnnLsh,

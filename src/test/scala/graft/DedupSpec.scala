@@ -73,6 +73,26 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq(0L, 1L, 64L, 4L))
   }
 
+  test("connected components match a union-find ground truth") {
+    import spark.implicits._
+    val ids = (1L to 10L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (1L, 3L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // union-find truth: {1,2,3}→1, {5,6}→5, {8,9,10}→8, singletons self
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
+      6L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 8L, 10L -> 8L))
+  }
+
+  test("dedup clusters cover every document exactly once") {
+    val out = SparkEntry.queries("doc_dedup_clusters")(spark, sf)
+    val total = out.agg(sum("cluster_size")).collect()(0).getLong(0)
+    assert(total == Tables.documents(spark, sf).count())
+    // representatives are cluster minima → unique
+    assert(out.select("representative_id").distinct.count() == out.count())
+  }
+
   test("exact dedup keeps one representative per content key") {
     val out = SparkEntry.queries("doc_exact_dedup")(spark, sf)
     val total = out.agg(sum("n_dups")).collect()(0).getLong(0)
