@@ -64,15 +64,64 @@ object Streaming {
       .orderBy(col("user_id"))
   }
 
+  // Native session windows (Spark's session_window) with a watermark
+  // in append mode — the streaming form of qan_sessionize. Append
+  // mode only emits CLOSED sessions, so the bounded feed is augmented
+  // with one far-future sentinel event per instance (value −1,
+  // filtered back out by sign) to push the watermark past every real
+  // session.
+  private val stSession: Q = (s, d) => {
+    import s.implicits._
+    val ev = graft.Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val sentinels = ev.groupBy(col("user_id")).agg(max(col("ts")).as("mx"))
+      .select(lit(-1L).as("event_id"),
+        (col("mx") + expr("INTERVAL 48 HOURS")).as("ts"),
+        col("user_id"), lit("__sentinel").as("event_type"), lit(-1.0).as("value"))
+    val feed = graft.streaming.MemoryFeed.stream(s,
+      ev.unionByName(sentinels).as[QanStream.RawEvent])
+    val agg = feed.toDF()
+      .withWatermark("ts", "1 second")
+      .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("start_ts"),
+        col("n_events"), col("total_value"))
+    QanStream.runToMemory(agg, OutputMode.Append())
+      .filter(col("total_value") >= 0)
+      .orderBy(col("user_id"), col("start_ts"))
+  }
+
+  private val stSessionSql = """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+        CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 21600000000
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts, value,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, MIN(ts) AS start_ts, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, start_ts"""
+
   val entries: Map[String, Q] = Map(
     "st_delta_stream" -> stDelta,
     "st_rollup_stream" -> stRollup,
-    "st_governor_stream" -> stGovernor)
+    "st_governor_stream" -> stGovernor,
+    "st_session_stream" -> stSession)
 
   /** The streaming ops reproduce the batch semantics exactly, so they
     * share the batch oracles.
     */
   val oracles: Map[String, String] = Map(
+    "st_session_stream" -> stSessionSql,
     "st_delta_stream" -> Qan.oracles("qan_snapshot_delta"),
     "st_rollup_stream" -> Qan.oracles("qan_rollup_minute"),
     "st_governor_stream" -> Qan.oracles("qan_ewma"))

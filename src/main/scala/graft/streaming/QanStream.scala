@@ -18,6 +18,8 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object QanStream {
 
+  case class RawEvent(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
   case class CounterEvent(event_id: Long, user_id: Long, event_type: String,
       ts: Timestamp, counter: BigDecimal)
   case class DeltaRow(event_id: Long, user_id: Long, event_type: String,
