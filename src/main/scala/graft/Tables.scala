@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Typed loaders for the driver-generated parquet tables.
   *
@@ -36,12 +35,4 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
-
-  /** Exact-arithmetic cast used for money-style measures on BOTH the
-    * Spark side and the DuckDB oracle side: summing DECIMAL(18,6) is
-    * exact and engine-independent, where summing doubles is
-    * order-dependent and would hash-mismatch between engines.
-    */
-  def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    c.cast(DecimalType(18, 6))
 }
