@@ -102,6 +102,42 @@ object ScaleOps {
     "emb_ann_lsh" -> embAnnLsh,
     "mm_feature_stub" -> mmFeatureStub)
 
+  /** DuckDB replay of SimHash64: FNV-1a per whitespace token with
+    * mod-2⁶⁴ wrap-around emulated in HUGEINT, ±1 bit votes, sign
+    * bits reassembled and converted back to the signed 64-bit value.
+    * The 2^b constants are inlined as HUGEINT literals (pow() would
+    * go through doubles and lose exactness at 2⁶³).
+    */
+  private val docSimhashSql: String = {
+    val pow2 = (0 until 64).map(b => s"${BigInt(1) << b}::HUGEINT").mkString("[", ", ", "]")
+    val two64 = BigInt(1) << 64
+    s"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+      FROM documents),
+    hashed AS (
+      SELECT doc_id,
+        list_transform(tokens, t ->
+          list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              list_transform(range(1, length(t) + 1), i -> CAST(unicode(substr(t, CAST(i AS INT), 1)) AS HUGEINT))),
+            (acc, c) -> (xor(acc, c) * 1099511628211) % $two64::HUGEINT)) AS hashes
+      FROM tok),
+    bits AS (
+      SELECT doc_id,
+        list_sum(list_transform(range(0, 64), b ->
+          CASE WHEN list_sum(list_transform(hashes, h ->
+                 CASE WHEN (h // ($pow2[CAST(b AS INT) + 1])) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+               THEN $pow2[CAST(b AS INT) + 1] ELSE 0::HUGEINT END)) AS u
+      FROM hashed)
+    SELECT doc_id,
+      CAST(CASE WHEN u >= ${BigInt(1) << 63}::HUGEINT THEN u - $two64::HUGEINT ELSE u END AS BIGINT) AS simhash,
+      CAST(CASE WHEN u >= ${BigInt(1) << 63}::HUGEINT THEN u - $two64::HUGEINT ELSE u END AS BIGINT) & 65535 AS chunk0
+    FROM bits
+    ORDER BY doc_id"""
+  }
+
   val oracles: Map[String, String] = Map(
-    "doc_fingerprint" -> docFingerprintSql)
+    "doc_fingerprint" -> docFingerprintSql,
+    "doc_simhash" -> docSimhashSql)
 }
