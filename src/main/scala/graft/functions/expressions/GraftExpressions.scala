@@ -136,21 +136,34 @@ object MinHash {
     * pipeline (k·|grams| interpreted evals per row). Here it's one
     * tight compiled loop.
     */
-  def signature(hashes: Array[Long], k: Int, seed: Long = 0x5EED5EEDL): Array[Long] = {
+  /** The k affine coefficient pairs, derived from a seeded xorshift —
+    * exposed so the DuckDB oracle can inline the identical constants.
+    */
+  def coefficients(k: Int, seed: Long = 0x5EED5EEDL): (Array[Long], Array[Long]) = {
     val as = new Array[Long](k)
     val bs = new Array[Long](k)
     var s = seed
     def next(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s }
     var i = 0
     while (i < k) { as(i) = next() | 1L; bs(i) = next(); i += 1 }
-    val out = Array.fill(k)(Long.MaxValue)
+    (as, bs)
+  }
+
+  def signature(hashes: Array[Long], k: Int, seed: Long = 0x5EED5EEDL): Array[Long] = {
+    val (as, bs) = coefficients(k, seed)
+    // UNSIGNED min per slot: the permuted values are uniform 64-bit
+    // patterns either way, but unsigned ordering lets an engine
+    // without wrap-around int64 (e.g. the DuckDB oracle working in
+    // HUGEINT mod 2^64) reproduce the identical signature.
+    val out = Array.fill(k)(-1L) // unsigned max
+    var i = 0
     var g = 0
     while (g < hashes.length) {
       val h = hashes(g)
       i = 0
       while (i < k) {
         val p = as(i) * h + bs(i)
-        if (p < out(i)) out(i) = p
+        if (java.lang.Long.compareUnsigned(p, out(i)) < 0) out(i) = p
         i += 1
       }
       g += 1

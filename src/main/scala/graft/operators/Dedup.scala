@@ -23,13 +23,16 @@ object Dedup {
   def minhashSignature(grams: String, k: Int): Column =
     GraftFunctions.minhashSignature(col(grams), k)
 
-  /** LSH banding: split the signature into `bands` bands of
-    * `rows` values; each band hashes to a bucket key. Two docs whose
-    * true Jaccard is j collide in ≥1 band with prob 1-(1-j^rows)^bands.
+  /** LSH banding: split the signature into `bands` bands of `rows`
+    * values; the band's raw signature slice IS the bucket key (an
+    * array<long> equi-join key — no bucket hash needed, hash
+    * partitioning of the shuffle does that implicitly, and the raw
+    * slice keeps the operator engine-replayable). Two docs whose true
+    * Jaccard is j collide in ≥1 band with prob 1-(1-j^rows)^bands.
     */
   def lshBands(sig: String, bands: Int, rows: Int): Column =
     expr(s"transform(sequence(0, ${bands - 1}), " +
-      s"j -> struct(j AS band, xxhash64(concat_ws(',', slice($sig, j*$rows+1, $rows)), j) AS bucket))")
+      s"j -> struct(j AS band, slice($sig, j*$rows+1, $rows) AS bucket))")
 
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band →
     * bucket-join for candidates → exact Jaccard verification.

@@ -137,7 +137,107 @@ object ScaleOps {
     ORDER BY doc_id"""
   }
 
+  /** DuckDB replay of the stubbed media decode: UTF-8 bytes from hex
+    * pairs, bucketed byte-histogram means, integer-division fake
+    * dimensions — the stub is deterministic arithmetic, so even the
+    * "decode" gets a cross-engine oracle.
+    */
+  private val mmFeatureStubSql = """
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+      FROM documents),
+    bytes AS (
+      SELECT doc_id, n,
+        list_transform(range(1, n + 1),
+          i -> (instr('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1) * 16
+             + instr('0123456789ABCDEF', substr(h, 2*i, 1)) - 1) AS bs
+      FROM b),
+    f AS (
+      SELECT doc_id, n,
+        CAST(n % 640 + 1 AS INT) AS fake_width,
+        CAST(n // GREATEST(n % 640 + 1, 1) + 1 AS INT) AS fake_height,
+        list_sum(list_transform(bs, v -> CASE WHEN v % 8 = 0 THEN v ELSE 0 END)) AS s0,
+        len(list_filter(bs, v -> v % 8 = 0)) AS c0,
+        list_sum(list_transform(bs, v -> CASE WHEN v % 8 = 7 THEN v ELSE 0 END)) AS s7,
+        len(list_filter(bs, v -> v % 8 = 7)) AS c7
+      FROM bytes)
+    SELECT doc_id, CAST(n AS INT) AS byte_len, fake_width, fake_height,
+      ROUND(CASE WHEN c0 = 0 THEN 0.0 ELSE CAST(s0 AS DOUBLE) / c0 END, 4) AS f0,
+      ROUND(CASE WHEN c7 = 0 THEN 0.0 ELSE CAST(s7 AS DOUBLE) / c7 END, 4) AS f7
+    FROM f
+    ORDER BY doc_id"""
+
+  /** DuckDB replay of the ENTIRE MinHash+LSH pipeline — possible
+    * because every stage is integer-exact: FNV gram hashes (mod-2⁶⁴
+    * wrap in HUGEINT, converted to signed), the k affine permutations
+    * (identical coefficients inlined from MinHash.coefficients;
+    * wrap-around multiply decomposed into 32-bit halves so the
+    * HUGEINT intermediate never overflows), raw-slice band buckets
+    * (list-equality join), the signature-overlap prefilter with the
+    * same float threshold bits, and exact Jaccard on the hash sets.
+    */
+  private val docMinhashLshSql: String = {
+    val k = 36; val bands = 6; val rows = 6; val tau = 0.8
+    val (as, bs) = graft.functions.expressions.MinHash.coefficients(k)
+    val mask = (BigInt(1) << 64) - 1
+    val coeffRows = (0 until k)
+      .map(i => s"(${i + 1}, ${BigInt(as(i)) & mask}::HUGEINT, ${BigInt(bs(i)) & mask}::HUGEINT)")
+      .mkString(", ")
+    val two64 = BigInt(1) << 64
+    val est = tau - 0.2 // same double bits as the Spark-side filter
+    s"""
+    WITH g AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, greatest(length(text)-2, 1)),
+                       i -> substr(text, CAST(i AS INT), 3)) AS grams
+      FROM documents),
+    gh AS (
+      SELECT doc_id,
+        list_distinct(list_transform(grams, gr ->
+          list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              list_transform(range(1, octet_length(encode(gr)) + 1),
+                i -> CAST((instr('0123456789ABCDEF', substr(hex(encode(gr)), 2*i-1, 1)) - 1) * 16
+                   + instr('0123456789ABCDEF', substr(hex(encode(gr)), 2*i, 1)) - 1 AS HUGEINT))),
+            (acc, c) -> (xor(acc, c) * 1099511628211) % $two64::HUGEINT))) AS ghash
+      FROM g),
+    coeffs(i, a, b) AS (VALUES $coeffRows),
+    perm AS (
+      SELECT doc_id, c.i,
+        MIN(((c.a * (t.h % 4294967296)) % $two64::HUGEINT
+           + ((c.a * (t.h // 4294967296)) % 4294967296) * 4294967296
+           + c.b) % $two64::HUGEINT) AS slot
+      FROM (SELECT doc_id, unnest(ghash) AS h FROM gh) t
+      CROSS JOIN coeffs c
+      GROUP BY doc_id, c.i),
+    sig AS (
+      SELECT doc_id, list(slot ORDER BY i) AS sig FROM perm GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, j, sig[(j*$rows+1):(j*$rows+$rows)] AS bucket
+      FROM sig CROSS JOIN (SELECT unnest(range(0, $bands)) AS j)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT c.a_id, c.b_id
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.a_id
+      JOIN sig sb ON sb.doc_id = c.b_id
+      WHERE CAST(len(list_filter(range(1, $k + 1), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / $k >= $est)
+    SELECT e.a_id, e.b_id,
+      CAST(len(list_intersect(ga.ghash, gb.ghash)) AS DOUBLE)
+        / CAST(len(ga.ghash) + len(gb.ghash) - len(list_intersect(ga.ghash, gb.ghash)) AS DOUBLE) AS jaccard
+    FROM est e
+    JOIN gh ga ON ga.doc_id = e.a_id
+    JOIN gh gb ON gb.doc_id = e.b_id
+    WHERE CAST(len(list_intersect(ga.ghash, gb.ghash)) AS DOUBLE)
+        / CAST(len(ga.ghash) + len(gb.ghash) - len(list_intersect(ga.ghash, gb.ghash)) AS DOUBLE) >= $tau
+    ORDER BY a_id, b_id"""
+  }
+
   val oracles: Map[String, String] = Map(
     "doc_fingerprint" -> docFingerprintSql,
-    "doc_simhash" -> docSimhashSql)
+    "doc_simhash" -> docSimhashSql,
+    "doc_minhash_lsh" -> docMinhashLshSql,
+    "mm_feature_stub" -> mmFeatureStubSql)
 }
