@@ -176,7 +176,10 @@ object ScaleOps {
     * (list-equality join), the signature-overlap prefilter with the
     * same float threshold bits, and exact Jaccard on the hash sets.
     */
-  private val docMinhashLshSql: String = {
+  /** Shared CTE chain ending in `pairs(a_id, b_id, jaccard)` — used
+    * by both the pair oracle and the cluster oracle.
+    */
+  private val minhashCtes: String = {
     val k = 36; val bands = 6; val rows = 6; val tau = 0.8
     val (as, bs) = graft.functions.expressions.MinHash.coefficients(k)
     val mask = (BigInt(1) << 64) - 1
@@ -185,8 +188,7 @@ object ScaleOps {
       .mkString(", ")
     val two64 = BigInt(1) << 64
     val est = tau - 0.2 // same double bits as the Spark-side filter
-    s"""
-    WITH g AS (
+    s"""g AS (
       SELECT doc_id,
         list_transform(generate_series(1, greatest(length(text)-2, 1)),
                        i -> substr(text, CAST(i AS INT), 3)) AS grams
@@ -223,21 +225,51 @@ object ScaleOps {
       FROM cand c
       JOIN sig sa ON sa.doc_id = c.a_id
       JOIN sig sb ON sb.doc_id = c.b_id
-      WHERE CAST(len(list_filter(range(1, $k + 1), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / $k >= $est)
-    SELECT e.a_id, e.b_id,
-      CAST(len(list_intersect(ga.ghash, gb.ghash)) AS DOUBLE)
-        / CAST(len(ga.ghash) + len(gb.ghash) - len(list_intersect(ga.ghash, gb.ghash)) AS DOUBLE) AS jaccard
-    FROM est e
-    JOIN gh ga ON ga.doc_id = e.a_id
-    JOIN gh gb ON gb.doc_id = e.b_id
-    WHERE CAST(len(list_intersect(ga.ghash, gb.ghash)) AS DOUBLE)
-        / CAST(len(ga.ghash) + len(gb.ghash) - len(list_intersect(ga.ghash, gb.ghash)) AS DOUBLE) >= $tau
-    ORDER BY a_id, b_id"""
+      WHERE CAST(len(list_filter(range(1, $k + 1), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / $k >= $est),
+    pairs AS (
+      SELECT e.a_id, e.b_id,
+        CAST(len(list_intersect(ga.ghash, gb.ghash)) AS DOUBLE)
+          / CAST(len(ga.ghash) + len(gb.ghash) - len(list_intersect(ga.ghash, gb.ghash)) AS DOUBLE) AS jaccard
+      FROM est e
+      JOIN gh ga ON ga.doc_id = e.a_id
+      JOIN gh gb ON gb.doc_id = e.b_id
+      WHERE CAST(len(list_intersect(ga.ghash, gb.ghash)) AS DOUBLE)
+          / CAST(len(ga.ghash) + len(gb.ghash) - len(list_intersect(ga.ghash, gb.ghash)) AS DOUBLE) >= $tau)"""
   }
+
+  private val docMinhashLshSql: String =
+    s"""
+    WITH $minhashCtes
+    SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id"""
+
+  /** Cluster oracle: recursive label propagation over the replayed
+    * pair list — reach(x) accumulates every smaller id that can reach
+    * x; MIN per node is the component minimum (the representative).
+    */
+  private val docDedupClustersSql: String =
+    s"""
+    WITH RECURSIVE $minhashCtes,
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id, a_id FROM pairs),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl
+      FROM reach r JOIN edges e ON e.src = r.id
+      WHERE r.lbl < e.dst),
+    labels AS (
+      SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id)
+    SELECT cluster AS representative_id, COUNT(*) AS cluster_size
+    FROM labels
+    GROUP BY 1
+    ORDER BY 1"""
 
   val oracles: Map[String, String] = Map(
     "doc_fingerprint" -> docFingerprintSql,
     "doc_simhash" -> docSimhashSql,
     "doc_minhash_lsh" -> docMinhashLshSql,
+    "doc_dedup_clusters" -> docDedupClustersSql,
     "mm_feature_stub" -> mmFeatureStubSql)
 }
