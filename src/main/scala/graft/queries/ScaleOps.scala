@@ -266,7 +266,55 @@ object ScaleOps {
     GROUP BY 1
     ORDER BY 1"""
 
+  /** DuckDB replay of the random-hyperplane ANN: the "random" planes
+    * are a seeded xorshift, so their exact double values are inlined
+    * as literals (shortest-roundtrip repr → identical doubles), and
+    * every fold (plane dots for bucket codes, dot/norms for cosine)
+    * uses the same sequential accumulation shape as the Spark
+    * expressions — bit-identical signs, codes, and rankings.
+    */
+  private val embAnnLshSql: String = {
+    val bits = 6; val dim = 64; val k = 10
+    val hp = graft.operators.AnnLsh.hyperplanes(bits, dim)
+    def fold(vec: String, plane: Array[Double]): String = {
+      val lits = plane.map(java.lang.Double.toString).mkString("[", ", ", "]")
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+        s"i -> $vec[CAST(i AS INT)] * ($lits::DOUBLE[])[CAST(i AS INT)])), (acc, x) -> acc + x)"
+    }
+    val codeExpr = (0 until bits)
+      .map(j => s"(CASE WHEN ${fold("v", hp(j))} > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    def sumFold(term: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), i -> $term)), (acc, x) -> acc + x)"
+    val dot = sumFold("qv[CAST(i AS INT)] * cv[CAST(i AS INT)]")
+    val nq = sumFold("qv[CAST(i AS INT)] * qv[CAST(i AS INT)]")
+    val nc = sumFold("cv[CAST(i AS INT)] * cv[CAST(i AS INT)]")
+    val probeList = ("code" +: (0 until bits).map(j => s"xor(code, ${1L << j})")).mkString("[", ", ", "]")
+    s"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    coded AS (
+      SELECT vec_id, v, $codeExpr AS code FROM e),
+    probes AS (
+      SELECT vec_id AS query_id, v AS qv, unnest($probeList) AS code
+      FROM coded WHERE vec_id < 5),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id, p.qv AS qv, c.v AS cv
+      FROM probes p JOIN coded c ON c.code = p.code AND c.vec_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+        $dot / (sqrt($nq) * sqrt($nc)) AS cos_raw,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY $dot / (sqrt($nq) * sqrt($nc)) DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 4) AS cos_sim
+    FROM ranked
+    WHERE rank <= $k
+    ORDER BY query_id, rank"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "emb_ann_lsh" -> embAnnLshSql,
     "doc_fingerprint" -> docFingerprintSql,
     "doc_simhash" -> docSimhashSql,
     "doc_minhash_lsh" -> docMinhashLshSql,
