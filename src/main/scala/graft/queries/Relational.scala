@@ -114,6 +114,34 @@ object Relational {
     ORDER BY revenue DESC, l_orderkey
     LIMIT 10"""
 
+  // ---------------------------------------------------------------- q04
+  // Correlated EXISTS with a range predicate (TPC-H Q4 shape) —
+  // Catalyst decorrelates to a left-semi join; written as SQL to
+  // exercise the subquery path end-to-end.
+  private val q04: Q = (s, d) => {
+    orders(s, d).createOrReplaceTempView("orders_v")
+    lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders_v o
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-07-01'
+        AND EXISTS (SELECT 1 FROM lineitem_v l
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
+
+  private val q04Sql = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
   // ---------------------------------------------------------------- q05
   // 5-way star join (TPC-H Q5 shape): fact-fact shuffle joins on keys,
   // all dimension sides broadcast; local-supplier condition
@@ -296,6 +324,50 @@ object Relational {
     GROUP BY bucket, o_orderpriority
     ORDER BY bucket, o_orderpriority"""
 
+  // ---------------------------------------------------------------- q19
+  // Scalar aggregate subquery (price above corpus average) — planned
+  // as a single-row broadcast.
+  private val q19: Q = (s, d) => {
+    part(s, d).createOrReplaceTempView("part_v")
+    s.sql("""
+      SELECT p_partkey, p_brand, p_retailprice
+      FROM part_v
+      WHERE p_retailprice > 1.5 * (SELECT AVG(p_retailprice) FROM part_v)
+      ORDER BY p_partkey""")
+  }
+
+  private val q19Sql = """
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part
+    WHERE p_retailprice > 1.5 * (SELECT AVG(p_retailprice) FROM part)
+    ORDER BY p_partkey"""
+
+  // ---------------------------------------------------------------- q20
+  // Nested IN over an aggregate-filtered subquery (TPC-H Q18 shape):
+  // big-quantity orders by key, decorrelated into a join on the
+  // grouped HAVING result.
+  private val q20: Q = (s, d) => {
+    orders(s, d).createOrReplaceTempView("orders_v")
+    lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql("""
+      SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+      FROM orders_v o
+      WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem_v
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 140)
+      ORDER BY o.o_orderkey""")
+  }
+
+  private val q20Sql = """
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+    FROM orders o
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 140)
+    ORDER BY o.o_orderkey"""
+
   // ---------------------------------------------------------------- q13
   // Approximate COUNT DISTINCT (HyperLogLog++) — Druid-style approx
   // distinct; constant memory per group at any scale. No DuckDB
@@ -308,6 +380,9 @@ object Relational {
       .orderBy(col("event_type"))
 
   val entries: Map[String, Q] = Map(
+    "q04_correlated_exists" -> q04,
+    "q19_scalar_subquery" -> q19,
+    "q20_nested_in_having" -> q20,
     "q01_pricing_summary" -> q01,
     "q02_top_orders" -> q02,
     "q03_shipping_priority" -> q03,
@@ -322,6 +397,9 @@ object Relational {
     "q13_approx_distinct" -> q13)
 
   val oracles: Map[String, String] = Map(
+    "q04_correlated_exists" -> q04Sql,
+    "q19_scalar_subquery" -> q19Sql,
+    "q20_nested_in_having" -> q20Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_top_orders" -> q02Sql,
     "q03_shipping_priority" -> q03Sql,
