@@ -252,6 +252,29 @@ object Relational {
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
     ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
 
+  // ---------------------------------------------------------------- q21
+  // Full CUBE with GROUPING() markers (distinguishes "null dimension
+  // value" from "aggregated-away dimension").
+  private val q21: Q = (s, d) =>
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"),
+        grouping(col("o_orderstatus")).as("g_status"),
+        grouping(col("o_orderpriority")).as("g_prio"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"),
+        col("g_status"), col("g_prio"))
+
+  private val q21Sql = """
+    SELECT o_orderstatus, o_orderpriority,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+      CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_status,
+      CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_prio
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST, g_status, g_prio"""
+
   // ---------------------------------------------------------------- q10
   // Exact multi-column COUNT DISTINCT (Spark plans expand + two-phase
   // aggregate; distinct keys shuffle once).
@@ -383,6 +406,7 @@ object Relational {
     "q04_correlated_exists" -> q04,
     "q19_scalar_subquery" -> q19,
     "q20_nested_in_having" -> q20,
+    "q21_cube_grouping" -> q21,
     "q01_pricing_summary" -> q01,
     "q02_top_orders" -> q02,
     "q03_shipping_priority" -> q03,
@@ -400,6 +424,7 @@ object Relational {
     "q04_correlated_exists" -> q04Sql,
     "q19_scalar_subquery" -> q19Sql,
     "q20_nested_in_having" -> q20Sql,
+    "q21_cube_grouping" -> q21Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_top_orders" -> q02Sql,
     "q03_shipping_priority" -> q03Sql,
