@@ -50,14 +50,20 @@ object Text {
   // (candidates via banding, never O(n²)). Capped to doc_id < 200 so
   // the pair count is sf-independent.
   private val docNgramJaccard: Q = (s, d) => {
+    import graft.functions.expressions.GraftFunctions
+    // shingle sets carried as sorted distinct 64-bit hashes: the
+    // merge-walk intersection kernel replaces per-pair string-set
+    // building; jaccard is unchanged (set cardinalities are hash-
+    // invariant), so the string-based DuckDB oracle still applies
     val g = documents(s, d)
       .filter(col("doc_id") < 200)
       .select(col("doc_id"),
-        expr("array_distinct(transform(sequence(1, greatest(length(text)-2, 1)), i -> substring(text, i, 3)))").as("grams"))
+        GraftFunctions.gramHashes(
+          expr("transform(sequence(1, greatest(length(text)-2, 1)), i -> substring(text, i, 3))")).as("grams"))
     val a = g.select(col("doc_id").as("a_id"), col("grams").as("a_grams"))
     val b = g.select(col("doc_id").as("b_id"), col("grams").as("b_grams"))
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn("inter", size(array_intersect(col("a_grams"), col("b_grams"))))
+      .withColumn("inter", GraftFunctions.sortedIntersectCount(col("a_grams"), col("b_grams")))
       .withColumn("jaccard", col("inter").cast(DoubleType) /
         (size(col("a_grams")) + size(col("b_grams")) - col("inter")).cast(DoubleType))
       .filter(col("jaccard") >= 0.8)
