@@ -47,6 +47,22 @@ def main():
             wrows = want.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}"); n_bad += 1; continue
+        # the driver's hash is type-sensitive where pandas conversion
+        # diverges: HUGEINT (int128) → float64 breaks it, while plain
+        # integer widths (int32 vs int64) hash the same. Normalize
+        # integer widths, keep HUGEINT/DECIMAL/DOUBLE distinct.
+        def normty(t):
+            return "INT" if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT") else t
+        try:
+            gt = {r[0]: normty(r[1]) for r in con.execute(
+                f"DESCRIBE SELECT * FROM '{outdir}/{name}/*.parquet'").fetchall()}
+            wt = {r[0]: normty(r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+            if gt != wt:
+                diff = {k: (gt.get(k), wt.get(k)) for k in set(gt) | set(wt)
+                        if gt.get(k) != wt.get(k)}
+                print(f"FAIL {name}: dtypes differ (spark, duck): {diff}"); n_bad += 1; continue
+        except Exception as e:
+            print(f"WARN {name}: dtype check skipped: {e}")
         g, gc = canon(grows, gcols)
         w, wc = canon(wrows, wcols)
         if gc != wc:

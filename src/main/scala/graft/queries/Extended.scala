@@ -40,7 +40,7 @@ object Extended {
         CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS label_k
       FROM events)
     SELECT bucket, event_type, COUNT(*) AS n,
-      SUM(label_k) AS sum_k, MIN(label_k) AS min_k, MAX(label_k) AS max_k,
+      CAST(SUM(label_k) AS BIGINT) AS sum_k, MIN(label_k) AS min_k, MAX(label_k) AS max_k,
       CAST(SUM(label_k) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_k
     FROM e
     GROUP BY 1, 2
@@ -175,8 +175,8 @@ object Extended {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
     sess AS (
       SELECT user_id, ts, value,
-        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged)
     SELECT user_id, session_id, COUNT(*) AS n_events,
       MIN(ts) AS start_ts, MAX(ts) AS end_ts,

@@ -135,20 +135,22 @@ object Qan {
   // --------------------------------------------------- qan_multi_metric_rank
   // Notebook get_top_by_multiple_metrics: independent ROW_NUMBER
   // rankings over several metrics, UNION ALL'd with a metric label.
+  // Single aggregation pass, stack() unpivot to (metric, value) rows,
+  // then the TopKPerGroup operator partitioned by metric — one scan
+  // instead of three, and bounded per-group heaps instead of a
+  // partition-less global window (which would funnel every digest
+  // through one task at scale).
   private val qanMultiMetricRank: Q = (s, d) => {
-    val agg = events(s, d)
+    val unpivoted = events(s, d)
       .groupBy(col("event_type"))
       .agg(dsum(col("value")).as("exec_time"),
         count(lit(1)).cast(DoubleType).as("calls"),
         max(col("value")).as("max_value"))
-    def branch(metric: String, v: Column) = agg
-      .withColumn("rank", row_number().over(Window.orderBy(v.desc, col("event_type"))))
-      .filter(col("rank") <= 3)
-      .select(lit(metric).as("metric"), col("event_type").as("query_id"),
-        v.as("value"), col("rank"))
-    branch("exec_time", col("exec_time"))
-      .unionByName(branch("calls", col("calls")))
-      .unionByName(branch("max_value", col("max_value")))
+      .selectExpr("event_type",
+        "stack(3, 'exec_time', exec_time, 'calls', calls, 'max_value', max_value) AS (metric, value)")
+    graft.plans.TopK.perGroup(unpivoted, Seq("metric"),
+        Seq(("value", true), ("event_type", false)), k = 3, rankName = "rank")
+      .select(col("metric"), col("event_type").as("query_id"), col("value"), col("rank"))
       .orderBy(col("metric"), col("rank"))
   }
 
@@ -212,10 +214,12 @@ object Qan {
           col("hits").cast(DoubleType) / (col("hits") + col("reads")).cast(DoubleType)))
       .orderBy(col("bucket"))
 
+  // DuckDB integer SUM yields HUGEINT; the driver's hash is
+  // type-sensitive, so cast to BIGINT to match Spark's LongType.
   private val qanHitRatioSql = """
     SELECT date_trunc('hour', ts) AS bucket,
-      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hits,
-      SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS reads,
+      CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+      CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS reads,
       CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
               + SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
            THEN CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE)
@@ -269,8 +273,8 @@ object Qan {
   private val loadPerDaySql = """
     SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
       COUNT(*) AS total,
-      SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
-      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS slow,
+      CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS slow,
       LEAST(1.0, CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 0.7
       + LEAST(1.0, CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 0.3
         AS load_factor

@@ -350,19 +350,26 @@ object Relational {
   // ---------------------------------------------------------------- q19
   // Scalar aggregate subquery (price above corpus average) — planned
   // as a single-row broadcast.
+  // Threshold 1.02× (not 1.5×): retail prices span only 900–999.9
+  // (max/avg ≈ 1.05), so larger multipliers yield 0 rows and the gate
+  // hash-matches vacuously. The average is a decimal-sum / count
+  // (order-independent) rather than AVG over doubles, whose
+  // accumulation order differs between engines for boundary rows.
   private val q19: Q = (s, d) => {
     part(s, d).createOrReplaceTempView("part_v")
     s.sql("""
       SELECT p_partkey, p_brand, p_retailprice
       FROM part_v
-      WHERE p_retailprice > 1.5 * (SELECT AVG(p_retailprice) FROM part_v)
+      WHERE p_retailprice > 1.02 * (
+        SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) FROM part_v)
       ORDER BY p_partkey""")
   }
 
   private val q19Sql = """
     SELECT p_partkey, p_brand, p_retailprice
     FROM part
-    WHERE p_retailprice > 1.5 * (SELECT AVG(p_retailprice) FROM part)
+    WHERE p_retailprice > 1.02 * (
+      SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) FROM part)
     ORDER BY p_partkey"""
 
   // ---------------------------------------------------------------- q20
