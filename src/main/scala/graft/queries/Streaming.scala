@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -18,25 +17,18 @@ import graft.streaming.QanStream
 object Streaming {
   type Q = (SparkSession, String) => DataFrame
 
-  // Streaming snapshot→delta: the cumulative-counter view is computed
-  // per micro-batch (window over the batch — here one batch), state
-  // carries the last counter per (instance, digest).
+  // Streaming snapshot→delta from the raw file-source stream: the
+  // cumulative counter AND the delta are both computed inside the
+  // per-(instance, digest) group state (QanStream.deltaFromRaw) —
+  // no batch-side window, no driver collect.
   private val stDelta: Q = (s, d) => {
     import s.implicits._
-    val w = Window
-      .partitionBy(col("user_id"), col("event_type"), date_trunc("day", col("ts")))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // file-source streams can't host a global window; the counter view
-    // is built batch-side (it is itself a deterministic view of the
-    // table), then fed through a MemoryStream-free foreachBatch-less
-    // typed stateful stream via the streaming Dataset API.
-    val counters = graft.Tables.events(s, d)
-      .withColumn("counter", sum(col("value").cast(DecimalType(18, 6))).over(w))
+    val feed = QanStream.eventsStream(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
-        col("counter").cast(DecimalType(38, 18)).as("counter"))
-    val stream = graft.streaming.MemoryFeed.stream(s, counters.as[QanStream.CounterEvent])
-    QanStream.runToMemory(QanStream.deltaStream(stream).toDF(), OutputMode.Append())
+        date_trunc("day", col("ts")).as("day"),
+        col("value").cast(DecimalType(18, 6)).as("value_dec"))
+      .as[QanStream.SnapEvent]
+    QanStream.runToMemory(QanStream.deltaFromRaw(feed).toDF(), OutputMode.Append())
       .orderBy(col("event_id"))
   }
 
@@ -46,49 +38,34 @@ object Streaming {
         QanStream.rollupMinute(QanStream.eventsStream(s, d)), OutputMode.Complete())
       .orderBy(col("bucket"), col("event_type"))
 
-  // Streaming governor: daily loads computed per batch, EMA folded in
-  // managed state per instance; last emitted row per key is the
-  // answer (single batch here → exactly the batch qan_ewma).
+  // Streaming governor straight from the raw file-source stream:
+  // interval loads and the EMA fold both live in O(1) managed state
+  // per instance (QanStream.governorStream); the last emitted row per
+  // key is the answer (single batch here → exactly the batch qan_ewma).
   private val stGovernor: Q = (s, d) => {
     import s.implicits._
-    val loads = graft.Tables.events(s, d)
-      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
-      .agg(count(lit(1)).as("total"),
-        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"),
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("slow"))
-      .select(col("user_id"), col("day"),
-        (least(lit(1.0), col("errors").cast(DoubleType) / col("total").cast(DoubleType)) * 0.7 +
-          least(lit(1.0), col("slow").cast(DoubleType) / col("total").cast(DoubleType)) * 0.3).as("load_factor"))
-    val stream = graft.streaming.MemoryFeed.stream(s, loads.as[QanStream.LoadObs])
-    QanStream.runToMemory(QanStream.governorStream(stream).toDF(), OutputMode.Append())
+    val feed = QanStream.eventsStream(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[QanStream.RawEvent]
+    QanStream.runToMemory(QanStream.governorStream(feed).toDF(), OutputMode.Append())
       .orderBy(col("user_id"))
   }
 
-  // Native session windows (Spark's session_window) with a watermark
-  // in append mode — the streaming form of qan_sessionize. Append
-  // mode only emits CLOSED sessions, so the bounded feed is augmented
-  // with one far-future sentinel event per instance (value −1,
-  // filtered back out by sign) to push the watermark past every real
-  // session.
+  // Native session windows (Spark's session_window) over the raw
+  // file-source stream, complete mode: session state is kept and
+  // merged across batches, so every session — including still-open
+  // ones — is emitted without sentinel events or watermark tricks.
+  // (The unbounded-time production form is append + watermark, which
+  // evicts closed sessions; complete mode is the right shape for a
+  // bounded replay like the verify feed.)
   private val stSession: Q = (s, d) => {
-    import s.implicits._
-    val ev = graft.Tables.events(s, d)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-    val sentinels = ev.groupBy(col("user_id")).agg(max(col("ts")).as("mx"))
-      .select(lit(-1L).as("event_id"),
-        (col("mx") + expr("INTERVAL 48 HOURS")).as("ts"),
-        col("user_id"), lit("__sentinel").as("event_type"), lit(-1.0).as("value"))
-    val feed = graft.streaming.MemoryFeed.stream(s,
-      ev.unionByName(sentinels).as[QanStream.RawEvent])
-    val agg = feed.toDF()
-      .withWatermark("ts", "1 second")
+    val agg = QanStream.eventsStream(s, d)
       .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
       .select(col("user_id"), col("session_window.start").as("start_ts"),
         col("n_events"), col("total_value"))
-    QanStream.runToMemory(agg, OutputMode.Append())
-      .filter(col("total_value") >= 0)
+    QanStream.runToMemory(agg, OutputMode.Complete())
       .orderBy(col("user_id"), col("start_ts"))
   }
 

@@ -56,29 +56,90 @@ object QanStream {
       }
   }
 
-  case class LoadObs(user_id: Long, day: Timestamp, load_factor: Double)
+  case class SnapEvent(event_id: Long, user_id: Long, event_type: String,
+      ts: Timestamp, day: Timestamp, value_dec: BigDecimal)
+  case class SnapState(lastCounter: BigDecimal, lastDayMs: Long)
+
+  /** Streaming snapshot→delta straight from the raw event feed: the
+    * per-(instance, digest) cumulative counter (the batch `snapshots`
+    * view: a day-resetting running sum) is reconstructed inside the
+    * group state, so the stream needs no batch-side global window and
+    * no driver-collect feed. State per key is O(1) — the last counter
+    * and its day — exactly the reference's SnapshotStore entry
+    * (mysql/snapshot.go:60), but partitioned across executors.
+    */
+  def deltaFromRaw(events: Dataset[SnapEvent]): Dataset[DeltaRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[SnapState, DeltaRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((_, _), it, state: GroupState[SnapState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var prev = state.getOption
+          val out = sorted.map { e =>
+            val counter = prev match {
+              case Some(SnapState(c, d)) if d == e.day.getTime => c + e.value_dec
+              case _ => e.value_dec // first ever, or day rollover = reset
+            }
+            val delta = prev match {
+              case None => counter
+              case Some(SnapState(p, _)) if counter >= p => counter - p
+              case Some(_) => counter // counter regressed → reset semantics
+            }
+            prev = Some(SnapState(counter, e.day.getTime))
+            DeltaRow(e.event_id, e.user_id, e.event_type, delta.toDouble)
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   case class EmaRow(user_id: Long, n_days: Long, fast_ema: Double, slow_ema: Double)
-  case class EmaState(days: Map[Long, Double])
+  case class EmaState(fastEma: Double, slowEma: Double, lastDayMs: Long, nDays: Long)
 
   /** Streaming governor EMAs (adaptive/governor.go): per instance the
-    * state accumulates per-day load observations; each batch re-emits
-    * the fast/slow EMA folded over the day-ordered series (update-mode
-    * semantics — downstream keeps the latest row per instance).
+    * state holds only the running fast/slow EMA, the last folded day
+    * and the day count — O(1) per key regardless of batch count, like
+    * the reference's EMA structs. Each micro-batch computes its
+    * interval loads (per-day here, mirroring the collector's poll
+    * interval), folds the days newer than the last folded one in
+    * event-time order, and re-emits the instance's row (update-mode
+    * semantics — downstream keeps the latest row per instance). Late
+    * observations for already-folded days are dropped, exactly as a
+    * poll-interval collector never revisits a past interval.
     */
-  def governorStream(loads: Dataset[LoadObs]): Dataset[EmaRow] = {
-    import loads.sparkSession.implicits._
-    loads
+  def governorStream(events: Dataset[RawEvent]): Dataset[EmaRow] = {
+    import events.sparkSession.implicits._
+    events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[EmaState, EmaRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (uid, it, state: GroupState[EmaState]) =>
-          val merged = state.getOption.map(_.days).getOrElse(Map.empty) ++
-            it.map(o => o.day.getTime -> o.load_factor).toMap
-          state.update(EmaState(merged))
-          val series = merged.toSeq.sortBy(_._1).map(_._2)
-          def ema(alpha: Double): Double =
-            series.tail.foldLeft(series.head)((acc, x) => acc + alpha * (x - acc))
-          Iterator.single(EmaRow(uid, series.size.toLong, ema(0.3), ema(0.05)))
+          // interval loads: per UTC day, the batch form of
+          // Qan.loadPerDay (least(1,err/total)*0.7 + least(1,slow/total)*0.3)
+          val dayLoads = it.toSeq.groupBy(_.ts.getTime / 86400000L).toSeq.sortBy(_._1)
+            .map { case (day, es) =>
+              val total = es.size.toDouble
+              val errors = es.count(_.event_type == "error").toDouble
+              val slow = es.count(_.event_type == "purchase").toDouble
+              day -> (math.min(1.0, errors / total) * 0.7 +
+                math.min(1.0, slow / total) * 0.3)
+            }
+          var st = state.getOption.getOrElse(EmaState(0.0, 0.0, Long.MinValue, 0L))
+          dayLoads.foreach { case (day, load) =>
+            if (day > st.lastDayMs) {
+              st =
+                if (st.nDays == 0L) EmaState(load, load, day, 1L)
+                else EmaState(
+                  st.fastEma + 0.3 * (load - st.fastEma),
+                  st.slowEma + 0.05 * (load - st.slowEma),
+                  day, st.nDays + 1L)
+            }
+          }
+          state.update(st)
+          if (st.nDays > 0L) Iterator.single(EmaRow(uid, st.nDays, st.fastEma, st.slowEma))
+          else Iterator.empty
       }
   }
 

@@ -19,6 +19,75 @@ class StreamingSpec extends SparkSpec {
     assert(rowsOf("st_governor_stream") == rowsOf("qan_ewma"))
   }
 
+  test("streaming session windows == batch sessionize") {
+    import graft.Tables
+    val st = SparkEntry.queries("st_session_stream")(spark, sf)
+      .select(col("user_id"), col("start_ts"), col("n_events"), col("total_value"))
+      .collect().map(_.toString).toSeq.sorted
+    val batch = SparkEntry.queries("qan_sessionize")(spark, sf)
+      .select(col("user_id"), col("start_ts"), col("n_events"), col("total_value"))
+      .collect().map(_.toString).toSeq.sorted
+    assert(st == batch)
+  }
+
+  test("governor stream: O(1) state folds identically across many batches") {
+    import spark.implicits._
+    import graft.streaming.QanStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[QanStream.RawEvent]
+    val out = QanStream.runToMemoryQuery(QanStream.governorStream(ms.toDS()).toDF())
+    def ev(id: Long, day: Int, etype: String) = QanStream.RawEvent(
+      id, new java.sql.Timestamp(day * 86400000L + id), 1L, etype, 1.0)
+    try {
+      // 6 days across 6 separate micro-batches: 1 error in 4 events
+      // on even days (load .175+.0=...), all-error days on odd days
+      var id = 0L
+      val loadsPerDay = (0 until 6).map { day =>
+        val events = if (day % 2 == 0)
+          Seq(ev({ id += 1; id }, day, "error"), ev({ id += 1; id }, day, "view"),
+            ev({ id += 1; id }, day, "view"), ev({ id += 1; id }, day, "purchase"))
+        else Seq(ev({ id += 1; id }, day, "error"), ev({ id += 1; id }, day, "error"))
+        ms.addData(events)
+        out.query.processAllAvailable()
+        val total = events.size.toDouble
+        val errors = events.count(_.event_type == "error").toDouble
+        val slow = events.count(_.event_type == "purchase").toDouble
+        math.min(1.0, errors / total) * 0.7 + math.min(1.0, slow / total) * 0.3
+      }
+      // the state is a fixed-size struct (fast, slow, lastDay, nDays),
+      // so equality with the full-series fold proves the carry is exact
+      val expectedFast = loadsPerDay.tail.foldLeft(loadsPerDay.head)((a, x) => a + 0.3 * (x - a))
+      val expectedSlow = loadsPerDay.tail.foldLeft(loadsPerDay.head)((a, x) => a + 0.05 * (x - a))
+      val last = spark.table(out.name).filter(col("n_days") === 6).collect()
+      assert(last.nonEmpty)
+      val r = last.head
+      assert(r.getDouble(2) == expectedFast && r.getDouble(3) == expectedSlow)
+    } finally out.query.stop()
+  }
+
+  test("raw-feed delta reconstructs counters across batches and day resets") {
+    import spark.implicits._
+    import graft.streaming.QanStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[QanStream.SnapEvent]
+    val out = QanStream.runToMemoryQuery(QanStream.deltaFromRaw(ms.toDS()).toDF())
+    def se(id: Long, day: Int, v: Double) = QanStream.SnapEvent(
+      id, 7L, "q", new java.sql.Timestamp(day * 86400000L + id * 1000),
+      new java.sql.Timestamp(day * 86400000L), BigDecimal(v))
+    try {
+      ms.addData(se(1, 0, 10.0), se(2, 0, 5.0)) // counters 10, 15
+      out.query.processAllAvailable()
+      ms.addData(se(3, 1, 3.0)) // next day: counter resets to 3
+      out.query.processAllAvailable()
+      val deltas = spark.table(out.name)
+        .orderBy(col("event_id")).collect().map(_.getDouble(3)).toSeq
+      // first ever: full counter; growth: 15-10; day reset: current value
+      assert(deltas == Seq(10.0, 5.0, 3.0))
+    } finally out.query.stop()
+  }
+
   test("streaming delta keeps per-key state across micro-batches") {
     import spark.implicits._
     import graft.streaming.QanStream
