@@ -40,6 +40,51 @@ object QanOps {
         .otherwise(counter))
   }
 
+  /** Multi-counter snapshot→delta, the full `DeltaResult` shape
+    * (mysql/snapshot.go:103–156): per snapshot row, one delta per
+    * counter column with the same per-counter reset rule as
+    * `calcDelta` (curr >= prev → diff, else curr), stamped with
+    * `time_period_secs` — the elapsed seconds since the key's
+    * previous snapshot (snapshot.go:166 TimePeriodSecs) — and gated
+    * on the count-star delta being positive (snapshot.go:208 skips
+    * digests not executed during the interval).
+    *
+    * `emitFirst = false` reproduces the reference exactly: a key's
+    * first observation emits nothing (`CalculateDeltas` returns nil
+    * when prev == nil). `emitFirst = true` is the deliberate
+    * first-counts-fully divergence used by the single-counter
+    * [[snapshotDelta]] (see SURVEY §3) — here it is an explicit
+    * option, not an implicit choice.
+    *
+    * Same scale shape as snapshotDelta: one hash shuffle on the keys,
+    * all N lags share a single sort — no per-counter pass.
+    *
+    * @param counters (cumulative column, delta output column) pairs;
+    *                 the FIRST pair is the count-star gate
+    */
+  def snapshotDeltaMulti(df: DataFrame, keys: Seq[String], ord: Seq[Column],
+      tsCol: Column, counters: Seq[(String, String)],
+      emitFirst: Boolean = false): DataFrame = {
+    require(counters.nonEmpty, "need at least the count-star counter")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val withDeltas = counters.foldLeft(
+      df.withColumn("__prev_ts", lag(tsCol, 1).over(w))) {
+      case (acc, (cum, out)) =>
+        val prev = lag(col(cum), 1).over(w)
+        acc.withColumn(out,
+          when(prev.isNull, col(cum))
+            .when(col(cum) >= prev, col(cum) - prev)
+            .otherwise(col(cum)))
+    }
+    val firstGated =
+      if (emitFirst) withDeltas else withDeltas.filter(col("__prev_ts").isNotNull)
+    firstGated
+      .withColumn("time_period_secs",
+        (unix_micros(tsCol) - unix_micros(col("__prev_ts"))) / lit(1000000.0))
+      .filter(col(counters.head._2) > 0)
+      .drop("__prev_ts")
+  }
+
   /** Druid-style time rollup
     * (/root/reference/druid-specs/qan_db_ingestion.json: uniform
     * granularity, longSum/doubleSum/max/min metric specs).

@@ -385,7 +385,145 @@ object Qan {
     WHERE delta_value > 0
     ORDER BY timestamp, resource_instance_id, db_statement_digest"""
 
+  // ------------------------------------------- qan_multi_counter_delta
+  // The reference's delta record carries ~13 counters, not one
+  // (mysql/snapshot.go:103–156 DeltaResult). Multi-counter cumulative
+  // view of `events`: per (instance, digest), day-resetting running
+  // sums of four derived measures standing in for count_star,
+  // timer_wait, rows_examined and errors. The delta query applies the
+  // reference semantics exactly: per-counter reset handling,
+  // TimePeriodSecs, nothing for a key's first snapshot, and digests
+  // with a zero count-star delta skipped (snapshot.go:208).
+  private def multiSnapshots(s: SparkSession, d: String): DataFrame = {
+    val wDay = Window
+      .partitionBy(col("user_id"), col("event_type"), date_trunc("day", col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("label_k",
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long"))
+      .withColumn("cum_calls",
+        sum(when(col("value") >= 10.0, 1L).otherwise(0L)).over(wDay))
+      .withColumn("cum_timer",
+        sum(col("value").cast(DecimalType(18, 6))).over(wDay))
+      .withColumn("cum_rows", sum(col("label_k")).over(wDay))
+      .withColumn("cum_errors",
+        sum(when(col("label_k") % 7 === 0, 1L).otherwise(0L)).over(wDay))
+  }
+
+  private val multiSnapshotsSql = """
+    SELECT *,
+      CAST(SUM(CASE WHEN value >= 10.0 THEN 1 ELSE 0 END) OVER wd AS BIGINT) AS cum_calls,
+      SUM(CAST(value AS DECIMAL(18,6))) OVER wd AS cum_timer,
+      CAST(SUM(label_k) OVER wd AS BIGINT) AS cum_rows,
+      CAST(SUM(CASE WHEN label_k % 7 = 0 THEN 1 ELSE 0 END) OVER wd AS BIGINT) AS cum_errors
+    FROM (SELECT event_id, user_id, event_type, ts, value,
+            CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS label_k
+          FROM events)
+    WINDOW wd AS (PARTITION BY user_id, event_type, date_trunc('day', ts)
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+  private val qanMultiCounterDelta: Q = (s, d) =>
+    QanOps.snapshotDeltaMulti(multiSnapshots(s, d),
+        keys = Seq("user_id", "event_type"),
+        ord = Seq(col("ts"), col("event_id")),
+        tsCol = col("ts"),
+        counters = Seq(
+          "cum_calls" -> "d_calls",
+          "cum_timer" -> "d_timer",
+          "cum_rows" -> "d_rows",
+          "cum_errors" -> "d_errors"),
+        emitFirst = false)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("time_period_secs"), col("d_calls"),
+        col("d_timer").cast(DoubleType).as("d_timer"),
+        col("d_rows"), col("d_errors"))
+      .orderBy(col("event_id"))
+
+  private val qanMultiCounterDeltaSql = s"""
+    WITH snap AS ($multiSnapshotsSql),
+    lagged AS (
+      SELECT *,
+        LAG(ts) OVER wk AS prev_ts,
+        LAG(cum_calls) OVER wk AS p_calls,
+        LAG(cum_timer) OVER wk AS p_timer,
+        LAG(cum_rows) OVER wk AS p_rows,
+        LAG(cum_errors) OVER wk AS p_errors
+      FROM snap
+      WINDOW wk AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+    deltas AS (
+      SELECT event_id, user_id, event_type,
+        (epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0 AS time_period_secs,
+        CASE WHEN cum_calls >= p_calls THEN cum_calls - p_calls ELSE cum_calls END AS d_calls,
+        CAST(CASE WHEN cum_timer >= p_timer THEN cum_timer - p_timer ELSE cum_timer END AS DOUBLE) AS d_timer,
+        CASE WHEN cum_rows >= p_rows THEN cum_rows - p_rows ELSE cum_rows END AS d_rows,
+        CASE WHEN cum_errors >= p_errors THEN cum_errors - p_errors ELSE cum_errors END AS d_errors
+      FROM lagged
+      WHERE prev_ts IS NOT NULL)
+    SELECT * FROM deltas
+    WHERE d_calls > 0
+    ORDER BY event_id"""
+
+  // ------------------------------------------ qan_multi_counter_rollup
+  // The Druid ingestion rollup over the multi-counter deltas
+  // (druid-specs/qan_db_ingestion.json metricsSpec: named longSum /
+  // doubleSum per counter; dims include instance and digest).
+  private val qanMultiCounterRollup: Q = (s, d) =>
+    QanOps.snapshotDeltaMulti(multiSnapshots(s, d),
+        keys = Seq("user_id", "event_type"),
+        ord = Seq(col("ts"), col("event_id")),
+        tsCol = col("ts"),
+        counters = Seq(
+          "cum_calls" -> "d_calls",
+          "cum_timer" -> "d_timer",
+          "cum_rows" -> "d_rows",
+          "cum_errors" -> "d_errors"),
+        emitFirst = false)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"),
+        col("user_id"), col("event_type"))
+      .agg(
+        sum(col("d_calls")).as("sum_calls"),
+        sum(col("d_timer")).cast(DoubleType).as("sum_total_exec_time"),
+        sum(col("d_rows")).as("sum_rows_examined"),
+        sum(col("d_errors")).as("sum_errors"),
+        dsum(col("time_period_secs")).as("sum_period_secs"))
+      .orderBy(col("bucket"), col("user_id"), col("event_type"))
+
+  private val qanMultiCounterRollupSql = s"""
+    WITH snap AS ($multiSnapshotsSql),
+    lagged AS (
+      SELECT *,
+        LAG(ts) OVER wk AS prev_ts,
+        LAG(cum_calls) OVER wk AS p_calls,
+        LAG(cum_timer) OVER wk AS p_timer,
+        LAG(cum_rows) OVER wk AS p_rows,
+        LAG(cum_errors) OVER wk AS p_errors
+      FROM snap
+      WINDOW wk AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+    deltas AS (
+      SELECT event_id, user_id, event_type, ts,
+        (epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0 AS time_period_secs,
+        CASE WHEN cum_calls >= p_calls THEN cum_calls - p_calls ELSE cum_calls END AS d_calls,
+        CASE WHEN cum_timer >= p_timer THEN cum_timer - p_timer ELSE cum_timer END AS d_timer,
+        CASE WHEN cum_rows >= p_rows THEN cum_rows - p_rows ELSE cum_rows END AS d_rows,
+        CASE WHEN cum_errors >= p_errors THEN cum_errors - p_errors ELSE cum_errors END AS d_errors
+      FROM lagged
+      WHERE prev_ts IS NOT NULL)
+    SELECT date_trunc('hour', ts) AS bucket, user_id, event_type,
+      CAST(SUM(d_calls) AS BIGINT) AS sum_calls,
+      CAST(SUM(d_timer) AS DOUBLE) AS sum_total_exec_time,
+      CAST(SUM(d_rows) AS BIGINT) AS sum_rows_examined,
+      CAST(SUM(d_errors) AS BIGINT) AS sum_errors,
+      CAST(SUM(CAST(time_period_secs AS DECIMAL(18,6))) AS DOUBLE) AS sum_period_secs
+    FROM deltas
+    WHERE d_calls > 0
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3"""
+
   val entries: Map[String, Q] = Map(
+    "qan_multi_counter_delta" -> qanMultiCounterDelta,
+    "qan_multi_counter_rollup" -> qanMultiCounterRollup,
     "qan_otel_export" -> qanOtelExport,
     "qan_snapshot_delta" -> qanSnapshotDelta,
     "qan_rollup_minute" -> qanRollupMinute,
@@ -400,6 +538,8 @@ object Qan {
     "qan_governor_interval" -> qanGovernorInterval)
 
   val oracles: Map[String, String] = Map(
+    "qan_multi_counter_delta" -> qanMultiCounterDeltaSql,
+    "qan_multi_counter_rollup" -> qanMultiCounterRollupSql,
     "qan_otel_export" -> qanOtelExportSql,
     "qan_snapshot_delta" -> qanSnapshotDeltaSql,
     "qan_rollup_minute" -> qanRollupMinuteSql,

@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.QanOps
+
+/** Unit semantics of the multi-counter snapshot→delta
+  * (QanOps.snapshotDeltaMulti) against the reference's CalculateDeltas
+  * rules (mysql/snapshot.go): per-counter reset handling, first
+  * snapshot emits nothing, count-star gate, TimePeriodSecs.
+  */
+class QanOpsSpec extends SparkSpec {
+
+  private def t(sec: Long) = new Timestamp(sec * 1000)
+
+  // (key, ts, cum_a "count star", cum_b)
+  private def snaps = {
+    import spark.implicits._
+    Seq(
+      ("k1", t(0), 10L, 100L),   // first snapshot — never emitted
+      ("k1", t(30), 12L, 130L),  // deltas: a=2 (>0 → kept), b=30, period=30s
+      ("k1", t(60), 12L, 150L),  // a=0 → gated out (not executed)
+      ("k1", t(90), 3L, 20L),    // counter reset: deltas are curr values
+      ("k2", t(10), 5L, 50L)     // only one snapshot for k2 — nothing
+    ).toDF("k", "ts", "cum_a", "cum_b")
+  }
+
+  test("multi-counter delta: reset rule, first-snapshot gate, count-star gate") {
+    val out = QanOps.snapshotDeltaMulti(snaps,
+        keys = Seq("k"), ord = Seq(col("ts")), tsCol = col("ts"),
+        counters = Seq("cum_a" -> "d_a", "cum_b" -> "d_b"))
+      .select(col("k"), col("ts"), col("d_a"), col("d_b"), col("time_period_secs"))
+      .orderBy(col("k"), col("ts"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000,
+        r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(out == Seq(
+      ("k1", 30L, 2L, 30L, 30.0),
+      ("k1", 90L, 3L, 20L, 30.0)))
+  }
+
+  test("emitFirst=true diverges only on the first snapshot per key") {
+    val out = QanOps.snapshotDeltaMulti(snaps,
+        keys = Seq("k"), ord = Seq(col("ts")), tsCol = col("ts"),
+        counters = Seq("cum_a" -> "d_a", "cum_b" -> "d_b"),
+        emitFirst = true)
+      .select(col("k"), col("ts"), col("d_a"), col("d_b"))
+      .orderBy(col("k"), col("ts"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000,
+        r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(out == Seq(
+      ("k1", 0L, 10L, 100L), // first counts fully
+      ("k1", 30L, 2L, 30L),
+      ("k1", 90L, 3L, 20L),
+      ("k2", 10L, 5L, 50L)))
+  }
+
+  test("multi-counter plan shares one shuffle across all counter lags") {
+    val out = QanOps.snapshotDeltaMulti(snaps,
+      keys = Seq("k"), ord = Seq(col("ts")), tsCol = col("ts"),
+      counters = Seq("cum_a" -> "d_a", "cum_b" -> "d_b"))
+    val plan = out.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected a single hash shuffle, plan:\n$plan")
+  }
+}
