@@ -34,15 +34,25 @@ object Dedup {
     expr(s"transform(sequence(0, ${bands - 1}), " +
       s"j -> struct(j AS band, slice($sig, j*$rows+1, $rows) AS bucket))")
 
-  /** Full MinHash+LSH near-dup pipeline: shingle → sign → band →
-    * bucket-join for candidates → exact Jaccard verification.
+  /** Intermediate LSH stage: per-rep shingle hashes + signatures
+    * (`base`) and the band-bucket candidate pairs (`candidates`). */
+  private[operators] case class MinhashStage(base: DataFrame, candidates: DataFrame)
+
+  /** Band-bucket candidate generation with an occupancy cap.
     *
-    * @param df       input with an id column and a text column
-    * @param tau      Jaccard threshold for verified pairs
-    * @return (a_id, b_id, jaccard) for verified candidate pairs
+    * Buckets holding more than `bucketCap` docs are DROPPED (and
+    * counted to stderr): a bucket of m near-identical docs collides
+    * in every band and would emit O(m²) candidates — the failure mode
+    * of boilerplate clusters in web corpora. Exact duplicates never
+    * reach here (the caller collapses them first); docs that were
+    * near- but not exact-identical lose recall only against the rest
+    * of the oversized bucket, and at 100 TB the cap is what keeps the
+    * shuffle bounded. The cap defaults high enough that a verify-scale
+    * corpus never trips it (oracle equivalence holds); production
+    * callers tune it to executor memory.
     */
-  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 36, bands: Int = 6, tau: Double = 0.8): DataFrame = {
+  private[operators] def minhashCandidates(reps: DataFrame, textCol: String,
+      n: Int, k: Int, bands: Int, bucketCap: Int): MinhashStage = {
     require(k == bands * (k / bands), "k must divide into bands evenly")
     val rows = k / bands
     // banding S-curve: P(candidate | jaccard j) = 1-(1-j^rows)^bands.
@@ -53,8 +63,8 @@ object Dedup {
     // prefilter, and final verification — persist so the shingle/hash
     // work runs once (per-doc state is ~2 KB; spills to disk if the
     // corpus partition outgrows executor memory)
-    val base = df
-      .select(col(idCol).as("id"),
+    val base = reps
+      .select(col("id"),
         expr(s"transform(sequence(1, greatest(length($textCol)-${n - 1}, 1)), " +
           s"i -> substring($textCol, i, $n))").as("grams_raw"))
       // shingle sets live on as sorted distinct 64-bit hashes: set ops
@@ -65,28 +75,79 @@ object Dedup {
     val buckets = base
       .select(col("id"), explode(lshBands("sig", bands, rows)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+    val oversized = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > bucketCap)
+      .select(col("band"), col("bucket"))
+    val nOver = oversized.count()
+    if (nOver > 0)
+      System.err.println(
+        s"[graft] minhash LSH: dropping $nOver band buckets over occupancy cap $bucketCap")
+    val kept =
+      if (nOver > 0) buckets.join(oversized, Seq("band", "bucket"), "left_anti")
+      else buckets
     // candidates carry only ids through the band join (the gram arrays
     // would otherwise be shuffled once per colliding band)
-    val candidates = buckets.select(col("band"), col("bucket"), col("id").as("a_id"))
-      .join(buckets.select(col("band"), col("bucket"), col("id").as("b_id")), Seq("band", "bucket"))
+    val candidates = kept.select(col("band"), col("bucket"), col("id").as("a_id"))
+      .join(kept.select(col("band"), col("bucket"), col("id").as("b_id")), Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
+    MinhashStage(base, candidates)
+  }
+
+  /** Spec/introspection hook: how many candidate pairs the LSH stage
+    * emits for this corpus (after the exact-dedup pre-pass and the
+    * bucket cap). */
+  def lshCandidateCount(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 36, bands: Int = 6, bucketCap: Int = 1000): Long = {
+    val reps = df.groupBy(col(textCol).as("__text"))
+      .agg(min(col(idCol)).as("id"))
+    minhashCandidates(reps, "__text", n, k, bands, bucketCap).candidates.count()
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: exact-dedup pre-pass →
+    * shingle → sign → band (occupancy-capped) → bucket-join for
+    * candidates → exact Jaccard verification → expansion back to
+    * member pairs.
+    *
+    * The pre-pass collapses identical texts to one representative
+    * (min id) BEFORE any signature work: an m-doc exact-duplicate
+    * cluster would otherwise collide in every band and cost O(m²)
+    * through the candidate join. Identical docs share every gram
+    * hash, so within-group pairs are jaccard 1.0 by construction and
+    * cross-group pairs inherit their representatives' jaccard —
+    * the expanded output is bit-identical to the un-deduped pipeline.
+    *
+    * @param df       input with an id column and a text column
+    * @param tau      Jaccard threshold for verified pairs
+    * @return (a_id, b_id, jaccard) for verified candidate pairs
+    */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 36, bands: Int = 6, tau: Double = 0.8,
+      bucketCap: Int = 1000): DataFrame = {
+    // exact-dedup pre-pass: one representative per distinct text;
+    // keyed by the text itself (exact, and the text is shuffled into
+    // the shingle stage anyway — no extra pass)
+    val members = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+    val reps = members.groupBy(col("__text")).agg(min(col("id")).as("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stage = minhashCandidates(reps, "__text", n, k, bands, bucketCap)
+    val base = stage.base
     // cheap prefilter before the expensive gram join: the MinHash
     // signature itself estimates jaccard (fraction of equal slots).
     // In a repetitive corpus the band join can admit ~10% of all
     // pairs; comparing k longs per pair drops nearly all of them
     // before any gram array is shuffled. Margin 0.2 ≈ 3σ of the
     // estimator at k=36 → recall loss ≪1%.
-    val sigs = base
-    val estKeep = candidates
-      .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
-      .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
+    val estKeep = stage.candidates
+      .join(base.select(col("id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
+      .join(base.select(col("id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
       .withColumn("est_j",
         GraftFunctions.signatureOverlap(col("a_sig"), col("b_sig")).cast(DoubleType) / k)
       .filter(col("est_j") >= tau - 0.2)
       .select(col("a_id"), col("b_id"))
-    estKeep
+    val repPairs = estKeep
       .join(base.select(col("id").as("a_id"), col("ghash").as("a_g")), Seq("a_id"))
       .join(base.select(col("id").as("b_id"), col("ghash").as("b_g")), Seq("b_id"))
       .withColumn("inter", GraftFunctions.sortedIntersectCount(col("a_g"), col("b_g")))
@@ -94,6 +155,25 @@ object Dedup {
         (size(col("a_g")) + size(col("b_g")) - col("inter")).cast(DoubleType))
       .filter(col("jaccard") >= tau)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+    // expansion: rep → members mapping restores the pre-pass-collapsed
+    // ids. Within-group pairs are exact duplicates (jaccard 1.0);
+    // cross-group member pairs inherit the verified rep jaccard.
+    val mem = members
+      .join(reps.select(col("__text"), col("id").as("rep")), Seq("__text"))
+      .select(col("rep"), col("id").as("member"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val within = mem.as("x")
+      .join(mem.as("y"),
+        col("x.rep") === col("y.rep") && col("x.member") < col("y.member"))
+      .select(col("x.member").as("a_id"), col("y.member").as("b_id"),
+        lit(1.0).as("jaccard"))
+    val cross = repPairs
+      .withColumnRenamed("a_id", "a_rep").withColumnRenamed("b_id", "b_rep")
+      .join(mem.select(col("rep").as("a_rep"), col("member").as("ma")), Seq("a_rep"))
+      .join(mem.select(col("rep").as("b_rep"), col("member").as("mb")), Seq("b_rep"))
+      .select(least(col("ma"), col("mb")).as("a_id"),
+        greatest(col("ma"), col("mb")).as("b_id"), col("jaccard"))
+    within.unionByName(cross)
   }
 
   /** Connected components over near-dup pairs → cluster labels
@@ -126,10 +206,14 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster")).as("nmin"))
+      // localCheckpoint truncates the lineage: without it each round's
+      // plan embeds every previous round, and by iteration ~15 the
+      // optimizer re-walks (and on executor loss would recompute) a
+      // join tree of exponential depth
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val changed = next.withColumnRenamed("cluster", "next_cluster")
         .join(labels, Seq("id"))
         .filter(col("next_cluster") =!= col("cluster")).count()
@@ -138,6 +222,10 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      System.err.println(
+        s"[graft] connectedComponents: NOT converged after $maxIterations rounds — " +
+          "labels are an upper bound; raise maxIterations for deeper components")
     edges.unpersist()
     labels
   }

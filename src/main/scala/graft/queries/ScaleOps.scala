@@ -19,10 +19,11 @@ object ScaleOps {
 
   // MinHash+LSH near-dup pairs, exact-verified at threshold 0.8 —
   // same contract as doc_ngram_jaccard_pairs but candidate-driven
-  // (see Dedup.minhashNearDupPairs for the 100 TB argument).
+  // (see Dedup.minhashNearDupPairs for the 100 TB argument). Params
+  // are the defaults (k=36, bands=6) — the same constants the oracle
+  // replay inlines below.
   private val docMinhashLsh: Q = (s, d) =>
-    Dedup.minhashNearDupPairs(documents(s, d), "doc_id", "text",
-        n = 3, k = 32, bands = 8, tau = 0.8)
+    Dedup.minhashNearDupPairs(documents(s, d), "doc_id", "text")
       .orderBy(col("a_id"), col("b_id"))
 
   // Cluster formation over MinHash near-dup pairs: connected

@@ -17,11 +17,48 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // precision is exact by construction (candidates are verified)
     assert(got.subsetOf(truth), s"unverified pairs leaked: ${got -- truth}")
-    // recall: 32 hashes / 8 bands of 4 → P(collide | j≥0.8) ≈ 1-(1-0.8^4)^8 ≈ 0.98
+    // recall: 36 hashes / 6 bands of 6 → P(collide | j≥0.8) ≈ 1-(1-0.8^6)^6 ≈ 0.84
     if (truth.nonEmpty) {
       val recall = got.intersect(truth).size.toDouble / truth.size
       assert(recall >= 0.6, s"recall $recall too low (truth=${truth.size}, got=${got.size})")
     }
+  }
+
+  test("boilerplate cluster: 1k identical docs produce zero LSH candidates, not O(m²)") {
+    import spark.implicits._
+    // an exact-duplicate cluster (the boilerplate failure mode of web
+    // corpora) must be collapsed by the pre-pass BEFORE banding: 1000
+    // identical docs + 3 distinct ones must yield at most C(4,2)=6
+    // candidate rep pairs — not ~500k
+    val docs = ((1L to 1000L).map(i => (i, "identical boilerplate header text repeated across the crawl")) ++
+      Seq((2001L, "a unique document about distributed query planning"),
+        (2002L, "another unique document about columnar file formats"),
+        (2003L, "a third unique document about stream processing state")))
+      .toDF("doc_id", "text")
+    val candidates = Dedup.lshCandidateCount(docs, "doc_id", "text")
+    assert(candidates <= 6, s"candidate count $candidates not bounded by distinct-text pairs")
+    // and the verified OUTPUT still contains every within-cluster pair
+    // at jaccard 1.0 (expansion restores what the pre-pass collapsed)
+    val pairs = Dedup.minhashNearDupPairs(docs.filter(col("doc_id") <= 50 || col("doc_id") > 2000),
+      "doc_id", "text")
+    assert(pairs.filter(col("jaccard") === 1.0).count() == 50L * 49 / 2)
+  }
+
+  test("oversized band buckets are dropped by the occupancy cap") {
+    import spark.implicits._
+    // 40 NEAR-identical (not exact) docs: distinct texts survive the
+    // pre-pass, all land in the same band buckets; cap 10 drops those
+    // buckets so the candidate join stays bounded
+    val docs = (1L to 40L)
+      .map(i => (i, s"shared boilerplate body that dominates the shingle set entirely $i"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.lshCandidateCount(docs, "doc_id", "text", bucketCap = 10)
+    val uncapped = Dedup.lshCandidateCount(docs, "doc_id", "text", bucketCap = 1000)
+    // uncapped: all 40 docs collide → C(40,2)=780 candidates; capped:
+    // only stragglers in sub-cap buckets survive (a handful at most)
+    assert(uncapped == 780L, s"expected the full clique uncapped, got $uncapped")
+    assert(capped <= uncapped / 10,
+      s"cap barely reduced the candidate join (capped=$capped uncapped=$uncapped)")
   }
 
   test("simhash: identical text → identical fingerprint; token-permuted text → equal; distinct text → distinct") {
