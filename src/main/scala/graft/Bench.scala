@@ -6,6 +6,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // comma-separated query-name filter for single-query iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,15 +16,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Materialize through the noop sink, not count(): under a count
+    // Catalyst prunes projection-only work (string funcs, hashes,
+    // fingerprints would never execute), so count() times little more
+    // than the scan for those queries. The noop sink evaluates every
+    // output row and discards it — the honest per-operator cost.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Unit =
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
     // Warm-up at the smallest scale factor: JIT, codegen cache, parquet
     // footer reads — so per-query timings below measure the queries,
     // not first-use JVM costs. Falls back silently if sf0.001 is absent.
-    try SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, "/root/testdata/sf0.001").count() } catch { case _: Throwable => }
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    try selected.foreach { case (_, fn) =>
+      try { run(fn, "/root/testdata/sf0.001") } catch { case _: Throwable => }
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { run(fn, sfDir) } catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

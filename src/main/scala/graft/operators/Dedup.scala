@@ -200,26 +200,30 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var i = 0
+    // labels are elementwise monotone non-increasing across rounds, so
+    // an unchanged label SUM proves the fixpoint — one aggregate per
+    // round instead of a next-vs-previous join
+    var prevSum: Option[java.math.BigDecimal] = None
     while (!converged && i < maxIterations) {
       // each node's candidate = min(own label, min neighbor label)
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster")).as("nmin"))
-      // localCheckpoint truncates the lineage: without it each round's
-      // plan embeds every previous round, and by iteration ~15 the
-      // optimizer re-walks (and on executor loss would recompute) a
-      // join tree of exponential depth
+      // lazy localCheckpoint truncates the lineage (each round's plan
+      // would otherwise embed every previous round) while letting the
+      // convergence aggregate below be the single materializing action
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
-      val changed = next.withColumnRenamed("cluster", "next_cluster")
-        .join(labels, Seq("id"))
-        .filter(col("next_cluster") =!= col("cluster")).count()
+        .localCheckpoint(eager = false)
+      val curSum = next
+        .agg(sum(col("cluster").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head.getDecimal(0)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = prevSum.exists(_.compareTo(curSum) == 0)
+      prevSum = Some(curSum)
       i += 1
     }
     if (!converged)
