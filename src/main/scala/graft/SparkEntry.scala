@@ -25,6 +25,7 @@ object SparkEntry {
       graft.queries.Vectors.entries ++
       graft.queries.ScaleOps.entries ++
       graft.queries.Streaming.entries ++
+      graft.queries.Polling.entries ++
       graft.queries.Extended.entries
 
   /** DuckDB-equivalent SQL per query key (driver correctness gate). */
@@ -34,6 +35,7 @@ object SparkEntry {
       graft.queries.Text.oracles ++
       graft.queries.Vectors.oracles ++
       graft.queries.Streaming.oracles ++
+      graft.queries.Polling.oracles ++
       graft.queries.Extended.oracles ++
       graft.queries.ScaleOps.oracles
 }

@@ -67,15 +67,18 @@ object QanOps {
       emitFirst: Boolean = false): DataFrame = {
     require(counters.nonEmpty, "need at least the count-star counter")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
-    val withDeltas = counters.foldLeft(
-      df.withColumn("__prev_ts", lag(tsCol, 1).over(w))) {
-      case (acc, (cum, out)) =>
-        val prev = lag(col(cum), 1).over(w)
-        acc.withColumn(out,
-          when(prev.isNull, col(cum))
-            .when(col(cum) >= prev, col(cum) - prev)
-            .otherwise(col(cum)))
+    // all N+1 lags in ONE projection: a per-counter withColumn fold
+    // would leave a Project between each Window node, defeating
+    // CollapseWindow — the plan would sort once per counter instead of
+    // once total
+    val deltaCols = counters.map { case (cum, out) =>
+      val prev = lag(col(cum), 1).over(w)
+      when(prev.isNull, col(cum))
+        .when(col(cum) >= prev, col(cum) - prev)
+        .otherwise(col(cum)).as(out)
     }
+    val withDeltas = df.select(
+      (df.columns.map(col) :+ lag(tsCol, 1).over(w).as("__prev_ts")) ++ deltaCols: _*)
     val firstGated =
       if (emitFirst) withDeltas else withDeltas.filter(col("__prev_ts").isNotNull)
     firstGated

@@ -28,8 +28,14 @@ object Qan {
       .partitionBy(col("user_id"), col("event_type"), date_trunc("day", col("ts")))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events(s, d).withColumn("counter",
-      sum(col("value").cast(DecimalType(18, 6))).over(w))
+    // pre-partition on (instance, digest): HashPartitioning(u, e)
+    // satisfies ClusteredDistribution(u, e, day) for this window AND
+    // the downstream delta window on (u, e) — one shuffle for the
+    // whole snapshot→delta pipeline instead of two
+    events(s, d)
+      .repartition(col("user_id"), col("event_type"))
+      .withColumn("counter",
+        sum(col("value").cast(DecimalType(18, 6))).over(w))
   }
 
   private val snapshotsSql = """
@@ -399,16 +405,20 @@ object Qan {
       .partitionBy(col("user_id"), col("event_type"), date_trunc("day", col("ts")))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // one projection for all four cumulative sums (single Window node)
+    // and a pre-partition on (instance, digest) that satisfies both
+    // this day-grained window and the downstream delta lags — the
+    // whole multi-counter pipeline runs on one shuffle (PlanSpec-
+    // asserted in QanOpsSpec)
     events(s, d)
+      .repartition(col("user_id"), col("event_type"))
       .withColumn("label_k",
         regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long"))
-      .withColumn("cum_calls",
-        sum(when(col("value") >= 10.0, 1L).otherwise(0L)).over(wDay))
-      .withColumn("cum_timer",
-        sum(col("value").cast(DecimalType(18, 6))).over(wDay))
-      .withColumn("cum_rows", sum(col("label_k")).over(wDay))
-      .withColumn("cum_errors",
-        sum(when(col("label_k") % 7 === 0, 1L).otherwise(0L)).over(wDay))
+      .select(col("*"),
+        sum(when(col("value") >= 10.0, 1L).otherwise(0L)).over(wDay).as("cum_calls"),
+        sum(col("value").cast(DecimalType(18, 6))).over(wDay).as("cum_timer"),
+        sum(col("label_k")).over(wDay).as("cum_rows"),
+        sum(when(col("label_k") % 7 === 0, 1L).otherwise(0L)).over(wDay).as("cum_errors"))
   }
 
   private val multiSnapshotsSql = """

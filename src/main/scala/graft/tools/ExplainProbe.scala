@@ -1,0 +1,16 @@
+// scratch probe (not part of the build)
+object ExplainProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]").config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    for (q <- args) {
+      println(s"===== $q =====")
+      graft.SparkEntry.queries(q)(spark, d).explain("formatted")
+    }
+    spark.stop()
+  }
+}
