@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.Tables._
 import graft.functions.expressions.GraftFunctions
-import graft.operators.{AnnLsh, Dedup, Multimodal}
+import graft.operators.{AnnIvf, AnnLsh, Dedup, Multimodal}
 
 /** Rows-only operators (SURVEY §2): the scale paths whose algorithms
   * aren't expressible in DuckDB SQL (seeded MinHash/SimHash/LSH,
@@ -62,6 +62,18 @@ object ScaleOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // IVF-bucketed approximate top-k — the data-adaptive scale path
+  // next to emb_ann_lsh (seeded centroids + one decimal-exact Lloyd
+  // refinement; see AnnIvf for the 100 TB argument).
+  private val embAnnIvf: Q = (s, d) => {
+    val e = embeddings(s, d).withColumn("v", col("embedding").cast(ArrayType(DoubleType)))
+    val corpus = e.select(col("vec_id").as("id"), col("v"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    AnnIvf.topK(corpus, queries, k = 10, cells = 16, dim = 64, nprobe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // Multimodal: binary payload → per-partition batched (stubbed)
   // decode → typed feature rows.
   private val mmFeatureStub: Q = (s, d) => {
@@ -96,6 +108,7 @@ object ScaleOps {
     ORDER BY doc_id"""
 
   val entries: Map[String, Q] = Map(
+    "emb_ann_ivf" -> embAnnIvf,
     "doc_minhash_lsh" -> docMinhashLsh,
     "doc_dedup_clusters" -> docDedupClusters,
     "doc_simhash" -> docSimhash,
@@ -314,7 +327,76 @@ object ScaleOps {
     ORDER BY query_id, rank"""
   }
 
+  /** DuckDB replay of the whole IVF pipeline: seeded centroids inlined
+    * as literals; every distance, mean and cosine uses the same
+    * sequential fold / decimal-sum shape as the Spark expressions, so
+    * assignments, the Lloyd refinement and the final ranking are
+    * bit-identical across engines.
+    */
+  private val embAnnIvfSql: String = {
+    val cells = 16; val dim = 64; val k = 10; val nprobe = 2
+    val cents = AnnIvf.centroids0(cells, dim)
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.map(java.lang.Double.toString).mkString("[", ", ", "]")}::DOUBLE[])"
+    }.mkString(", ")
+    def sqDist(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+        s"i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))), (acc, x) -> acc + x)"
+    def sumFold(term: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), i -> $term)), (acc, x) -> acc + x)"
+    val dot = sumFold("qv[CAST(i AS INT)] * cv[CAST(i AS INT)]")
+    val nq = sumFold("qv[CAST(i AS INT)] * qv[CAST(i AS INT)]")
+    val nc = sumFold("cv[CAST(i AS INT)] * cv[CAST(i AS INT)]")
+    s"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents0(cell, c) AS (VALUES $centRows),
+    assign0 AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c0.cell,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ${sqDist("e.v", "c0.c")}, c0.cell) AS rn
+        FROM e CROSS JOIN cents0 c0)
+      WHERE rn = 1),
+    cent1 AS (
+      SELECT cell, list(m ORDER BY i) AS c FROM (
+        SELECT a.cell, i,
+          CAST(SUM(CAST(a.v[CAST(i AS INT)] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
+        FROM assign0 a CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i)
+        GROUP BY a.cell, i)
+      GROUP BY cell),
+    inverted AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c1.cell,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ${sqDist("e.v", "c1.c")}, c1.cell) AS rn
+        FROM e CROSS JOIN cent1 c1)
+      WHERE rn = 1),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c1.cell,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ${sqDist("e.v", "c1.c")}, c1.cell) AS rn
+        FROM e CROSS JOIN cent1 c1
+        WHERE e.vec_id < 5)
+      WHERE rn <= $nprobe),
+    scored AS (
+      SELECT p.query_id, iv.vec_id AS neighbor_id, p.qv AS qv, iv.v AS cv
+      FROM probes p JOIN inverted iv ON iv.cell = p.cell AND iv.vec_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+        $dot / (sqrt($nq) * sqrt($nc)) AS cos_raw,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY $dot / (sqrt($nq) * sqrt($nc)) DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 4) AS cos_sim
+    FROM ranked
+    WHERE rank <= $k
+    ORDER BY query_id, rank"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "emb_ann_ivf" -> embAnnIvfSql,
     "emb_ann_lsh" -> embAnnLshSql,
     "doc_fingerprint" -> docFingerprintSql,
     "doc_simhash" -> docSimhashSql,

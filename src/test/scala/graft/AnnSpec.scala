@@ -23,6 +23,28 @@ class AnnSpec extends SparkSpec {
     assert(mean >= 0.15, s"mean recall@10 $mean too low: $recalls")
   }
 
+  test("ann ivf recall@10 vs brute force, deterministic across runs") {
+    val exact = SparkEntry.queries("emb_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = SparkEntry.queries("emb_ann_ivf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(approx.nonEmpty, "ivf produced no results")
+    val recalls = exact.keys.toSeq.map { q =>
+      val hit = approx.getOrElse(q, Set.empty)
+      exact(q).intersect(hit).size.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    // nprobe 2 of 16 cells covers ~1/8 of a near-uniform corpus;
+    // assert it beats random cell selection by a wide margin
+    assert(mean >= 0.15, s"mean recall@10 $mean too low: $recalls")
+    // seeded centroids + decimal-exact refinement ⇒ bit-stable output
+    val again = SparkEntry.queries("emb_ann_ivf")(spark, sf).collect()
+    val first = SparkEntry.queries("emb_ann_ivf")(spark, sf).collect()
+    assert(first.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val approx = SparkEntry.queries("q13_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
