@@ -183,36 +183,39 @@ object MinHash {
   }
 }
 
-/** MinHash signature (k slots) of a pre-hashed shingle set
-  * (array<long>, from GramHashes).
+/** Static kernels for the array expressions below — a plain object so
+  * the generated Java from `doGenCode` can call them through static
+  * forwarders (whole-stage codegen emits Java, not Scala).
   */
-case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+object ExprKernels {
   import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
-  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val hashes = Array.tabulate(arr.numElements())(i => arr.getLong(i))
-    new GenericArrayData(MinHash.signature(hashes, k))
-  }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-  override def prettyName: String = "minhash_signature"
-}
 
-/** Count of positions where two equal-length long arrays agree —
-  * the MinHash jaccard estimator numerator. Compiled loop over
-  * ArrayData (the zip_with/aggregate HOF chain interprets per
-  * element, which dominates on millions of candidate pairs).
-  */
-case class SignatureOverlap(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
-  import org.apache.spark.sql.catalyst.util.ArrayData
-  override def dataType: DataType = LongType
-  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  // the affine permutation coefficients are per-QUERY constants; the
+  // per-row eval must not re-derive them (k is tiny, the map stays ~1
+  // entry)
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def coeffs(k: Int): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent(k, kk => MinHash.coefficients(kk))
+
+  def minhashSignature(v: ArrayData, k: Int): ArrayData = {
+    val (as, bs) = coeffs(k)
+    val out = Array.fill(k)(-1L) // unsigned max
+    var g = 0
+    while (g < v.numElements()) {
+      val h = v.getLong(g)
+      var i = 0
+      while (i < k) {
+        val p = as(i) * h + bs(i)
+        if (java.lang.Long.compareUnsigned(p, out(i)) < 0) out(i) = p
+        i += 1
+      }
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def signatureOverlap(x: ArrayData, y: ArrayData): Long = {
     val n = math.min(x.numElements(), y.numElements())
     var c = 0L
     var i = 0
@@ -222,22 +225,8 @@ case class SignatureOverlap(left: Expression, right: Expression)
     }
     c
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
-  override def prettyName: String = "signature_overlap"
-}
 
-/** Sorted distinct 64-bit hashes of an array<string> — the compact
-  * shingle-set representation: set ops on longs instead of strings
-  * (collision odds ~|set|²/2⁶⁴, irrelevant for dedup).
-  */
-case class GramHashes(child: Expression)
-    extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
-  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
-  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def gramHashes(arr: ArrayData): ArrayData = {
     val hs = Array.tabulate(arr.numElements())(i => MinHash.fnv64(arr.getUTF8String(i).getBytes))
     java.util.Arrays.sort(hs)
     // dedupe in place over the sorted array
@@ -249,22 +238,8 @@ case class GramHashes(child: Expression)
     }
     new GenericArrayData(java.util.Arrays.copyOf(hs, n))
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-  override def prettyName: String = "gram_hashes"
-}
 
-/** Intersection size of two SORTED long arrays (merge walk) — exact
-  * set intersection at ~600 long compares per pair instead of a
-  * per-pair hash set of strings.
-  */
-case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
-  import org.apache.spark.sql.catalyst.util.ArrayData
-  override def dataType: DataType = LongType
-  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  def sortedIntersectCount(x: ArrayData, y: ArrayData): Long = {
     var i = 0; var j = 0; var c = 0L
     while (i < x.numElements() && j < y.numElements()) {
       val xv = x.getLong(i); val yv = y.getLong(j)
@@ -274,6 +249,89 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     }
     c
   }
+
+  def cosineSimilarity(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+}
+
+/** MinHash signature (k slots) of a pre-hashed shingle set
+  * (array<long>, from GramHashes).
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.minhashSignature(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.ExprKernels.minhashSignature($c, $k);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** Count of positions where two equal-length long arrays agree —
+  * the MinHash jaccard estimator numerator. Compiled loop over
+  * ArrayData (the zip_with/aggregate HOF chain interprets per
+  * element, which dominates on millions of candidate pairs).
+  */
+case class SignatureOverlap(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.signatureOverlap(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.ExprKernels.signatureOverlap($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "signature_overlap"
+}
+
+/** Sorted distinct 64-bit hashes of an array<string> — the compact
+  * shingle-set representation: set ops on longs instead of strings
+  * (collision odds ~|set|²/2⁶⁴, irrelevant for dedup).
+  */
+case class GramHashes(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.gramHashes(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.ExprKernels.gramHashes($c);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "gram_hashes"
+}
+
+/** Intersection size of two SORTED long arrays (merge walk) — exact
+  * set intersection at ~600 long compares per pair instead of a
+  * per-pair hash set of strings.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.ExprKernels.sortedIntersectCount($a, $b);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "sorted_intersect_count"
@@ -286,23 +344,15 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * wherever oracle-compared).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
   import org.apache.spark.sql.catalyst.util.ArrayData
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var nx = 0.0; var ny = 0.0
-    var i = 0
-    while (i < n) {
-      val xv = x.getDouble(i); val yv = y.getDouble(i)
-      dot += xv * yv; nx += xv * xv; ny += yv * yv
-      i += 1
-    }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.cosineSimilarity(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.ExprKernels.cosineSimilarity($a, $b);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "cosine_similarity"
@@ -310,11 +360,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 /** SimHash64 fingerprint of a document's token stream. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = LongType
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def nullSafeEval(v: Any): Any =
     SimHash.ofTokens(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.SimHash.ofTokens($c);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "simhash64"
 }
