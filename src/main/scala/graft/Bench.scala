@@ -24,6 +24,13 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
+    // operators persist/localCheckpoint intermediates that outlive the
+    // query (minhash base, CC labels); drop them between queries so
+    // block-manager pressure from query i doesn't tax query i+1
+    def clearState(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
+    }
     // Warm-up at the smallest scale factor: JIT, codegen cache, parquet
     // footer reads — so per-query timings below measure the queries,
     // not first-use JVM costs. Falls back silently if sf0.001 is absent.
@@ -31,8 +38,10 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     try selected.foreach { case (_, fn) =>
       try { run(fn, "/root/testdata/sf0.001") } catch { case _: Throwable => }
+      clearState()
     } catch { case _: Throwable => }
     val results = selected.map { case (name, fn) =>
+      clearState() // outside the timed section
       val t0 = System.nanoTime()
       try { run(fn, sfDir) } catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
