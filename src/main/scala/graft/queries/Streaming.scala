@@ -88,7 +88,28 @@ object Streaming {
     GROUP BY user_id, session_id
     ORDER BY user_id, start_ts"""
 
+  // Streaming multi-counter delta: the reference collector's actual
+  // per-poll emission (full DeltaResult), from the raw file-source
+  // stream; shares qan_multi_counter_delta's oracle.
+  private val stMultiCounter: Q = (s, d) => {
+    import s.implicits._
+    val feed = QanStream.eventsStream(s, d)
+      .withColumn("label_k",
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(date_trunc("day", col("ts"))).as("day_us"),
+        when(col("value") >= 10.0, 1L).otherwise(0L).as("calls_inc"),
+        col("value").cast(DecimalType(18, 6)).as("timer_inc"),
+        coalesce(col("label_k"), lit(0L)).as("rows_inc"),
+        when(col("label_k") % 7 === 0, 1L).otherwise(0L).as("errors_inc"))
+      .as[QanStream.MultiSnapEvent]
+    QanStream.runToMemory(QanStream.multiDeltaFromRaw(feed).toDF(), OutputMode.Append())
+      .orderBy(col("event_id"))
+  }
+
   val entries: Map[String, Q] = Map(
+    "st_multi_counter_stream" -> stMultiCounter,
     "st_delta_stream" -> stDelta,
     "st_rollup_stream" -> stRollup,
     "st_governor_stream" -> stGovernor,
@@ -98,6 +119,7 @@ object Streaming {
     * share the batch oracles.
     */
   val oracles: Map[String, String] = Map(
+    "st_multi_counter_stream" -> Qan.oracles("qan_multi_counter_delta"),
     "st_session_stream" -> stSessionSql,
     "st_delta_stream" -> Qan.oracles("qan_snapshot_delta"),
     "st_rollup_stream" -> Qan.oracles("qan_rollup_minute"),

@@ -95,6 +95,59 @@ object QanStream {
       }
   }
 
+  case class MultiSnapEvent(event_id: Long, user_id: Long, event_type: String,
+      ts_us: Long, day_us: Long, calls_inc: Long, timer_inc: BigDecimal,
+      rows_inc: Long, errors_inc: Long)
+  case class MultiSnapState(dayUs: Long, tsUs: Long, calls: Long,
+      timer: BigDecimal, rows: Long, errors: Long)
+  case class MultiDeltaRow(event_id: Long, user_id: Long, event_type: String,
+      time_period_secs: Double, d_calls: Long, d_timer: Double,
+      d_rows: Long, d_errors: Long)
+
+  /** Streaming multi-counter snapshot→delta — the full DeltaResult
+    * emission the reference's collector actually produces per poll
+    * (mysql/snapshot.go:103–156), as a stream: per (instance, digest)
+    * the state holds the last cumulative value of each counter plus
+    * its day and timestamp (O(1) per key); each event advances the
+    * day-resetting cumulatives and emits one delta row with
+    * per-counter reset handling, TimePeriodSecs, nothing for the
+    * key's first snapshot, and a zero count-star delta skipped —
+    * exactly the batch QanOps.snapshotDeltaMulti semantics, so it
+    * shares qan_multi_counter_delta's oracle.
+    */
+  def multiDeltaFromRaw(events: Dataset[MultiSnapEvent]): Dataset[MultiDeltaRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[MultiSnapState, MultiDeltaRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((_, _), it, state: GroupState[MultiSnapState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var st = state.getOption
+          val out = Seq.newBuilder[MultiDeltaRow]
+          sorted.foreach { e =>
+            val sameDay = st.exists(_.dayUs == e.day_us)
+            val cCalls = if (sameDay) st.get.calls + e.calls_inc else e.calls_inc
+            val cTimer = if (sameDay) st.get.timer + e.timer_inc else e.timer_inc
+            val cRows = if (sameDay) st.get.rows + e.rows_inc else e.rows_inc
+            val cErr = if (sameDay) st.get.errors + e.errors_inc else e.errors_inc
+            st.foreach { p => // first snapshot per key emits nothing
+              def d(c: Long, pv: Long) = if (c >= pv) c - pv else c
+              val dCalls = d(cCalls, p.calls)
+              if (dCalls > 0) { // digest not executed this interval → skip
+                val dTimer = if (cTimer >= p.timer) cTimer - p.timer else cTimer
+                out += MultiDeltaRow(e.event_id, e.user_id, e.event_type,
+                  (e.ts_us - p.tsUs) / 1000000.0,
+                  dCalls, dTimer.toDouble, d(cRows, p.rows), d(cErr, p.errors))
+              }
+            }
+            st = Some(MultiSnapState(e.day_us, e.ts_us, cCalls, cTimer, cRows, cErr))
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   case class EmaRow(user_id: Long, n_days: Long, fast_ema: Double, slow_ema: Double)
   case class EmaState(fastEma: Double, slowEma: Double, lastDayMs: Long, nDays: Long)
 

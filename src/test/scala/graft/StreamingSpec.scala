@@ -19,6 +19,10 @@ class StreamingSpec extends SparkSpec {
     assert(rowsOf("st_governor_stream") == rowsOf("qan_ewma"))
   }
 
+  test("streaming multi-counter delta == batch multi-counter delta") {
+    assert(rowsOf("st_multi_counter_stream") == rowsOf("qan_multi_counter_delta"))
+  }
+
   test("streaming session windows == batch sessionize") {
     import graft.Tables
     val st = SparkEntry.queries("st_session_stream")(spark, sf)
