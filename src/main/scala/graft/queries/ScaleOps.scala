@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
@@ -62,6 +63,42 @@ object ScaleOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // The composed training-data cleaning pass — the end-to-end per-doc
+  // decision a pretraining pipeline makes, built from the block-C
+  // operators in one plan: language gate → quality gate → exact-dup
+  // representative → near-dup cluster representative. Demonstrates
+  // that the operators COMPOSE: at 100 TB this is one job (scan-level
+  // lang/quality, one hash-agg for exact reps, the candidate-driven
+  // minhash clustering), not four passes over the corpus.
+  private val docPipelineFilter: Q = (s, d) => {
+    val lang = graft.queries.Text.langScored(s, d).select(col("doc_id"), col("pred_lang"))
+    val qual = graft.queries.Text.qualityScored(s, d).select(col("doc_id"), col("quality"))
+    val exact = documents(s, d)
+      .withColumn("exact_rep", min(col("doc_id")).over(
+        Window.partitionBy(md5(substring(lower(col("text")), 1, 40)))))
+      .select(col("doc_id"), col("exact_rep"))
+    val clusters = Dedup.connectedComponents(
+        documents(s, d).select(col("doc_id").as("id")),
+        Dedup.minhashNearDupPairs(documents(s, d), "doc_id", "text"))
+      .select(col("id").as("doc_id"), col("cluster"))
+    // the language GATE uses the table's labeled lang (the heuristic
+    // lang-ID predicts 'en' for this all-English synthetic corpus, so
+    // gating on it would never fire); pred_lang stays in the output as
+    // the composed lang-ID stage
+    documents(s, d).select(col("doc_id"), col("lang"))
+      .join(lang, "doc_id").join(qual, "doc_id")
+      .join(exact, "doc_id").join(clusters, "doc_id")
+      .withColumn("reason",
+        when(col("lang") =!= "en", "lang")
+          .when(col("quality") < 0.5, "quality")
+          .when(col("doc_id") =!= col("exact_rep"), "exact_dup")
+          .when(col("doc_id") =!= col("cluster"), "near_dup")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("pred_lang"), round(col("quality"), 4).as("quality"),
+        (col("reason") === "kept").as("keep"), col("reason"))
+      .orderBy(col("doc_id"))
+  }
+
   // IVF-bucketed approximate top-k — the data-adaptive scale path
   // next to emb_ann_lsh (seeded centroids + one decimal-exact Lloyd
   // refinement; see AnnIvf for the 100 TB argument).
@@ -108,6 +145,7 @@ object ScaleOps {
     ORDER BY doc_id"""
 
   val entries: Map[String, Q] = Map(
+    "doc_pipeline_filter" -> docPipelineFilter,
     "emb_ann_ivf" -> embAnnIvf,
     "doc_minhash_lsh" -> docMinhashLsh,
     "doc_dedup_clusters" -> docDedupClusters,
@@ -395,7 +433,48 @@ object ScaleOps {
     ORDER BY query_id, rank"""
   }
 
+  /** Oracle for the composed cleaning pass: the minhash/cluster replay
+    * CTEs plus the lang/quality stage SQL exposed by Text — the same
+    * proven fragments, joined into one decision table.
+    */
+  private val docPipelineFilterSql: String = s"""
+    WITH RECURSIVE $minhashCtes,
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id, a_id FROM pairs),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl
+      FROM reach r JOIN edges e ON e.src = r.id
+      WHERE r.lbl < e.dst),
+    labels AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+    lang AS (${graft.queries.Text.langPredSql}),
+    qual AS (${graft.queries.Text.qualitySql}),
+    exact AS (
+      SELECT doc_id,
+        MIN(doc_id) OVER (PARTITION BY md5(substr(lower(text), 1, 40))) AS exact_rep
+      FROM documents),
+    dec AS (
+      SELECT d.doc_id, l.pred_lang, q.quality,
+        CASE WHEN d.lang <> 'en' THEN 'lang'
+             WHEN q.quality < 0.5 THEN 'quality'
+             WHEN d.doc_id <> x.exact_rep THEN 'exact_dup'
+             WHEN d.doc_id <> c.cluster THEN 'near_dup'
+             ELSE 'kept' END AS reason
+      FROM documents d
+      JOIN lang l ON l.doc_id = d.doc_id
+      JOIN qual q ON q.doc_id = d.doc_id
+      JOIN exact x ON x.doc_id = d.doc_id
+      JOIN labels c ON c.id = d.doc_id)
+    SELECT doc_id, pred_lang, ROUND(quality, 4) AS quality,
+      reason = 'kept' AS keep, reason
+    FROM dec
+    ORDER BY doc_id"""
+
   val oracles: Map[String, String] = Map(
+    "doc_pipeline_filter" -> docPipelineFilterSql,
     "emb_ann_ivf" -> embAnnIvfSql,
     "emb_ann_lsh" -> embAnnLshSql,
     "doc_fingerprint" -> docFingerprintSql,

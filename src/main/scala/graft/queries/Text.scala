@@ -21,7 +21,7 @@ object Text {
   private def occurrences(padded: Column, w: String): Column =
     (length(padded) - length(expr(s"replace(padded, '$w', '')"))) / w.length
 
-  private def occSql(w: String): String =
+  private[queries] def occSql(w: String): String =
     s"(length(padded) - length(replace(padded, '$w', ''))) / ${w.length}"
 
   // --------------------------------------------------- doc_exact_dedup
@@ -99,20 +99,27 @@ object Text {
     "fr" -> Seq(" le ", " la ", " et "),
     "es" -> Seq(" el ", " que ", " los "))
 
-  private val docLangId: Q = (s, d) => {
+  /** (all document columns) + score_* + pred_lang — the language-ID
+    * stage, exposed for pipeline composition (doc_pipeline_filter). */
+  def langScored(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d)
       .withColumn("padded", concat(lit(" "), lower(col("text")), lit(" ")))
       .withColumn("cjk", regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")))
     val scored = langStops.foldLeft(base) { case (df, (l, ws)) =>
       df.withColumn(s"score_$l", ws.map(w => occurrences(col("padded"), w)).reduce(_ + _))
     }
+    scored.withColumn("pred_lang",
+      when(col("cjk") > 0, "zh")
+        .when(col("score_en") >= col("score_de") && col("score_en") >= col("score_fr") && col("score_en") >= col("score_es"), "en")
+        .when(col("score_de") >= col("score_fr") && col("score_de") >= col("score_es"), "de")
+        .when(col("score_fr") >= col("score_es"), "fr")
+        .otherwise("es"))
+  }
+
+  private val docLangId: Q = (s, d) => {
+    val scored = langScored(s, d)
     scored.select(
-        col("doc_id"), col("lang").as("labeled_lang"),
-        when(col("cjk") > 0, "zh")
-          .when(col("score_en") >= col("score_de") && col("score_en") >= col("score_fr") && col("score_en") >= col("score_es"), "en")
-          .when(col("score_de") >= col("score_fr") && col("score_de") >= col("score_es"), "de")
-          .when(col("score_fr") >= col("score_es"), "fr")
-          .otherwise("es").as("pred_lang"),
+        col("doc_id"), col("lang").as("labeled_lang"), col("pred_lang"),
         col("score_en"), col("score_de"), col("score_fr"), col("score_es"))
       .orderBy(col("doc_id"))
   }
@@ -146,7 +153,9 @@ object Text {
   // Quality features: length, word count, punctuation ratio,
   // stopword ratio, and a fixed weighted score — the filter stage of a
   // pretraining pipeline.
-  private val docQualityScore: Q = (s, d) =>
+  /** (all document columns) + quality features — the quality-scoring
+    * stage, exposed for pipeline composition (doc_pipeline_filter). */
+  def qualityScored(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("padded", concat(lit(" "), lower(col("text")), lit(" ")))
       .withColumn("n_chars_m", length(col("text")))
@@ -160,6 +169,9 @@ object Text {
         least(lit(1.0), col("n_words").cast(DoubleType) / 200.0) * 0.4
           + (lit(1.0) - col("punct_ratio")) * 0.3
           + least(lit(1.0), col("stop_ratio") * 10.0) * 0.3)
+
+  private val docQualityScore: Q = (s, d) =>
+    qualityScored(s, d)
       .select(col("doc_id"), col("n_chars_m"), col("n_words"), col("punct_cnt"),
         col("stop_cnt"), col("punct_ratio"), col("stop_ratio"), col("quality"))
       .orderBy(col("doc_id"))
@@ -225,6 +237,38 @@ object Text {
       octet_length(encode(text)) > length(text) AS is_multibyte
     FROM documents
     ORDER BY doc_id"""
+
+  /** CTE-ready oracle SQL of the language stage: (doc_id, pred_lang).
+    * Same expression shapes as docLangIdSql (hash-match proven). */
+  val langPredSql: String = {
+    val scores = langStops.map { case (l, ws) =>
+      ws.map(occSql).mkString(" + ") + s" AS score_$l"
+    }.mkString(",\n          ")
+    s"""SELECT doc_id,
+      CASE WHEN cjk > 0 THEN 'zh'
+           WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+           WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+           WHEN score_fr >= score_es THEN 'fr'
+           ELSE 'es' END AS pred_lang
+    FROM (
+      SELECT doc_id, cjk,
+          $scores
+      FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS padded,
+              len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk
+            FROM documents))"""
+  }
+
+  /** CTE-ready oracle SQL of the quality stage: (doc_id, quality).
+    * Same expression shapes as docQualityScoreSql. */
+  val qualitySql: String = s"""SELECT doc_id,
+      LEAST(1.0, CAST(n_words AS DOUBLE) / 200.0) * 0.4
+        + (1.0 - CAST(punct_cnt AS DOUBLE) / CAST(n_chars_m AS DOUBLE)) * 0.3
+        + LEAST(1.0, CAST(stop_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) * 10.0) * 0.3 AS quality
+    FROM (SELECT doc_id, length(text) AS n_chars_m,
+            len(string_split_regex(trim(text), '\\s+')) AS n_words,
+            length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_cnt,
+            ${occSql(" the ")} + ${occSql(" a ")} AS stop_cnt
+          FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded FROM documents))"""
 
   val entries: Map[String, Q] = Map(
     "doc_exact_dedup" -> docExactDedup,

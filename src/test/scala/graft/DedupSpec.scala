@@ -130,6 +130,19 @@ class DedupSpec extends SparkSpec {
     assert(out.select("representative_id").distinct.count() == out.count())
   }
 
+  test("pipeline filter: every doc decided exactly once, kept set consistent with gates") {
+    val out = SparkEntry.queries("doc_pipeline_filter")(spark, sf).collect()
+    assert(out.length == Tables.documents(spark, sf).count())
+    val byReason = out.groupBy(_.getString(4)).view.mapValues(_.length).toMap
+    assert(byReason.keySet.subsetOf(Set("lang", "quality", "exact_dup", "near_dup", "kept")))
+    // kept rows pass both scalar gates; keep flag == (reason == kept)
+    out.foreach { r =>
+      assert(r.getBoolean(3) == (r.getString(4) == "kept"))
+      if (r.getBoolean(3)) assert(r.getDouble(2) >= 0.5)
+    }
+    assert(byReason.getOrElse("kept", 0) > 0 && byReason.getOrElse("lang", 0) > 0)
+  }
+
   test("exact dedup keeps one representative per content key") {
     val out = SparkEntry.queries("doc_exact_dedup")(spark, sf)
     val total = out.agg(sum("n_dups")).collect()(0).getLong(0)
