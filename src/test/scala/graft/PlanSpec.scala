@@ -67,4 +67,39 @@ class PlanSpec extends SparkSpec {
   test("global top-N (q02) plans as TakeOrderedAndProject, not a full sort") {
     assert(executedPlan("q02_top_orders").contains("TakeOrderedAndProject"))
   }
+
+  /** Adaptive plans print both the final and the initial tree; count
+    * nodes in the final one only. */
+  private def finalPlan(name: String): String = {
+    val plan = executedPlan(name)
+    val cut = plan.indexOf("== Initial Plan ==")
+    if (cut >= 0) plan.substring(0, cut) else plan
+  }
+
+  test("snapshot→delta runs on a single data shuffle (repartition serves both windows)") {
+    // HashPartitioning(instance, digest) satisfies the day-grained
+    // cumulative window's ClusteredDistribution AND the delta lag's —
+    // the only hash exchange is the explicit pre-partition
+    val plan = finalPlan("qan_snapshot_delta")
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$plan")
+  }
+
+  test("multi-counter delta collapses all N+1 lags into one Window node") {
+    val plan = finalPlan("qan_multi_counter_delta")
+    val windows = "Window \\[".r.findAllIn(plan).size
+    assert(windows == 2, s"expected 2 Window nodes (cumulatives + lags), got $windows:\n$plan")
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$plan")
+  }
+
+  test("custom expressions stay inside whole-stage codegen") {
+    // the "*(n)" prefix marks codegen spans; the fingerprint/simhash
+    // projections must carry it (no CodegenFallback breaking the span)
+    val fp = executedPlan("doc_fingerprint")
+    assert(fp.contains("*("), fp)
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(fp).isDefined, s"projection not codegen'd:\n$fp")
+    val sh = executedPlan("doc_simhash")
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(sh).isDefined, s"projection not codegen'd:\n$sh")
+  }
 }
