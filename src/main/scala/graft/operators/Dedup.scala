@@ -106,26 +106,17 @@ object Dedup {
     minhashCandidates(reps, "__text", n, k, bands, bucketCap).candidates.count()
   }
 
-  /** Full MinHash+LSH near-dup pipeline: exact-dedup pre-pass →
-    * shingle → sign → band (occupancy-capped) → bucket-join for
-    * candidates → exact Jaccard verification → expansion back to
-    * member pairs.
-    *
-    * The pre-pass collapses identical texts to one representative
-    * (min id) BEFORE any signature work: an m-doc exact-duplicate
-    * cluster would otherwise collide in every band and cost O(m²)
-    * through the candidate join. Identical docs share every gram
-    * hash, so within-group pairs are jaccard 1.0 by construction and
-    * cross-group pairs inherit their representatives' jaccard —
-    * the expanded output is bit-identical to the un-deduped pipeline.
-    *
-    * @param df       input with an id column and a text column
-    * @param tau      Jaccard threshold for verified pairs
-    * @return (a_id, b_id, jaccard) for verified candidate pairs
+  /** Rep-level form of [[minhashNearDupPairs]]: verified near-dup
+    * pairs BETWEEN text-group representatives plus the (rep, member)
+    * membership map — the inputs clustering needs without ever
+    * materializing the within-group pair cliques (O(m²) per exact-dup
+    * group). Use [[minhashNearDupPairs]] when the full pair list is
+    * the product; use this + [[clusterLabelsFromReps]] for dedup
+    * decisions.
     */
-  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+  def minhashNearDupRepPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 36, bands: Int = 6, tau: Double = 0.8,
-      bucketCap: Int = 1000): DataFrame = {
+      bucketCap: Int = 1000): (DataFrame, DataFrame) = {
     // exact-dedup pre-pass: one representative per distinct text;
     // keyed by the text itself (exact, and the text is shuffled into
     // the shingle stage anyway — no extra pass)
@@ -155,13 +146,40 @@ object Dedup {
         (size(col("a_g")) + size(col("b_g")) - col("inter")).cast(DoubleType))
       .filter(col("jaccard") >= tau)
       .select(col("a_id"), col("b_id"), col("jaccard"))
-    // expansion: rep → members mapping restores the pre-pass-collapsed
-    // ids. Within-group pairs are exact duplicates (jaccard 1.0);
-    // cross-group member pairs inherit the verified rep jaccard.
     val mem = members
       .join(reps.select(col("__text"), col("id").as("rep")), Seq("__text"))
       .select(col("rep"), col("id").as("member"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (repPairs, mem)
+  }
+
+  /** Cluster labels for every document from rep-level pairs + the
+    * membership map: connected components run on the (small) rep
+    * graph, then labels expand through membership. Exact: a rep is
+    * the MIN id of its text group, so the component minimum over reps
+    * equals the component minimum over all member ids — identical
+    * labels to clustering the fully-expanded pair list, without the
+    * O(m²) within-group clique edges.
+    */
+  def clusterLabelsFromReps(repPairs: DataFrame, mem: DataFrame): DataFrame = {
+    val repLabels = connectedComponents(
+      mem.select(col("rep").as("id")).distinct(),
+      repPairs.select(col("a_id"), col("b_id")))
+    mem.join(repLabels, mem("rep") === repLabels("id"))
+      .select(mem("member").as("id"), repLabels("cluster"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline with the member-level pair
+    * list as the product — [[minhashNearDupRepPairs]] plus expansion:
+    * within-group pairs are exact duplicates (jaccard 1.0 by
+    * construction); cross-group member pairs inherit the verified rep
+    * jaccard. Output is bit-identical to running the un-deduped
+    * pipeline.
+    */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 36, bands: Int = 6, tau: Double = 0.8,
+      bucketCap: Int = 1000): DataFrame = {
+    val (repPairs, mem) = minhashNearDupRepPairs(df, idCol, textCol, n, k, bands, tau, bucketCap)
     val within = mem.as("x")
       .join(mem.as("y"),
         col("x.rep") === col("y.rep") && col("x.member") < col("y.member"))

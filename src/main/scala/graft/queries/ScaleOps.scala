@@ -30,10 +30,12 @@ object ScaleOps {
   // Cluster formation over MinHash near-dup pairs: connected
   // components → one representative per cluster with its size — the
   // "drop all but one" dedup decision table.
+  // Clustering runs on the rep graph (clusterLabelsFromReps): exact
+  // labels without the O(m²) within-group clique edges the expanded
+  // pair list would feed CC.
   private val docDedupClusters: Q = (s, d) => {
-    val docs = documents(s, d).select(col("doc_id").as("id"))
-    val pairs = Dedup.minhashNearDupPairs(documents(s, d), "doc_id", "text")
-    Dedup.connectedComponents(docs, pairs)
+    val (repPairs, mem) = Dedup.minhashNearDupRepPairs(documents(s, d), "doc_id", "text")
+    Dedup.clusterLabelsFromReps(repPairs, mem)
       .groupBy(col("cluster").as("representative_id"))
       .agg(count(lit(1)).as("cluster_size"))
       .orderBy(col("representative_id"))
@@ -77,10 +79,11 @@ object ScaleOps {
       .withColumn("exact_rep", min(col("doc_id")).over(
         Window.partitionBy(md5(substring(lower(col("text")), 1, 40)))))
       .select(col("doc_id"), col("exact_rep"))
-    val clusters = Dedup.connectedComponents(
-        documents(s, d).select(col("doc_id").as("id")),
-        Dedup.minhashNearDupPairs(documents(s, d), "doc_id", "text"))
-      .select(col("id").as("doc_id"), col("cluster"))
+    val clusters = {
+      val (repPairs, mem) = Dedup.minhashNearDupRepPairs(documents(s, d), "doc_id", "text")
+      Dedup.clusterLabelsFromReps(repPairs, mem)
+        .select(col("id").as("doc_id"), col("cluster"))
+    }
     // the language GATE uses the table's labeled lang (the heuristic
     // lang-ID predicts 'en' for this all-English synthetic corpus, so
     // gating on it would never fire); pred_lang stays in the output as
