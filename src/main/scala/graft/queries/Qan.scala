@@ -391,6 +391,31 @@ object Qan {
     WHERE delta_value > 0
     ORDER BY timestamp, resource_instance_id, db_statement_digest"""
 
+  // --------------------------------------------------- qan_skew_join
+  // Fact-fact join through the pre-salted skew join (SkewJoin
+  // .saltedInner): a hot instance's events spread over `buckets`
+  // reducers instead of one. Salting never changes the joined multiset,
+  // so the oracle is the plain inner join — which is exactly the point:
+  // same answer, bounded reducer.
+  private val qanSkewJoin: Q = (s, d) => {
+    val ev = events(s, d).select(col("user_id"), col("value"))
+    val ot = orders(s, d).select(col("o_custkey").as("user_id"), col("o_totalprice"))
+    graft.operators.SkewJoin.saltedInner(ev, ot, "user_id", buckets = 8)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        dsum(col("value")).as("sum_value"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("user_id"))
+  }
+
+  private val qanSkewJoinSql = """
+    SELECT e.user_id, COUNT(*) AS n_pairs,
+      CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+      CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM events e JOIN orders o ON o.o_custkey = e.user_id
+    GROUP BY 1
+    ORDER BY 1"""
+
   // ------------------------------------------- qan_multi_counter_delta
   // The reference's delta record carries ~13 counters, not one
   // (mysql/snapshot.go:103–156 DeltaResult). Multi-counter cumulative
@@ -532,6 +557,7 @@ object Qan {
     ORDER BY 1, 2, 3"""
 
   val entries: Map[String, Q] = Map(
+    "qan_skew_join" -> qanSkewJoin,
     "qan_multi_counter_delta" -> qanMultiCounterDelta,
     "qan_multi_counter_rollup" -> qanMultiCounterRollup,
     "qan_otel_export" -> qanOtelExport,
@@ -548,6 +574,7 @@ object Qan {
     "qan_governor_interval" -> qanGovernorInterval)
 
   val oracles: Map[String, String] = Map(
+    "qan_skew_join" -> qanSkewJoinSql,
     "qan_multi_counter_delta" -> qanMultiCounterDeltaSql,
     "qan_multi_counter_rollup" -> qanMultiCounterRollupSql,
     "qan_otel_export" -> qanOtelExportSql,
