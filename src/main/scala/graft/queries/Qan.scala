@@ -391,6 +391,38 @@ object Qan {
     WHERE delta_value > 0
     ORDER BY timestamp, resource_instance_id, db_statement_digest"""
 
+  // ------------------------------------------------ qan_latest_metric
+  // Druid SQL's LATEST/EARLIEST time-aware aggregates: per instance,
+  // the metric value at the max/min event time. max_by/min_by over a
+  // (ts, event_id) struct — single hash aggregation with map-side
+  // partials, deterministic because the key is unique per instance.
+  private val qanLatestMetric: Q = (s, d) =>
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        expr("max_by(value, struct(ts, event_id))").as("latest_value"),
+        expr("min_by(value, struct(ts, event_id))").as("earliest_value"),
+        max(col("ts")).as("latest_ts"),
+        min(col("ts")).as("earliest_ts"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  private val qanLatestMetricSql = """
+    WITH ranked AS (
+      SELECT user_id, value, ts,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_l,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_e
+      FROM events)
+    SELECT user_id,
+      MAX(CASE WHEN rn_l = 1 THEN value END) AS latest_value,
+      MAX(CASE WHEN rn_e = 1 THEN value END) AS earliest_value,
+      MAX(ts) AS latest_ts,
+      MIN(ts) AS earliest_ts,
+      COUNT(*) AS n_events
+    FROM ranked
+    GROUP BY 1
+    ORDER BY 1"""
+
   // --------------------------------------------------- qan_skew_join
   // Fact-fact join through the pre-salted skew join (SkewJoin
   // .saltedInner): a hot instance's events spread over `buckets`
@@ -557,6 +589,7 @@ object Qan {
     ORDER BY 1, 2, 3"""
 
   val entries: Map[String, Q] = Map(
+    "qan_latest_metric" -> qanLatestMetric,
     "qan_skew_join" -> qanSkewJoin,
     "qan_multi_counter_delta" -> qanMultiCounterDelta,
     "qan_multi_counter_rollup" -> qanMultiCounterRollup,
@@ -574,6 +607,7 @@ object Qan {
     "qan_governor_interval" -> qanGovernorInterval)
 
   val oracles: Map[String, String] = Map(
+    "qan_latest_metric" -> qanLatestMetricSql,
     "qan_skew_join" -> qanSkewJoinSql,
     "qan_multi_counter_delta" -> qanMultiCounterDeltaSql,
     "qan_multi_counter_rollup" -> qanMultiCounterRollupSql,
