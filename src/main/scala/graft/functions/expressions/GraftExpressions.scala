@@ -111,7 +111,7 @@ object SimHash {
   }
 
   /** FNV-1a 64-bit over a char range — fast, stable, dependency-free. */
-  private def fnv64(s: String, from: Int, until: Int): Long = {
+  def fnv64(s: String, from: Int, until: Int): Long = {
     var h = 0xcbf29ce484222325L
     var i = from
     while (i < until) {
@@ -250,6 +250,36 @@ object ExprKernels {
     c
   }
 
+  /** Content-defined chunking: a boundary closes after character i
+    * (1-based window end, i ≥ w) when the FNV-1a hash of the last `w`
+    * characters has its low bits zero (`h & mask == 0`); each chunk's
+    * fingerprint is the polynomial hash of its UTF-8 bytes. Boundaries
+    * re-synchronize after an insertion, so shared passages yield
+    * shared chunk fingerprints regardless of offset — the property
+    * that makes chunk-level dedup shift-resistant where fixed-size
+    * blocks are not.
+    */
+  def chunkFingerprints(text: UTF8String, w: Int, mask: Long): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val fps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var start = 0
+    var i = w - 1 // 0-based index of the window's last char
+    while (i < n) {
+      // stateless boundary rule (no minimum-chunk skip): every
+      // position is tested, so the boundary set is a pure filter —
+      // deterministic, shift-resistant, and engine-replayable
+      val h = SimHash.fnv64(s, i - w + 1, i + 1)
+      if ((h & mask) == 0L) {
+        fps += PolyHash.ofBytes(s.substring(start, i + 1).getBytes("UTF-8"))
+        start = i + 1
+      }
+      i += 1
+    }
+    if (start < n) fps += PolyHash.ofBytes(s.substring(start).getBytes("UTF-8"))
+    new GenericArrayData(fps.toArray)
+  }
+
   def cosineSimilarity(x: ArrayData, y: ArrayData): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
@@ -358,6 +388,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "cosine_similarity"
 }
 
+/** Content-defined chunk fingerprints of a document (rolling-window
+  * FNV boundaries, polynomial chunk hashes) — the shift-resistant
+  * chunk-level dedup primitive (see ExprKernels.chunkFingerprints).
+  */
+case class ChunkFingerprints(child: Expression, w: Int, mask: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.chunkFingerprints(v.asInstanceOf[UTF8String], w, mask)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.ExprKernels.chunkFingerprints($c, $w, ${mask}L);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "chunk_fingerprints"
+}
+
 /** SimHash64 fingerprint of a document's token stream. */
 case class SimHash64(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -384,5 +431,7 @@ object GraftFunctions {
   def cosineSimilarity(a: Column, b: Column): Column = column(CosineSimilarity(expression(a), expression(b)))
   def sortedIntersectCount(a: Column, b: Column): Column = column(SortedIntersectCount(expression(a), expression(b)))
   def polyFingerprint(c: Column): Column = column(PolyFingerprint(expression(c)))
+  def chunkFingerprints(c: Column, w: Int = 8, mask: Long = 31L): Column =
+    column(ChunkFingerprints(expression(c), w, mask))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
 }

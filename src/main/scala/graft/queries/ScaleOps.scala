@@ -65,6 +65,69 @@ object ScaleOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // Content-defined chunk dedup: rolling-window FNV boundaries →
+  // polynomial chunk fingerprints → chunks shared across documents.
+  // The shift-resistant form of block-level dedup: shared passages
+  // fingerprint identically regardless of offset, so boilerplate
+  // paragraphs surface as high-n_docs chunks. One explode + one
+  // hash-aggregate — the same single-shuffle shape as exact dedup.
+  private val docChunkDedup: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"),
+        explode(GraftFunctions.chunkFingerprints(col("text"))).as("chunk_fp"))
+      .groupBy(col("chunk_fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("chunk_fp"))
+
+  /** DuckDB replay of content-defined chunking: the boundary set is a
+    * pure filter (window FNV in HUGEINT mod 2⁶⁴, low-5-bits-zero
+    * test), chunks are consecutive-boundary substrings, and each
+    * chunk's polynomial fingerprint reuses the doc_fingerprint fold.
+    */
+  private val docChunkDedupSql: String = {
+    val two64 = BigInt(1) << 64
+    s"""
+    WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    b AS (
+      SELECT doc_id, text,
+        list_append(
+          list_filter(range(8, n + 1), i ->
+            list_reduce(
+              list_prepend(14695981039346656037::HUGEINT,
+                list_transform(range(i - 7, i + 1),
+                  j -> CAST(unicode(substr(text, CAST(j AS INT), 1)) AS HUGEINT))),
+              (acc, c) -> (xor(acc, c) * 1099511628211) % $two64::HUGEINT) % 32 = 0),
+          CAST(n AS BIGINT)) AS bnds
+      FROM t),
+    ju AS (
+      SELECT doc_id, text, bnds, unnest(range(1, len(bnds) + 1)) AS j FROM b),
+    ch AS (
+      SELECT doc_id,
+        CASE WHEN j = 1 THEN 0 ELSE bnds[CAST(j AS INT) - 1] END AS cstart,
+        bnds[CAST(j AS INT)] AS cend, text
+      FROM ju),
+    nz AS (
+      SELECT doc_id,
+        substr(text, CAST(cstart AS INT) + 1, CAST(cend - cstart AS INT)) AS chunk
+      FROM ch WHERE cend > cstart),
+    fp AS (
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(CAST(0 AS HUGEINT),
+            list_transform(range(1, octet_length(encode(chunk)) + 1),
+              i -> CAST((instr('0123456789ABCDEF', substr(hex(encode(chunk)), 2*i-1, 1)) - 1) * 16
+                 + instr('0123456789ABCDEF', substr(hex(encode(chunk)), 2*i, 1)) - 1 AS HUGEINT))),
+          (acc, v) -> (acc * 1000003 + v) % 2305843009213693951) AS fp_h
+      FROM nz)
+    SELECT CAST(fp_h AS BIGINT) AS chunk_fp,
+      COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+    FROM fp
+    GROUP BY 1
+    HAVING COUNT(DISTINCT doc_id) > 1
+    ORDER BY 1"""
+  }
+
   // The composed training-data cleaning pass — the end-to-end per-doc
   // decision a pretraining pipeline makes, built from the block-C
   // operators in one plan: language gate → quality gate → exact-dup
@@ -148,6 +211,7 @@ object ScaleOps {
     ORDER BY doc_id"""
 
   val entries: Map[String, Q] = Map(
+    "doc_chunk_dedup" -> docChunkDedup,
     "doc_pipeline_filter" -> docPipelineFilter,
     "emb_ann_ivf" -> embAnnIvf,
     "doc_minhash_lsh" -> docMinhashLsh,
@@ -477,6 +541,7 @@ object ScaleOps {
     ORDER BY doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "doc_chunk_dedup" -> docChunkDedupSql,
     "doc_pipeline_filter" -> docPipelineFilterSql,
     "emb_ann_ivf" -> embAnnIvfSql,
     "emb_ann_lsh" -> embAnnLshSql,

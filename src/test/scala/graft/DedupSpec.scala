@@ -130,6 +130,28 @@ class DedupSpec extends SparkSpec {
     assert(out.select("representative_id").distinct.count() == out.count())
   }
 
+  test("content-defined chunks: shift-resistant — shared passage fingerprints identically") {
+    import spark.implicits._
+    import graft.functions.expressions.GraftFunctions
+    val shared = "The quick brown fox jumps over the lazy dog while the band plays on. " * 4
+    val df = Seq(
+      (1L, shared),
+      (2L, "An unrelated new introduction paragraph comes first here. " + shared),
+      (3L, "Entirely different content with no overlap at all in any window of it."))
+      .toDF("id", "text")
+      .select(col("id"), GraftFunctions.chunkFingerprints(col("text")).as("fps"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // boundaries re-synchronize after doc 2's inserted prefix, so the
+    // shared passage's interior chunks coincide despite the offset
+    val overlap12 = fps(1L).intersect(fps(2L)).size
+    assert(overlap12 > 0, s"no shared chunks across shifted copies: ${fps(1L)} vs ${fps(2L)}")
+    assert(fps(1L).intersect(fps(3L)).isEmpty)
+    // determinism
+    val again = Seq((1L, shared)).toDF("id", "text")
+      .select(GraftFunctions.chunkFingerprints(col("text"))).collect()(0).getSeq[Long](0).toSet
+    assert(again == fps(1L))
+  }
+
   test("pipeline filter: every doc decided exactly once, kept set consistent with gates") {
     val out = SparkEntry.queries("doc_pipeline_filter")(spark, sf).collect()
     assert(out.length == Tables.documents(spark, sf).count())
