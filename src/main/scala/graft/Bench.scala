@@ -8,6 +8,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // comma-separated query-name filter for single-query iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // repetitions per query; the reported time is the median (odd count
+    // recommended). Default 3 — single-run timings proved order-
+    // dependent (JVM/JIT/block-manager noise swamped sub-second queries)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,31 +29,57 @@ object Bench {
         dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
     // operators persist/localCheckpoint intermediates that outlive the
-    // query (minhash base, CC labels); drop them between queries so
-    // block-manager pressure from query i doesn't tax query i+1
+    // query (minhash base, CC labels); drop them between queries —
+    // BLOCKING, so eviction I/O from query i never bleeds into query
+    // i+1's timed window
     def clearState(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
     }
     // Warm-up at the smallest scale factor: JIT, codegen cache, parquet
     // footer reads — so per-query timings below measure the queries,
-    // not first-use JVM costs. Falls back silently if sf0.001 is absent.
+    // not first-use JVM costs. Failures here are non-fatal (sf0.001 may
+    // be absent) but logged — a silent warm-up crash hid real breakage.
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    try selected.foreach { case (_, fn) =>
-      try { run(fn, "/root/testdata/sf0.001") } catch { case _: Throwable => }
+    selected.foreach { case (name, fn) =>
+      try run(fn, "/root/testdata/sf0.001") catch {
+        case e: Throwable => System.err.println(s"[bench warm-up] $name: ${e.getMessage}")
+      }
       clearState()
-    } catch { case _: Throwable => }
+    }
+    // Timed section: median of `runs` repetitions per query. A failure
+    // is recorded explicitly (never a ~0s success) and fails the run.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = selected.map { case (name, fn) =>
-      clearState() // outside the timed section
-      val t0 = System.nanoTime()
-      try { run(fn, sfDir) } catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).flatMap { _ =>
+        if (failures.contains(name)) None
+        else {
+          clearState() // outside the timed section
+          val t0 = System.nanoTime()
+          try { run(fn, sfDir); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            System.err.println(s"[bench FAIL] $name: ${failures(name)}")
+            None
+          }
+        }
+      }
+      val median =
+        if (times.isEmpty) -1.0
+        else times.sorted.apply(times.size / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String): String =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => " "; case c => c.toString } + "\""
+    val fails = failures.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failures":$fails,"sf":"$sfDir"}""")
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

@@ -293,6 +293,161 @@ object ExprKernels {
   }
 }
 
+/** Static kernels for the ANN expressions: plane/centroid tables ride
+  * along as reference objects (`ctx.addReferenceObj`), so the per-row
+  * work is one tight compiled loop — the HOF formulation
+  * (`aggregate(zip_with(...))`) interprets bits×dim lambdas per row,
+  * which dominated the full-corpus coding scans.
+  *
+  * Every accumulation below is a sequential index-order fold, the same
+  * order as the HOF `aggregate` it replaces and as DuckDB's
+  * `list_reduce` — bit-identical doubles, so the existing oracles
+  * replay unchanged.
+  */
+object AnnKernels {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  /** Sign-bit bucket code: bit j set iff v·planes(j) > 0. */
+  def hyperplaneCode(v: ArrayData, planes: Array[Array[Double]]): Long = {
+    var code = 0L
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      val n = math.min(v.numElements(), p.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getDouble(i) * p(i); i += 1 }
+      if (dot > 0) code |= (1L << j)
+      j += 1
+    }
+    code
+  }
+
+  private def sqDist(v: ArrayData, c: Array[Double]): Double = {
+    val n = math.min(v.numElements(), c.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val d = v.getDouble(i) - c(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** Cell id of the nearest centroid (squared L2; ties → the earliest
+    * row, i.e. the lowest cell id when `cellIds` is ascending — the
+    * same rule as `ROW_NUMBER() OVER (ORDER BY dist, cell)`).
+    */
+  def nearestCell(v: ArrayData, cents: Array[Array[Double]], cellIds: Array[Int]): Int = {
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var j = 0
+    while (j < cents.length) {
+      val d = sqDist(v, cents(j))
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    cellIds(best)
+  }
+
+  /** The `nprobe` nearest cell ids, ordered by (dist asc, cell asc) —
+    * repeated argmin with strict <, so ties resolve to the lower cell.
+    */
+  def nearestCells(v: ArrayData, cents: Array[Array[Double]], cellIds: Array[Int],
+      nprobe: Int): ArrayData = {
+    val m = cents.length
+    val dists = new Array[Double](m)
+    var j = 0
+    while (j < m) { dists(j) = sqDist(v, cents(j)); j += 1 }
+    val taken = new Array[Boolean](m)
+    val k = math.min(nprobe, m)
+    val out = new Array[Int](k)
+    var r = 0
+    while (r < k) {
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      j = 0
+      while (j < m) {
+        if (!taken(j) && dists(j) < bestD) { bestD = dists(j); best = j }
+        j += 1
+      }
+      taken(best) = true
+      out(r) = cellIds(best)
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Random-hyperplane LSH bucket code of an array<double> vector —
+  * native replacement for the interpreted
+  * `sum(CASE WHEN aggregate(zip_with(v, plane_j, *), 0, +) > 0 ...)`
+  * per-bit HOF chain (bits×dim interpreted lambdas per row).
+  */
+case class HyperplaneCode(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def nullSafeEval(v: Any): Any =
+    AnnKernels.hyperplaneCode(v.asInstanceOf[ArrayData], planeArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planeArr, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.AnnKernels.hyperplaneCode($c, $ref);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "hyperplane_code"
+}
+
+/** IVF assignment as a pure projection: the nearest centroid's cell id
+  * (centroids ride along as a reference object — they are ≤ cells×dim
+  * doubles, the quintessential broadcast-sized table). Replaces the
+  * crossJoin(centroids) + `ROW_NUMBER OVER (PARTITION BY id)` plan,
+  * whose cells× row amplification and full-corpus window shuffle were
+  * the IVF scale-killers.
+  */
+case class NearestCell(child: Expression, cents: Seq[Seq[Double]], cellIds: Seq[Int])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  @transient private lazy val centArr: Array[Array[Double]] = cents.map(_.toArray).toArray
+  @transient private lazy val idArr: Array[Int] = cellIds.toArray
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def nullSafeEval(v: Any): Any =
+    AnnKernels.nearestCell(v.asInstanceOf[ArrayData], centArr, idArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cents", centArr, "double[][]")
+    val iRef = ctx.addReferenceObj("cellIds", idArr, "int[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.AnnKernels.nearestCell($c, $cRef, $iRef);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "nearest_cell"
+}
+
+/** The nprobe nearest cell ids for a query vector, ordered by
+  * (dist, cell) — the IVF probe set, as one compiled projection.
+  */
+case class NearestCells(child: Expression, cents: Seq[Seq[Double]], cellIds: Seq[Int],
+    nprobe: Int) extends UnaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  @transient private lazy val centArr: Array[Array[Double]] = cents.map(_.toArray).toArray
+  @transient private lazy val idArr: Array[Int] = cellIds.toArray
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def nullSafeEval(v: Any): Any =
+    AnnKernels.nearestCells(v.asInstanceOf[ArrayData], centArr, idArr, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cents", centArr, "double[][]")
+    val iRef = ctx.addReferenceObj("cellIds", idArr, "int[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.AnnKernels.nearestCells($c, $cRef, $iRef, $nprobe);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "nearest_cells"
+}
+
 /** MinHash signature (k slots) of a pre-hashed shingle set
   * (array<long>, from GramHashes).
   */
@@ -434,4 +589,11 @@ object GraftFunctions {
   def chunkFingerprints(c: Column, w: Int = 8, mask: Long = 31L): Column =
     column(ChunkFingerprints(expression(c), w, mask))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def hyperplaneCode(v: Column, planes: Array[Array[Double]]): Column =
+    column(HyperplaneCode(expression(v), planes.toSeq.map(_.toSeq)))
+  def nearestCell(v: Column, cents: Array[Array[Double]], cellIds: Array[Int]): Column =
+    column(NearestCell(expression(v), cents.toSeq.map(_.toSeq), cellIds.toSeq))
+  def nearestCells(v: Column, cents: Array[Array[Double]], cellIds: Array[Int],
+      nprobe: Int): Column =
+    column(NearestCells(expression(v), cents.toSeq.map(_.toSeq), cellIds.toSeq, nprobe))
 }

@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
+import graft.functions.expressions.GraftFunctions
+
 /** Approximate nearest neighbour via IVF (inverted-file) cells — the
   * second scale path next to AnnLsh, trading LSH's oblivious buckets
   * for data-adaptive ones.
@@ -15,14 +17,18 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * centroid (the inverted file) → each query probes its `nprobe`
   * nearest cells and exact-cosine re-ranks inside them.
   *
-  * At 100 TB: centroids are a tiny broadcast table (cells × dim),
-  * assignment is one scan, the search is an equi-join on cell id, and
-  * per-query work is bounded by probed-cell occupancy — the same
-  * bounded-bucket argument as AnnLsh, but cells track the data
-  * distribution so occupancy stays balanced where random hyperplanes
-  * would not. More Lloyd rounds would just repeat the refinement
-  * stage; one round keeps the oracle replay tractable while
-  * exercising the full shape.
+  * At 100 TB: centroids are a tiny table (≤ cells×dim doubles) that is
+  * collected once and shipped to executors as a codegen reference
+  * object, so BOTH assignment stages are pure projections on a single
+  * corpus scan — no crossJoin row amplification, no per-vector window
+  * shuffle. The Lloyd mean is per-dimension decimal sums in one
+  * hash-aggregate (map-side partials), not a posexplode to n×dim rows.
+  * The search is an equi-join on cell id; per-query work is bounded by
+  * probed-cell occupancy — the same bounded-bucket argument as AnnLsh,
+  * but cells track the data distribution so occupancy stays balanced
+  * where random hyperplanes would not. More Lloyd rounds would repeat
+  * the refinement stage; one round keeps the oracle replay tractable
+  * while exercising the full shape.
   */
 object AnnIvf {
 
@@ -39,43 +45,47 @@ object AnnIvf {
     Array.fill(cells, dim)(next())
   }
 
-  /** Squared-L2 distances of `v` to every inline centroid, as an
-    * array column — sequential fold per centroid, the shape DuckDB's
-    * list_reduce replays bit-exactly.
-    */
-  private def distArray(v: String, cents: Array[Array[Double]]): Column = {
-    val folds = cents.map { c =>
-      val lits = c.mkString("array(", "D,", "D)")
-      s"aggregate(zip_with($v, $lits, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
-    }
-    expr(folds.mkString("array(", ", ", ")"))
-  }
-
-  /** Squared-L2 fold between two array columns (corpus vector vs a
-    * refined-centroid row from the cross join). */
-  private def distCols(v: String, c: String): Column =
-    expr(s"aggregate(zip_with($v, $c, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
-
   /** One Lloyd refinement: assign to the nearest seeded centroid
-    * (ties → lowest cell), then per-cell per-dimension means with
-    * decimal-exact sums. Returns (cell, centroid: array<double>);
-    * empty cells vanish (no members → no mean), deterministically.
+    * (ties → lowest cell, via the NearestCell argmin projection), then
+    * per-cell per-dimension means with decimal-exact sums — one
+    * hash-aggregate with map-side partials, no row explosion. Returns
+    * (cell, centroid: array<double>); empty cells vanish (no members →
+    * no mean), deterministically.
     */
   def refinedCentroids(corpus: DataFrame, cells: Int, dim: Int): DataFrame = {
     val cents = centroids0(cells, dim)
-    val assigned = corpus
-      .withColumn("__d", distArray("v", cents))
-      // first occurrence of the min = lowest cell id on exact ties
-      .withColumn("cell", expr("array_position(__d, array_min(__d)) - 1"))
+    val assigned = corpus.withColumn("cell",
+      GraftFunctions.nearestCell(col("v"), cents, Array.tabulate(cells)(identity)))
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col("v"), i + 1).cast(DecimalType(18, 6))).as(s"__s$i"))
     assigned
-      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy(col("cell"), col("dim"))
-      .agg((sum(col("x").cast(DecimalType(18, 6))).cast(DoubleType) /
-        count(lit(1))).as("m"))
       .groupBy(col("cell"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)")
-        .as("centroid"))
+      .agg(count(lit(1)).as("__n"), sums: _*)
+      .select(col("cell"),
+        array((0 until dim).map(i =>
+          col(s"__s$i").cast(DoubleType) / col("__n")): _*).as("centroid"))
   }
+
+  /** Driver-side materialization of the refined centroids, ascending
+    * by cell id (so argmin tie-breaks resolve to the lowest cell —
+    * the `ROW_NUMBER OVER (ORDER BY dist, cell)` rule). This is the
+    * "collect the broadcast side" step: at most cells×dim doubles.
+    */
+  def collectCentroids(cent1: DataFrame): (Array[Int], Array[Array[Double]]) = {
+    val rows = cent1.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    (rows.map(_._1), rows.map(_._2))
+  }
+
+  /** The inverted file: each corpus vector tagged with its nearest
+    * refined cell — a single scan-level projection (PlanSpec-asserted:
+    * no Window, no Exchange in this stage).
+    */
+  def invertedFile(vecs: DataFrame, cellIds: Array[Int],
+      cents: Array[Array[Double]]): DataFrame =
+    vecs.select(col("id"), col("v"),
+      GraftFunctions.nearestCell(col("v"), cents, cellIds).as("cell"))
 
   /** Top-k approximate neighbours per query through the inverted file.
     *
@@ -84,26 +94,15 @@ object AnnIvf {
     */
   def topK(vecs: DataFrame, queries: DataFrame, k: Int, cells: Int, dim: Int,
       nprobe: Int = 2): DataFrame = {
-    val cent1 = refinedCentroids(vecs, cells, dim)
-    // inverted file: each corpus vector in its nearest refined cell
-    // (broadcast cross join: centroids are cells×dim, always tiny)
-    val wVec = Window.partitionBy(col("id")).orderBy(col("dist"), col("cell"))
-    val inverted = vecs.crossJoin(broadcast(cent1))
-      .withColumn("dist", distCols("v", "centroid"))
-      .withColumn("rn", row_number().over(wVec))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("v"), col("cell"))
-    // each query probes its nprobe nearest cells
-    val wQ = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
-    val probes = queries.crossJoin(broadcast(cent1))
-      .withColumn("dist", distCols("qv", "centroid"))
-      .withColumn("rn", row_number().over(wQ))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell"))
+    val (cellIds, cents) = collectCentroids(refinedCentroids(vecs, cells, dim))
+    val inverted = invertedFile(vecs, cellIds, cents)
+    // each query probes its nprobe nearest cells — one projection +
+    // explode, never a crossJoin against the centroid table
+    val probes = queries.select(col("query_id"), col("qv"),
+      explode(GraftFunctions.nearestCells(col("qv"), cents, cellIds, nprobe)).as("cell"))
     probes.join(inverted, Seq("cell"))
       .filter(col("query_id") =!= col("id"))
-      .withColumn("cos_sim",
-        graft.functions.expressions.GraftFunctions.cosineSimilarity(col("qv"), col("v")))
+      .withColumn("cos_sim", GraftFunctions.cosineSimilarity(col("qv"), col("v")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("id"))))
       .filter(col("rank") <= k)

@@ -30,14 +30,16 @@ object AnnLsh {
     Array.fill(bits, dim)(next())
   }
 
-  /** Sign-bit bucket code of `v` (array<double> column) under `hp`. */
-  def bucketCode(v: String, hp: Array[Array[Double]]): Column = {
-    val bits = hp.indices.map { j =>
-      val lits = hp(j).mkString("array(", "D,", "D)")
-      s"(CASE WHEN aggregate(zip_with($v, $lits, (x, y) -> x * y), 0D, (acc, x) -> acc + x) > 0 THEN ${1L << j}L ELSE 0L END)"
-    }
-    expr(bits.mkString(" + "))
-  }
+  /** Sign-bit bucket code of `v` (array<double> column) under `hp` —
+    * one compiled loop via the native HyperplaneCode expression (the
+    * planes ride along as a codegen reference object). The previous
+    * `aggregate(zip_with(...))` HOF formulation evaluated bits×dim
+    * interpreted lambdas per row on the full corpus scan; the fold
+    * order is unchanged, so codes (and the DuckDB replay) are
+    * bit-identical.
+    */
+  def bucketCode(v: String, hp: Array[Array[Double]]): Column =
+    graft.functions.expressions.GraftFunctions.hyperplaneCode(col(v), hp)
 
   /** Top-k approximate neighbours for each query vector.
     *

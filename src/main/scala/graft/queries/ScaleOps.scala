@@ -140,7 +140,7 @@ object ScaleOps {
     val qual = graft.queries.Text.qualityScored(s, d).select(col("doc_id"), col("quality"))
     val exact = documents(s, d)
       .withColumn("exact_rep", min(col("doc_id")).over(
-        Window.partitionBy(md5(substring(lower(col("text")), 1, 40)))))
+        Window.partitionBy(md5(col("text")))))
       .select(col("doc_id"), col("exact_rep"))
     val clusters = {
       val (repPairs, mem) = Dedup.minhashNearDupRepPairs(documents(s, d), "doc_id", "text")
@@ -521,7 +521,7 @@ object ScaleOps {
     qual AS (${graft.queries.Text.qualitySql}),
     exact AS (
       SELECT doc_id,
-        MIN(doc_id) OVER (PARTITION BY md5(substr(lower(text), 1, 40))) AS exact_rep
+        MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_rep
       FROM documents),
     dec AS (
       SELECT d.doc_id, l.pred_lang, q.quality,

@@ -25,19 +25,40 @@ object Text {
     s"(length(padded) - length(replace(padded, '$w', ''))) / ${w.length}"
 
   // --------------------------------------------------- doc_exact_dedup
-  // Exact dedup by content hash (here: md5 of the normalized 40-char
-  // prefix so the synthetic corpus actually has collisions). Scales as
-  // a single hash-aggregate on the digest — the canonical 100 TB exact
-  // dedup plan.
+  // Exact dedup by FULL-text content hash: two documents collide only
+  // when their entire text is byte-identical. Scales as a single
+  // hash-aggregate on the 16-byte digest — the canonical 100 TB exact
+  // dedup plan (the text itself never shuffles, only its hash).
   private val docExactDedup: Q = (s, d) =>
     documents(s, d)
-      .withColumn("content_key", md5(substring(lower(col("text")), 1, 40)))
+      .withColumn("content_key", md5(col("text")))
       .groupBy(col("content_key"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
       .orderBy(col("keep_doc_id"))
 
   private val docExactDedupSql = """
-    SELECT md5(substr(lower(text), 1, 40)) AS content_key,
+    SELECT md5(text) AS content_key,
+      MIN(doc_id) AS keep_doc_id,
+      COUNT(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    ORDER BY keep_doc_id"""
+
+  // --------------------------------------------------- doc_prefix_dedup
+  // Normalized-PREFIX dedup (md5 of the lowercased 40-char prefix):
+  // the deliberately coarser key that catches title/boilerplate-level
+  // duplicates with different tails — named for what it is, next to
+  // the strict full-text doc_exact_dedup. Same single-hash-aggregate
+  // 100 TB plan.
+  private val docPrefixDedup: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("prefix_key", md5(substring(lower(col("text")), 1, 40)))
+      .groupBy(col("prefix_key"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("keep_doc_id"))
+
+  private val docPrefixDedupSql = """
+    SELECT md5(substr(lower(text), 1, 40)) AS prefix_key,
       MIN(doc_id) AS keep_doc_id,
       COUNT(*) AS n_dups
     FROM documents
@@ -272,6 +293,7 @@ object Text {
 
   val entries: Map[String, Q] = Map(
     "doc_exact_dedup" -> docExactDedup,
+    "doc_prefix_dedup" -> docPrefixDedup,
     "doc_ngram_jaccard_pairs" -> docNgramJaccard,
     "doc_lang_id" -> docLangId,
     "doc_quality_score" -> docQualityScore,
@@ -280,6 +302,7 @@ object Text {
 
   val oracles: Map[String, String] = Map(
     "doc_exact_dedup" -> docExactDedupSql,
+    "doc_prefix_dedup" -> docPrefixDedupSql,
     "doc_ngram_jaccard_pairs" -> docNgramJaccardSql,
     "doc_lang_id" -> docLangIdSql,
     "doc_quality_score" -> docQualityScoreSql,

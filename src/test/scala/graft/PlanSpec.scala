@@ -93,6 +93,34 @@ class PlanSpec extends SparkSpec {
     assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$plan")
   }
 
+  test("ANN kernels are native codegen projections, not interpreted HOF folds") {
+    // the corpus bucket-coding scan must carry the native
+    // hyperplane_code expression inside a codegen span — the previous
+    // aggregate(zip_with(...)) formulation interpreted bits×dim
+    // lambdas per row
+    val lsh = executedPlan("emb_ann_lsh")
+    assert(lsh.contains("hyperplane_code"), lsh)
+    assert(!lsh.contains("aggregate("), s"interpreted HOF fold left in plan:\n$lsh")
+    assert("\\*\\(\\d+\\)".r.findFirstIn(lsh).isDefined, s"no codegen span:\n$lsh")
+    val ivf = executedPlan("emb_ann_ivf")
+    assert(ivf.contains("nearest_cell"), ivf)
+    assert(!ivf.contains("aggregate("), s"interpreted HOF fold left in plan:\n$ivf")
+  }
+
+  test("IVF assignment stage is a pure projection: no Window, no Exchange") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("v", col("embedding").cast(ArrayType(DoubleType)))
+    val corpus = e.select(col("vec_id").as("id"), col("v"))
+    val (ids, cents) = graft.operators.AnnIvf.collectCentroids(
+      graft.operators.AnnIvf.refinedCentroids(corpus, cells = 16, dim = 64))
+    val inv = graft.operators.AnnIvf.invertedFile(corpus, ids, cents)
+    inv.collect()
+    val plan = inv.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window shuffle in assignment stage:\n$plan")
+    assert(!plan.contains("Exchange"), s"exchange in assignment stage:\n$plan")
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     // the "*(n)" prefix marks codegen spans; the fingerprint/simhash
     // projections must carry it (no CodegenFallback breaking the span)
