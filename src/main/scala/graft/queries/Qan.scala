@@ -424,11 +424,13 @@ object Qan {
     ORDER BY 1"""
 
   // --------------------------------------------------- qan_skew_join
-  // Fact-fact join through the pre-salted skew join (SkewJoin
-  // .saltedInner): a hot instance's events spread over `buckets`
-  // reducers instead of one. Salting never changes the joined multiset,
-  // so the oracle is the plain inner join — which is exactly the point:
-  // same answer, bounded reducer.
+  // Fact-fact join through the two-phase skew join (SkewJoin
+  // .saltedInner): hot instances are detected by a count aggregate and
+  // ONLY their rows are salted/replicated over `buckets` reducers; the
+  // cold remainder joins plainly, so build-side replication is bounded
+  // by the hot keys' rows, not buckets × |build|. The transform never
+  // changes the joined multiset, so the oracle is the plain inner join
+  // — which is exactly the point: same answer, bounded reducer.
   private val qanSkewJoin: Q = (s, d) => {
     val ev = events(s, d).select(col("user_id"), col("value"))
     val ot = orders(s, d).select(col("o_custkey").as("user_id"), col("o_totalprice"))

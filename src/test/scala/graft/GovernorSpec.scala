@@ -55,6 +55,27 @@ class GovernorSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, Governor.StateFileName)))
   }
 
+  test("two-phase skew join: only hot keys replicate, result exact") {
+    import spark.implicits._
+    // one genuinely hot key (1000 rows) among 20 cold keys (1 row each)
+    val left = ((1 to 1000).map(i => (1L, i.toLong)) ++
+      (2L to 21L).map(k => (k, 0L))).toDF("k", "lv")
+    // build side: 3 rows for the hot key, 2 per cold key
+    val right = ((1 to 3).map(i => (1L, s"h$i")) ++
+      (2L to 21L).flatMap(k => Seq((k, "a"), (k, "b")))).toDF("k", "rv")
+    val hot = SkewJoin.hotKeys(left, "k", hotFactor = 4.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(hot == Set(1L), s"hot-key detection picked $hot")
+    // replication ∝ hot build rows (3×buckets), NOT buckets × |build| (43×buckets)
+    val replicated = SkewJoin.replicatedBuildRows(left, right, "k", buckets = 8)
+    assert(replicated == 3L * 8, s"replicated $replicated rows")
+    val plain = left.join(right, Seq("k"))
+      .collect().map(_.toString).sorted.toSeq
+    val salted = SkewJoin.saltedInner(left, right, "k", buckets = 8)
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+  }
+
   test("salted skew join equals the plain join") {
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
     val c = Tables.customer(spark, sf).select("c_custkey", "c_name")
