@@ -99,21 +99,36 @@ object Qan {
   // summed metric with per-call average.
   private val qanTopQueries: Q = (s, d) =>
     events(s, d)
+      // query_sample: the latest statement body per digest — the
+      // notebook's top-queries SELECTs carry query_sample next to
+      // every digest ranking (02-Query_Analysis.ipynb)
+      .withColumn("sample",
+        concat(col("event_type"), lit(" /*"), col("props"), lit("*/")))
       .groupBy(col("event_type"))
-      .agg(dsum(col("value")).as("total_value"), count(lit(1)).as("calls"))
+      .agg(dsum(col("value")).as("total_value"), count(lit(1)).as("calls"),
+        expr("max_by(sample, struct(ts, event_id))").as("query_sample"))
       .withColumn("avg_per_call",
         when(col("calls") > 0, col("total_value") / col("calls")).otherwise(0.0))
+      .select(col("event_type"), col("total_value"), col("calls"),
+        col("avg_per_call"), col("query_sample"))
       .orderBy(col("total_value").desc, col("event_type"))
       .limit(10)
 
   private val qanTopQueriesSql = """
+    WITH ranked AS (
+      SELECT event_type, value,
+        event_type || ' /*' || props || '*/' AS sample,
+        ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
     SELECT event_type,
       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
       COUNT(*) AS calls,
       CASE WHEN COUNT(*) > 0
            THEN CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
-           ELSE 0.0 END AS avg_per_call
-    FROM events
+           ELSE 0.0 END AS avg_per_call,
+      MAX(CASE WHEN rn = 1 THEN sample END) AS query_sample
+    FROM ranked
     GROUP BY event_type
     ORDER BY total_value DESC, event_type
     LIMIT 10"""
@@ -473,6 +488,14 @@ object Qan {
       .repartition(col("user_id"), col("event_type"))
       .withColumn("label_k",
         regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long"))
+      // the Druid ingestion dims carry sample/schema next to
+      // instance/digest (druid-specs/qan_db_ingestion.json): a
+      // representative statement body per digest and the logical
+      // schema. Both derived deterministically from the log row.
+      .withColumn("sample",
+        concat(col("event_type"), lit(" /*"), col("props"), lit("*/")))
+      .withColumn("schema_name",
+        concat(lit("db_"), pmod(col("user_id"), lit(4)).cast("string")))
       .select(col("*"),
         sum(when(col("value") >= 10.0, 1L).otherwise(0L)).over(wDay).as("cum_calls"),
         sum(col("value").cast(DecimalType(18, 6))).over(wDay).as("cum_timer"),
@@ -487,7 +510,9 @@ object Qan {
       CAST(SUM(label_k) OVER wd AS BIGINT) AS cum_rows,
       CAST(SUM(CASE WHEN label_k % 7 = 0 THEN 1 ELSE 0 END) OVER wd AS BIGINT) AS cum_errors
     FROM (SELECT event_id, user_id, event_type, ts, value,
-            CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS label_k
+            CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS label_k,
+            event_type || ' /*' || props || '*/' AS sample,
+            'db_' || (user_id % 4) AS schema_name
           FROM events)
     WINDOW wd AS (PARTITION BY user_id, event_type, date_trunc('day', ts)
                   ORDER BY ts, event_id
@@ -550,13 +575,17 @@ object Qan {
           "cum_errors" -> "d_errors"),
         emitFirst = false)
       .groupBy(date_trunc("hour", col("ts")).as("bucket"),
-        col("user_id"), col("event_type"))
+        col("user_id"), col("event_type"), col("schema_name"))
       .agg(
         sum(col("d_calls")).as("sum_calls"),
         sum(col("d_timer")).cast(DoubleType).as("sum_total_exec_time"),
         sum(col("d_rows")).as("sum_rows_examined"),
         sum(col("d_errors")).as("sum_errors"),
-        dsum(col("time_period_secs")).as("sum_period_secs"))
+        dsum(col("time_period_secs")).as("sum_period_secs"),
+        // the representative statement body per digest — latest sample
+        // wins, Druid's sample-dim semantics (02-Query_Analysis
+        // notebook carries query_sample next to every digest ranking)
+        expr("max_by(sample, struct(ts, event_id))").as("query_sample"))
       .orderBy(col("bucket"), col("user_id"), col("event_type"))
 
   private val qanMultiCounterRollupSql = s"""
@@ -571,23 +600,30 @@ object Qan {
       FROM snap
       WINDOW wk AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
     deltas AS (
-      SELECT event_id, user_id, event_type, ts,
+      SELECT event_id, user_id, event_type, ts, sample, schema_name,
         (epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0 AS time_period_secs,
         CASE WHEN cum_calls >= p_calls THEN cum_calls - p_calls ELSE cum_calls END AS d_calls,
         CASE WHEN cum_timer >= p_timer THEN cum_timer - p_timer ELSE cum_timer END AS d_timer,
         CASE WHEN cum_rows >= p_rows THEN cum_rows - p_rows ELSE cum_rows END AS d_rows,
         CASE WHEN cum_errors >= p_errors THEN cum_errors - p_errors ELSE cum_errors END AS d_errors
       FROM lagged
-      WHERE prev_ts IS NOT NULL)
-    SELECT date_trunc('hour', ts) AS bucket, user_id, event_type,
+      WHERE prev_ts IS NOT NULL),
+    ranked AS (
+      SELECT *,
+        ROW_NUMBER() OVER (
+          PARTITION BY date_trunc('hour', ts), user_id, event_type
+          ORDER BY ts DESC, event_id DESC) AS rn
+      FROM deltas
+      WHERE d_calls > 0)
+    SELECT date_trunc('hour', ts) AS bucket, user_id, event_type, schema_name,
       CAST(SUM(d_calls) AS BIGINT) AS sum_calls,
       CAST(SUM(d_timer) AS DOUBLE) AS sum_total_exec_time,
       CAST(SUM(d_rows) AS BIGINT) AS sum_rows_examined,
       CAST(SUM(d_errors) AS BIGINT) AS sum_errors,
-      CAST(SUM(CAST(time_period_secs AS DECIMAL(18,6))) AS DOUBLE) AS sum_period_secs
-    FROM deltas
-    WHERE d_calls > 0
-    GROUP BY 1, 2, 3
+      CAST(SUM(CAST(time_period_secs AS DECIMAL(18,6))) AS DOUBLE) AS sum_period_secs,
+      MAX(CASE WHEN rn = 1 THEN sample END) AS query_sample
+    FROM ranked
+    GROUP BY 1, 2, 3, 4
     ORDER BY 1, 2, 3"""
 
   val entries: Map[String, Q] = Map(
