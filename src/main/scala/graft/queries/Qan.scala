@@ -406,6 +406,58 @@ object Qan {
     WHERE delta_value > 0
     ORDER BY timestamp, resource_instance_id, db_statement_digest"""
 
+  // ------------------------------------------------ qan_otel_roundtrip
+  // The full pipeline the reference runs: deltas → OTel log records →
+  // JSON wire → import → analytics rollup (collector.go:208 emits, the
+  // Druid side consumes). Export and import both go through the real
+  // file-backed JSON source (partition-parallel, schema pinned, no
+  // driver involvement); the oracle aggregates the same deltas
+  // directly, so any loss in the wire format (timestamps, doubles,
+  // encodings) breaks the hash.
+  private val qanOtelRoundtrip: Q = (s, d) => {
+    val deltas = QanOps.snapshotDelta(snapshots(s, d),
+        keys = Seq("user_id", "event_type"),
+        ord = Seq(col("ts"), col("event_id")),
+        counter = col("counter"), out = "delta")
+      .withColumn("delta_value", col("delta").cast(DoubleType))
+    val records = graft.sources.OtelLogs.toLogRecords(deltas)
+    val path = s"/tmp/graft_otel_roundtrip_${Integer.toHexString(d.hashCode)}"
+    graft.sources.OtelLogs.writeJson(records, path)
+    graft.sources.OtelLogs.readJson(s, path, records.schema)
+      .groupBy(col("db_system"), col("resource_instance_id"),
+        col("db_statement_digest"))
+      .agg(count(lit(1)).as("n_records"),
+        dsum(col("delta_value")).as("sum_delta"),
+        min(col("timestamp")).as("first_seen"),
+        max(col("timestamp")).as("last_seen"))
+      .orderBy(col("db_system"), col("resource_instance_id"),
+        col("db_statement_digest"))
+  }
+
+  private val qanOtelRoundtripSql = s"""
+    WITH snap AS ($snapshotsSql),
+    lagged AS (
+      SELECT event_id, user_id, event_type, ts, counter,
+        LAG(counter) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev
+      FROM snap),
+    deltas AS (
+      SELECT user_id, event_type, ts,
+        CAST(CASE WHEN prev IS NULL THEN counter
+                  WHEN counter >= prev THEN counter - prev
+                  ELSE counter END AS DOUBLE) AS delta_value
+      FROM lagged)
+    SELECT CASE WHEN user_id % 2 = 0 THEN 'mysql' ELSE 'postgresql' END AS db_system,
+      'instance-' || user_id AS resource_instance_id,
+      event_type AS db_statement_digest,
+      COUNT(*) AS n_records,
+      CAST(SUM(CAST(delta_value AS DECIMAL(18,6))) AS DOUBLE) AS sum_delta,
+      MIN(ts) AS first_seen,
+      MAX(ts) AS last_seen
+    FROM deltas
+    WHERE delta_value > 0
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3"""
+
   // ------------------------------------------------ qan_latest_metric
   // Druid SQL's LATEST/EARLIEST time-aware aggregates: per instance,
   // the metric value at the max/min event time. max_by/min_by over a
@@ -632,6 +684,7 @@ object Qan {
     "qan_multi_counter_delta" -> qanMultiCounterDelta,
     "qan_multi_counter_rollup" -> qanMultiCounterRollup,
     "qan_otel_export" -> qanOtelExport,
+    "qan_otel_roundtrip" -> qanOtelRoundtrip,
     "qan_snapshot_delta" -> qanSnapshotDelta,
     "qan_rollup_minute" -> qanRollupMinute,
     "qan_top_queries" -> qanTopQueries,
@@ -650,6 +703,7 @@ object Qan {
     "qan_multi_counter_delta" -> qanMultiCounterDeltaSql,
     "qan_multi_counter_rollup" -> qanMultiCounterRollupSql,
     "qan_otel_export" -> qanOtelExportSql,
+    "qan_otel_roundtrip" -> qanOtelRoundtripSql,
     "qan_snapshot_delta" -> qanSnapshotDeltaSql,
     "qan_rollup_minute" -> qanRollupMinuteSql,
     "qan_top_queries" -> qanTopQueriesSql,

@@ -35,9 +35,25 @@ object OtelLogs {
         col(digestCol).as("body"),
         col(deltaCol).as("delta_value"))
 
+  /** Microsecond-exact timestamp format for the JSON wire: the default
+    * JSON timestampFormat keeps milliseconds only, which would corrupt
+    * the collector's event times on the way through the file.
+    */
+  private val TsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
   def writeJson(records: DataFrame, path: String): Unit =
-    records.write.mode("overwrite").json(path)
+    records.write.mode("overwrite")
+      .option("timestampFormat", TsFormat).json(path)
 
   def readJson(spark: SparkSession, path: String): DataFrame =
-    spark.read.json(path)
+    spark.read.option("timestampFormat", TsFormat).json(path)
+
+  /** Schema-stable import: the consumer pins the record schema (the
+    * OTel log-record shape is a contract, not something to re-infer
+    * per file at 100 TB — inference is an extra full pass over the
+    * data).
+    */
+  def readJson(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("timestampFormat", TsFormat).json(path)
 }
