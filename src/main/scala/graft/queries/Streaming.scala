@@ -88,6 +88,83 @@ object Streaming {
     GROUP BY user_id, session_id
     ORDER BY user_id, start_ts"""
 
+  // The production form of the session stream: append mode + a 1-hour
+  // watermark. Closed sessions (session end ≤ watermark) are EMITTED
+  // AND EVICTED from state — state stays bounded by open sessions
+  // regardless of stream length, which is what makes the operator
+  // viable on an unbounded feed (complete mode above is the bounded-
+  // replay form). The oracle replays Spark's exact eviction rule:
+  // watermark = max event time truncated to ms minus the delay;
+  // emitted iff last_event + gap ≤ watermark.
+  private val stSessionAppend: Q = (s, d) => {
+    val agg = QanStream.eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("start_ts"),
+        col("n_events"), col("total_value"))
+    QanStream.runToMemory(agg, OutputMode.Append())
+      .orderBy(col("user_id"), col("start_ts"))
+  }
+
+  private val stSessionAppendSql = """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+        CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 21600000000
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts, value,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged),
+    agg AS (
+      SELECT user_id, MIN(ts) AS start_ts, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        MAX(epoch_us(ts)) AS last_us
+      FROM sess
+      GROUP BY user_id, session_id),
+    wm AS (
+      SELECT (MAX(epoch_us(ts)) // 1000 - 3600000) * 1000 AS wm_us FROM events)
+    SELECT user_id, start_ts, n_events, total_value
+    FROM agg, wm
+    WHERE last_us + 21600000000 <= wm_us
+    ORDER BY user_id, start_ts"""
+
+  // The production form of the rollup stream: append mode + watermark
+  // over tumbling event-time windows — closed minutes are emitted once
+  // and their state evicted. Same eviction-rule replay as the session
+  // oracle (window end ≤ watermark).
+  private val stRollupAppend: Q = (s, d) => {
+    val agg = QanStream.eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("sum_calls"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("sum_calls"), col("sum_value"), col("max_value"), col("min_value"))
+    QanStream.runToMemory(agg, OutputMode.Append())
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
+  private val stRollupAppendSql = """
+    WITH wm AS (
+      SELECT (MAX(epoch_us(ts)) // 1000 - 3600000) * 1000 AS wm_us FROM events)
+    SELECT date_trunc('minute', ts) AS bucket, event_type,
+      COUNT(*) AS sum_calls,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+      MAX(value) AS max_value,
+      MIN(value) AS min_value
+    FROM events, wm
+    GROUP BY 1, 2, wm_us
+    HAVING epoch_us(date_trunc('minute', MIN(ts))) + 60000000 <= wm_us
+    ORDER BY 1, 2"""
+
   // Streaming multi-counter delta: the reference collector's actual
   // per-poll emission (full DeltaResult), from the raw file-source
   // stream; shares qan_multi_counter_delta's oracle.
@@ -113,7 +190,9 @@ object Streaming {
     "st_delta_stream" -> stDelta,
     "st_rollup_stream" -> stRollup,
     "st_governor_stream" -> stGovernor,
-    "st_session_stream" -> stSession)
+    "st_session_stream" -> stSession,
+    "st_session_append" -> stSessionAppend,
+    "st_rollup_append" -> stRollupAppend)
 
   /** The streaming ops reproduce the batch semantics exactly, so they
     * share the batch oracles.
@@ -123,5 +202,7 @@ object Streaming {
     "st_session_stream" -> stSessionSql,
     "st_delta_stream" -> Qan.oracles("qan_snapshot_delta"),
     "st_rollup_stream" -> Qan.oracles("qan_rollup_minute"),
-    "st_governor_stream" -> Qan.oracles("qan_ewma"))
+    "st_governor_stream" -> Qan.oracles("qan_ewma"),
+    "st_session_append" -> stSessionAppendSql,
+    "st_rollup_append" -> stRollupAppendSql)
 }

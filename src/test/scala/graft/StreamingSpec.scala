@@ -34,6 +34,41 @@ class StreamingSpec extends SparkSpec {
     assert(st == batch)
   }
 
+  test("append-mode session stream: closed sessions emitted once, state bounded") {
+    import spark.implicits._
+    import graft.streaming.QanStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val agg = ms.toDF().toDF("ts", "user_id", "value")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("start_ts"),
+        col("n_events"))
+    val out = QanStream.runToMemoryQuery(agg, OutputMode.Append())
+    try {
+      // 6 micro-batches, one per day: 5 users × 2 events each batch.
+      // With a 1h gap every batch closes the previous day's sessions.
+      val stateSizes = (0 until 6).map { day =>
+        ms.addData((1L to 5L).flatMap(u => Seq(
+          (new java.sql.Timestamp(day * 86400000L + u * 1000), u, 1.0),
+          (new java.sql.Timestamp(day * 86400000L + u * 1000 + 60000), u, 1.0))): _*)
+        out.query.processAllAvailable()
+        out.query.lastProgress.stateOperators(0).numRowsTotal
+      }
+      // state holds only OPEN sessions (≤ 5 keys) at every point —
+      // never the cumulative session count (30 by the last batch).
+      // This is the bound that makes the operator viable unbounded.
+      assert(stateSizes.max <= 5L, s"state not bounded: $stateSizes")
+      // every closed session was emitted exactly once: 5 users × 5
+      // closed days (the day-5 sessions are still open)
+      val emitted = spark.table(out.name).count()
+      assert(emitted == 25L, s"closed sessions emitted: $emitted")
+    } finally out.query.stop()
+  }
+
   test("governor stream: O(1) state folds identically across many batches") {
     import spark.implicits._
     import graft.streaming.QanStream
