@@ -49,12 +49,14 @@ object QanOps {
     * on the count-star delta being positive (snapshot.go:208 skips
     * digests not executed during the interval).
     *
-    * `emitFirst = false` reproduces the reference exactly: a key's
-    * first observation emits nothing (`CalculateDeltas` returns nil
-    * when prev == nil). `emitFirst = true` is the deliberate
-    * first-counts-fully divergence used by the single-counter
-    * [[snapshotDelta]] (see SURVEY §3) — here it is an explicit
-    * option, not an implicit choice.
+    * `emitFirst = false` reproduces the MySQL collector exactly: a
+    * key's first observation emits nothing (`CalculateDeltas` returns
+    * nil when prev == nil). `emitFirst = true` is the PostgreSQL
+    * collector's rule (postgresql/snapshot.go:199): a query absent
+    * from the previous snapshot emits its full values as the delta,
+    * UNGATED — the count-star gate applies only to existing queries
+    * (snapshot.go:236). The single-counter [[snapshotDelta]] uses the
+    * same first-counts-fully shape.
     *
     * Same scale shape as snapshotDelta: one hash shuffle on the keys,
     * all N lags share a single sort — no per-counter pass.
@@ -81,10 +83,15 @@ object QanOps {
       (df.columns.map(col) :+ lag(tsCol, 1).over(w).as("__prev_ts")) ++ deltaCols: _*)
     val firstGated =
       if (emitFirst) withDeltas else withDeltas.filter(col("__prev_ts").isNotNull)
+    // the count-star gate applies to EXISTING keys only — a first
+    // observation (pg new-query rule) emits unconditionally
+    val gate =
+      if (emitFirst) col("__prev_ts").isNull || col(counters.head._2) > 0
+      else col(counters.head._2) > 0
     firstGated
       .withColumn("time_period_secs",
         (unix_micros(tsCol) - unix_micros(col("__prev_ts"))) / lit(1000000.0))
-      .filter(col(counters.head._2) > 0)
+      .filter(gate)
       .drop("__prev_ts")
   }
 

@@ -678,7 +678,106 @@ object Qan {
     GROUP BY 1, 2, 3, 4
     ORDER BY 1, 2, 3"""
 
+  // ------------------------------------------------- qan_pg_block_stats
+  // The PostgreSQL collector path (postgresql/collector.go:112 reads
+  // pg_stat_statements; postgresql/snapshot.go:183 CalculateDeltas):
+  // same delta algebra as MySQL but with the pg counter set
+  // (calls, shared_blks_hit/read, total_exec_time) and the pg
+  // first-observation rule — a query new to the snapshot emits its
+  // full values UNGATED (emitFirst = true), while existing queries
+  // gate on delta-calls > 0. Rolled up to the per-digest buffer
+  // hit-ratio, the headline pg_stat_statements analytic.
+  private def pgSnapshots(s: SparkSession, d: String): DataFrame = {
+    val wDay = Window
+      .partitionBy(col("user_id"), col("event_type"), date_trunc("day", col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .repartition(col("user_id"), col("event_type"))
+      .withColumn("label_k",
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long"))
+      .select(col("*"),
+        sum(when(col("value") >= 10.0, 1L).otherwise(0L)).over(wDay).as("cum_calls"),
+        sum(col("label_k")).over(wDay).as("cum_blks_hit"),
+        sum(col("label_k") % 5).over(wDay).as("cum_blks_read"),
+        sum(col("value").cast(DecimalType(18, 6))).over(wDay).as("cum_exec_time"))
+  }
+
+  private val pgSnapshotsSql = """
+    SELECT *,
+      CAST(SUM(CASE WHEN value >= 10.0 THEN 1 ELSE 0 END) OVER wd AS BIGINT) AS cum_calls,
+      CAST(SUM(label_k) OVER wd AS BIGINT) AS cum_blks_hit,
+      CAST(SUM(label_k % 5) OVER wd AS BIGINT) AS cum_blks_read,
+      SUM(CAST(value AS DECIMAL(18,6))) OVER wd AS cum_exec_time
+    FROM (SELECT event_id, user_id, event_type, ts, value,
+            CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS label_k
+          FROM events)
+    WINDOW wd AS (PARTITION BY user_id, event_type, date_trunc('day', ts)
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+  private val qanPgBlockStats: Q = (s, d) =>
+    QanOps.snapshotDeltaMulti(pgSnapshots(s, d),
+        keys = Seq("user_id", "event_type"),
+        ord = Seq(col("ts"), col("event_id")),
+        tsCol = col("ts"),
+        counters = Seq(
+          "cum_calls" -> "d_calls",
+          "cum_blks_hit" -> "d_blks_hit",
+          "cum_blks_read" -> "d_blks_read",
+          "cum_exec_time" -> "d_exec_time"),
+        emitFirst = true)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        sum(col("d_calls")).as("calls"),
+        sum(col("d_blks_hit")).as("shared_blks_hit"),
+        sum(col("d_blks_read")).as("shared_blks_read"),
+        sum(col("d_exec_time")).cast(DoubleType).as("total_exec_time"))
+      .withColumn("hit_ratio",
+        when(col("shared_blks_hit") + col("shared_blks_read") > 0,
+          col("shared_blks_hit").cast(DoubleType) /
+            (col("shared_blks_hit") + col("shared_blks_read")).cast(DoubleType)))
+      .orderBy(col("user_id"), col("event_type"))
+
+  private val qanPgBlockStatsSql = s"""
+    WITH snap AS ($pgSnapshotsSql),
+    lagged AS (
+      SELECT *,
+        LAG(ts) OVER wk AS prev_ts,
+        LAG(cum_calls) OVER wk AS p_calls,
+        LAG(cum_blks_hit) OVER wk AS p_hit,
+        LAG(cum_blks_read) OVER wk AS p_read,
+        LAG(cum_exec_time) OVER wk AS p_exec
+      FROM snap
+      WINDOW wk AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+    deltas AS (
+      SELECT user_id, event_type,
+        CASE WHEN prev_ts IS NULL THEN cum_calls
+             WHEN cum_calls >= p_calls THEN cum_calls - p_calls ELSE cum_calls END AS d_calls,
+        CASE WHEN prev_ts IS NULL THEN cum_blks_hit
+             WHEN cum_blks_hit >= p_hit THEN cum_blks_hit - p_hit ELSE cum_blks_hit END AS d_blks_hit,
+        CASE WHEN prev_ts IS NULL THEN cum_blks_read
+             WHEN cum_blks_read >= p_read THEN cum_blks_read - p_read ELSE cum_blks_read END AS d_blks_read,
+        CASE WHEN prev_ts IS NULL THEN cum_exec_time
+             WHEN cum_exec_time >= p_exec THEN cum_exec_time - p_exec ELSE cum_exec_time END AS d_exec_time,
+        prev_ts
+      FROM lagged)
+    SELECT user_id, event_type,
+      CAST(SUM(d_calls) AS BIGINT) AS calls,
+      CAST(SUM(d_blks_hit) AS BIGINT) AS shared_blks_hit,
+      CAST(SUM(d_blks_read) AS BIGINT) AS shared_blks_read,
+      CAST(SUM(d_exec_time) AS DOUBLE) AS total_exec_time,
+      CASE WHEN SUM(d_blks_hit) + SUM(d_blks_read) > 0
+           THEN CAST(SUM(d_blks_hit) AS DOUBLE)
+              / CAST(SUM(d_blks_hit) + SUM(d_blks_read) AS DOUBLE)
+      END AS hit_ratio
+    FROM deltas
+    WHERE prev_ts IS NULL OR d_calls > 0
+    GROUP BY 1, 2
+    ORDER BY 1, 2"""
+
   val entries: Map[String, Q] = Map(
+    "qan_pg_block_stats" -> qanPgBlockStats,
     "qan_latest_metric" -> qanLatestMetric,
     "qan_skew_join" -> qanSkewJoin,
     "qan_multi_counter_delta" -> qanMultiCounterDelta,
@@ -698,6 +797,7 @@ object Qan {
     "qan_governor_interval" -> qanGovernorInterval)
 
   val oracles: Map[String, String] = Map(
+    "qan_pg_block_stats" -> qanPgBlockStatsSql,
     "qan_latest_metric" -> qanLatestMetricSql,
     "qan_skew_join" -> qanSkewJoinSql,
     "qan_multi_counter_delta" -> qanMultiCounterDeltaSql,

@@ -23,7 +23,8 @@ class QanOpsSpec extends SparkSpec {
       ("k1", t(30), 12L, 130L),  // deltas: a=2 (>0 → kept), b=30, period=30s
       ("k1", t(60), 12L, 150L),  // a=0 → gated out (not executed)
       ("k1", t(90), 3L, 20L),    // counter reset: deltas are curr values
-      ("k2", t(10), 5L, 50L)     // only one snapshot for k2 — nothing
+      ("k2", t(10), 5L, 50L),    // only one snapshot for k2 — nothing
+      ("k3", t(20), 0L, 40L)     // first snapshot with ZERO count-star
     ).toDF("k", "ts", "cum_a", "cum_b")
   }
 
@@ -57,7 +58,10 @@ class QanOpsSpec extends SparkSpec {
       ("k1", 0L, 10L, 100L), // first counts fully
       ("k1", 30L, 2L, 30L),
       ("k1", 90L, 3L, 20L),
-      ("k2", 10L, 5L, 50L)))
+      ("k2", 10L, 5L, 50L),
+      // pg new-query rule (postgresql/snapshot.go:199): a first
+      // observation emits UNGATED — even with a zero count-star
+      ("k3", 20L, 0L, 40L)))
   }
 
   test("multi-counter plan shares one shuffle across all counter lags") {
