@@ -235,6 +235,102 @@ object Text {
     FROM documents
     ORDER BY doc_id"""
 
+  // --------------------------------------------------- doc_hash_split
+  // Deterministic train/val/test split: bucket = first 8 hex chars of
+  // md5(doc_id ‖ salt) mod 100 → 90/5/5. THE way to split a 100 TB
+  // corpus: stable under re-runs, partition order, and corpus growth
+  // (a document's split never changes when others are added), no RNG
+  // state anywhere. Pure scan-level projection + one aggregate.
+  private val docHashSplit: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit("|graft-split-v1"))), 1, 8), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("split"))
+
+  private val docHashSplitSql = """
+    WITH b AS (
+      SELECT doc_id,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split-v1'), 1, 8)) AS BIGINT) % 100 AS bucket
+      FROM documents)
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+      COUNT(*) AS n_docs,
+      MIN(doc_id) AS min_doc_id,
+      MAX(doc_id) AS max_doc_id
+    FROM b
+    GROUP BY 1
+    ORDER BY 1"""
+
+  // --------------------------------------------------- doc_top_tokens
+  // Corpus vocabulary: global top-N tokens by term frequency with
+  // document frequency alongside — the vocabulary/stopword-discovery
+  // pass of a pretraining pipeline. One explode + one hash-aggregate
+  // (map-side partials over high-cardinality token keys) + a bounded
+  // global top-N (TakeOrderedAndProject, never a full sort).
+  private val docTopTokens: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(50)
+
+  private val docTopTokensSql = """
+    WITH tok AS (
+      SELECT doc_id,
+        unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents)
+    SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM tok
+    GROUP BY token
+    ORDER BY tf DESC, token
+    LIMIT 50"""
+
+  // ---------------------------------------------- doc_quality_histogram
+  // Pipeline observability: document counts per (predicted language ×
+  // quality decile) — the dashboard a 100 TB cleaning job is steered
+  // by. Composes the lang-ID and quality stages in one plan.
+  private val docQualityHistogram: Q = (s, d) => {
+    val lang = langScored(s, d).select(col("doc_id"), col("pred_lang"))
+    val qual = qualityScored(s, d).select(col("doc_id"), col("quality"))
+    lang.join(qual, "doc_id")
+      .withColumn("quality_decile",
+        least(floor(col("quality") * 10).cast("long"), lit(9L)))
+      .groupBy(col("pred_lang"), col("quality_decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        // exact decimal sum (order-independent) before the divide —
+        // a raw double AVG would drift by ulps across partitionings
+        round((sum(col("quality").cast(org.apache.spark.sql.types.DecimalType(28, 15)))
+          .cast(DoubleType) / count(lit(1))), 6).as("avg_quality"))
+      .orderBy(col("pred_lang"), col("quality_decile"))
+  }
+
+  // lazy: langPredSql/qualitySql are declared below (object-init order)
+  private lazy val docQualityHistogramSql = s"""
+    WITH lang AS ($langPredSql),
+    qual AS ($qualitySql),
+    j AS (
+      SELECT l.pred_lang,
+        LEAST(CAST(FLOOR(q.quality * 10) AS BIGINT), 9) AS quality_decile,
+        q.quality
+      FROM lang l JOIN qual q ON q.doc_id = l.doc_id)
+    SELECT pred_lang, quality_decile, COUNT(*) AS n_docs,
+      ROUND(CAST(SUM(CAST(quality AS DECIMAL(28,15))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+    FROM j
+    GROUP BY 1, 2
+    ORDER BY 1, 2"""
+
   // --------------------------------------------------- mm_binary_meta
   // Multimodal plumbing: materialize an opaque binary column (UTF-8
   // bytes of the text — in production: image/audio payloads) plus
@@ -298,6 +394,9 @@ object Text {
     "doc_lang_id" -> docLangId,
     "doc_quality_score" -> docQualityScore,
     "doc_token_count" -> docTokenCount,
+    "doc_hash_split" -> docHashSplit,
+    "doc_top_tokens" -> docTopTokens,
+    "doc_quality_histogram" -> docQualityHistogram,
     "mm_binary_meta" -> mmBinaryMeta)
 
   val oracles: Map[String, String] = Map(
@@ -307,5 +406,8 @@ object Text {
     "doc_lang_id" -> docLangIdSql,
     "doc_quality_score" -> docQualityScoreSql,
     "doc_token_count" -> docTokenCountSql,
+    "doc_hash_split" -> docHashSplitSql,
+    "doc_top_tokens" -> docTopTokensSql,
+    "doc_quality_histogram" -> docQualityHistogramSql,
     "mm_binary_meta" -> mmBinaryMetaSql)
 }
