@@ -28,7 +28,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+  // scalar config args (k, window, mask) must be SQL literals — they
+  // parameterize the generated code, not the per-row evaluation
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
 
   val functionBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "simhash64" -> (es => SimHash64(es.head)),
@@ -36,7 +51,12 @@ object GraftExtensions {
     "hamming64" -> (es => HammingDistance64(es(0), es(1))),
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
     "gram_hashes" -> (es => GramHashes(es.head)),
-    "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))))
+    "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
+    "minhash_signature" -> (es => MinHashSignature(es(0), intLit(es(1), "k"))),
+    "signature_overlap" -> (es => SignatureOverlap(es(0), es(1))),
+    "chunk_fingerprints" -> (es =>
+      if (es.length == 1) ChunkFingerprints(es.head, 8, 31L)
+      else ChunkFingerprints(es(0), intLit(es(1), "window"), longLit(es(2), "mask"))))
 
   /** Runtime registration on an existing session (idempotent). */
   def install(spark: SparkSession): Unit = {

@@ -18,6 +18,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getLong(2) == 4L)
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
     assert(r.getLong(1) == graft.functions.expressions.PolyHash.ofBytes("abc".getBytes("UTF-8")))
+    // literal-parameterized builders: k / window / mask come in as SQL
+    // literals and must round-trip through the registered functions
+    val r2 = spark.sql(
+      """SELECT minhash_signature(gram_hashes(array('abc', 'bcd')), 8) AS sig,
+                signature_overlap(array(1L, 2L), array(1L, 3L)) AS ov,
+                chunk_fingerprints('the quick brown fox jumps over the lazy dog', 8, 31) AS cf"""
+    ).collect()(0)
+    assert(r2.getSeq[Long](0).length == 8)
+    assert(r2.getLong(1) == 1L)
+    assert(r2.getSeq[Long](2).nonEmpty)
   }
 
   test("withExtensions sessions get the functions and strategy declaratively") {
