@@ -93,6 +93,15 @@ class PlanSpec extends SparkSpec {
     assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$plan")
   }
 
+  test("pg block stats: windows, lags AND the rollup all reuse one hash exchange") {
+    // HashPartitioning(instance, digest) satisfies the day window, the
+    // delta lags, and the final groupBy(instance, digest) — the whole
+    // pipeline runs on the single explicit pre-partition
+    val plan = finalPlan("qan_pg_block_stats")
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$plan")
+  }
+
   test("ANN kernels are native codegen projections, not interpreted HOF folds") {
     // the corpus bucket-coding scan must carry the native
     // hyperplane_code expression inside a codegen span — the previous
