@@ -297,6 +297,69 @@ object Text {
     ORDER BY tf DESC, token
     LIMIT 50"""
 
+  // ---------------------------------------------- doc_repetition_stats
+  // Repetition-based quality filter, the published pretraining rule
+  // family (Gopher/MassiveText heuristics): the share of all word
+  // bigrams taken by the single most frequent one, plus the distinct-
+  // word ratio — repetitive/boilerplate docs spike the former and
+  // crater the latter. Distributed shape: explode bigrams → one hash
+  // aggregate on (doc, bigram) → per-doc top-1 (max_by) → join back to
+  // scan-level word stats. Flag thresholds are the Gopher ballpark.
+  private val docRepetitionStats: Q = (s, d) => {
+    val words = documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+    val wordStats = words.select(col("doc_id"),
+      size(col("words")).as("n_words"),
+      size(array_distinct(col("words"))).as("n_distinct"))
+    val topBigram = words
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(words)-2), i -> concat(words[i], ' ', words[i+1]))")).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("tf")).as("top_bigram_tf"),
+        expr("max_by(bigram, struct(tf, bigram))").as("top_bigram"))
+    wordStats.join(topBigram, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        col("top_bigram"), col("top_bigram_tf"),
+        (col("top_bigram_tf").cast(DoubleType) /
+          (col("n_words") - 1).cast(DoubleType)).as("top_bigram_frac"),
+        (col("n_distinct").cast(DoubleType) / col("n_words").cast(DoubleType))
+          .as("distinct_ratio"))
+      .withColumn("repetitive",
+        col("top_bigram_frac") > 0.18 || col("distinct_ratio") < 0.3)
+      .orderBy(col("doc_id"))
+  }
+
+  private val docRepetitionStatsSql = """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+      FROM documents),
+    ws AS (
+      SELECT doc_id, len(words) AS n_words,
+        len(list_distinct(words)) AS n_distinct
+      FROM w),
+    bg AS (
+      SELECT doc_id,
+        unnest(list_transform(range(1, len(words)),
+          i -> words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT) + 1])) AS bigram
+      FROM w),
+    tf AS (
+      SELECT doc_id, bigram, COUNT(*) AS tf FROM bg GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, tf AS top_bigram_tf, bigram AS top_bigram
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY tf DESC, bigram DESC) AS rn FROM tf)
+      WHERE rn = 1)
+    SELECT ws.doc_id, ws.n_words, ws.n_distinct,
+      top.top_bigram, top.top_bigram_tf,
+      CAST(top.top_bigram_tf AS DOUBLE) / CAST(ws.n_words - 1 AS DOUBLE) AS top_bigram_frac,
+      CAST(ws.n_distinct AS DOUBLE) / CAST(ws.n_words AS DOUBLE) AS distinct_ratio,
+      (CAST(top.top_bigram_tf AS DOUBLE) / CAST(ws.n_words - 1 AS DOUBLE)) > 0.18
+        OR (CAST(ws.n_distinct AS DOUBLE) / CAST(ws.n_words AS DOUBLE)) < 0.3 AS repetitive
+    FROM ws JOIN top ON top.doc_id = ws.doc_id
+    ORDER BY ws.doc_id"""
+
   // ---------------------------------------------- doc_quality_histogram
   // Pipeline observability: document counts per (predicted language ×
   // quality decile) — the dashboard a 100 TB cleaning job is steered
@@ -397,6 +460,7 @@ object Text {
     "doc_hash_split" -> docHashSplit,
     "doc_top_tokens" -> docTopTokens,
     "doc_quality_histogram" -> docQualityHistogram,
+    "doc_repetition_stats" -> docRepetitionStats,
     "mm_binary_meta" -> mmBinaryMeta)
 
   val oracles: Map[String, String] = Map(
@@ -409,5 +473,6 @@ object Text {
     "doc_hash_split" -> docHashSplitSql,
     "doc_top_tokens" -> docTopTokensSql,
     "doc_quality_histogram" -> docQualityHistogramSql,
+    "doc_repetition_stats" -> docRepetitionStatsSql,
     "mm_binary_meta" -> mmBinaryMetaSql)
 }
