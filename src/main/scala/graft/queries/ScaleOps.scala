@@ -136,12 +136,16 @@ object ScaleOps {
   // lang/quality, one hash-agg for exact reps, the candidate-driven
   // minhash clustering), not four passes over the corpus.
   private val docPipelineFilter: Q = (s, d) => {
-    val lang = graft.queries.Text.langScored(s, d).select(col("doc_id"), col("pred_lang"))
-    val qual = graft.queries.Text.qualityScored(s, d).select(col("doc_id"), col("quality"))
-    val exact = documents(s, d)
+    // lang-ID and quality are pure expressions over text: stack them
+    // onto ONE documents scan instead of re-reading and self-joining
+    // per stage (three scans + three shuffle joins saved — at 100 TB
+    // the scan is the dominant cost)
+    val scanStages = graft.queries.Text.qualityScoredDf(
+        graft.queries.Text.langScoredDf(documents(s, d)))
       .withColumn("exact_rep", min(col("doc_id")).over(
         Window.partitionBy(md5(col("text")))))
-      .select(col("doc_id"), col("exact_rep"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"), col("quality"),
+        col("exact_rep"))
     val clusters = {
       val (repPairs, mem) = Dedup.minhashNearDupRepPairs(documents(s, d), "doc_id", "text")
       Dedup.clusterLabelsFromReps(repPairs, mem)
@@ -151,9 +155,8 @@ object ScaleOps {
     // lang-ID predicts 'en' for this all-English synthetic corpus, so
     // gating on it would never fire); pred_lang stays in the output as
     // the composed lang-ID stage
-    documents(s, d).select(col("doc_id"), col("lang"))
-      .join(lang, "doc_id").join(qual, "doc_id")
-      .join(exact, "doc_id").join(clusters, "doc_id")
+    scanStages
+      .join(clusters, "doc_id")
       .withColumn("reason",
         when(col("lang") =!= "en", "lang")
           .when(col("quality") < 0.5, "quality")

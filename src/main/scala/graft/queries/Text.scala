@@ -122,8 +122,15 @@ object Text {
 
   /** (all document columns) + score_* + pred_lang — the language-ID
     * stage, exposed for pipeline composition (doc_pipeline_filter). */
-  def langScored(s: SparkSession, d: String): DataFrame = {
-    val base = documents(s, d)
+  def langScored(s: SparkSession, d: String): DataFrame =
+    langScoredDf(documents(s, d))
+
+  /** Column-level form of [[langScored]]: stacks the language scores
+    * onto an existing documents frame, so composed pipelines stay one
+    * scan instead of re-reading and self-joining.
+    */
+  def langScoredDf(docs: DataFrame): DataFrame = {
+    val base = docs
       .withColumn("padded", concat(lit(" "), lower(col("text")), lit(" ")))
       .withColumn("cjk", regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")))
     val scored = langStops.foldLeft(base) { case (df, (l, ws)) =>
@@ -177,7 +184,11 @@ object Text {
   /** (all document columns) + quality features — the quality-scoring
     * stage, exposed for pipeline composition (doc_pipeline_filter). */
   def qualityScored(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    qualityScoredDf(documents(s, d))
+
+  /** Column-level form of [[qualityScored]] (see [[langScoredDf]]). */
+  def qualityScoredDf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("padded", concat(lit(" "), lower(col("text")), lit(" ")))
       .withColumn("n_chars_m", length(col("text")))
       .withColumn("n_words", size(split(trim(col("text")), "\\s+")))
