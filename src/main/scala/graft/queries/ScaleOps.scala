@@ -180,6 +180,40 @@ object ScaleOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // Multimodal: frame sampling over an opaque binary payload — the
+  // video-pipeline shape (decode is elsewhere; THIS op is the offset
+  // arithmetic that picks every k-th fixed-size frame out of a byte
+  // stream, as a pure scan-level projection + explode). Frames are
+  // identified by hex content so the op is engine-replayable; at
+  // 100 TB the payload bytes never shuffle — only the sampled slices.
+  private val mmFrameSample: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("hex", hex(col("payload")))
+      .withColumn("n_frames",
+        ceil(octet_length(col("payload")).cast(DoubleType) / 16.0).cast("long"))
+      .select(col("doc_id"), col("n_frames"),
+        explode(expr(
+          "transform(sequence(0, cast(n_frames-1 AS INT), 4), " +
+            "i -> struct(cast(i AS BIGINT) AS frame_idx, substring(hex, i*32+1, 32) AS frame_hex))")).as("f"))
+      .select(col("doc_id"), col("n_frames"),
+        col("f.frame_idx").as("frame_idx"), col("f.frame_hex").as("frame_hex"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  private val mmFrameSampleSql = """
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+        CAST(CEIL(octet_length(encode(text)) / 16.0) AS BIGINT) AS n_frames
+      FROM documents),
+    f AS (
+      SELECT doc_id, n_frames,
+        unnest(range(0, n_frames, 4)) AS frame_idx, h
+      FROM b)
+    SELECT doc_id, n_frames, frame_idx,
+      substr(h, CAST(frame_idx AS INT) * 32 + 1, 32) AS frame_hex
+    FROM f
+    ORDER BY doc_id, frame_idx"""
+
   // Multimodal: binary payload → per-partition batched (stubbed)
   // decode → typed feature rows.
   private val mmFeatureStub: Q = (s, d) => {
@@ -222,7 +256,8 @@ object ScaleOps {
     "doc_simhash" -> docSimhash,
     "doc_fingerprint" -> docFingerprint,
     "emb_ann_lsh" -> embAnnLsh,
-    "mm_feature_stub" -> mmFeatureStub)
+    "mm_feature_stub" -> mmFeatureStub,
+    "mm_frame_sample" -> mmFrameSample)
 
   /** DuckDB replay of SimHash64: FNV-1a per whitespace token with
     * mod-2⁶⁴ wrap-around emulated in HUGEINT, ±1 bit votes, sign
@@ -552,5 +587,6 @@ object ScaleOps {
     "doc_simhash" -> docSimhashSql,
     "doc_minhash_lsh" -> docMinhashLshSql,
     "doc_dedup_clusters" -> docDedupClustersSql,
-    "mm_feature_stub" -> mmFeatureStubSql)
+    "mm_feature_stub" -> mmFeatureStubSql,
+    "mm_frame_sample" -> mmFrameSampleSql)
 }
