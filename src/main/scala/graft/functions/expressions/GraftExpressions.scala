@@ -336,19 +336,24 @@ object AnnKernels {
     * same rule as `ROW_NUMBER() OVER (ORDER BY dist, cell)`).
     */
   def nearestCell(v: ArrayData, cents: Array[Array[Double]], cellIds: Array[Int]): Int = {
-    var best = 0
-    var bestD = Double.PositiveInfinity
+    // Double.compare (not <): NaN distances sort AFTER +Inf — the same
+    // total order Spark's and DuckDB's ORDER BY use — so a vector with
+    // NaN coords still resolves deterministically instead of depending
+    // on IEEE comparison semantics
+    var best = -1
+    var bestD = 0.0
     var j = 0
     while (j < cents.length) {
       val d = sqDist(v, cents(j))
-      if (d < bestD) { bestD = d; best = j }
+      if (best < 0 || java.lang.Double.compare(d, bestD) < 0) { bestD = d; best = j }
       j += 1
     }
     cellIds(best)
   }
 
   /** The `nprobe` nearest cell ids, ordered by (dist asc, cell asc) —
-    * repeated argmin with strict <, so ties resolve to the lower cell.
+    * repeated argmin under Double.compare's total order (ties resolve
+    * to the lower cell; NaN distances rank last but never crash).
     */
   def nearestCells(v: ArrayData, cents: Array[Array[Double]], cellIds: Array[Int],
       nprobe: Int): ArrayData = {
@@ -361,11 +366,15 @@ object AnnKernels {
     val out = new Array[Int](k)
     var r = 0
     while (r < k) {
+      // Double.compare, not <: with plain < an all-NaN tail leaves
+      // best = -1 and crashes the task (see nearestCell)
       var best = -1
-      var bestD = Double.PositiveInfinity
+      var bestD = 0.0
       j = 0
       while (j < m) {
-        if (!taken(j) && dists(j) < bestD) { bestD = dists(j); best = j }
+        if (!taken(j) && (best < 0 || java.lang.Double.compare(dists(j), bestD) < 0)) {
+          bestD = dists(j); best = j
+        }
         j += 1
       }
       taken(best) = true

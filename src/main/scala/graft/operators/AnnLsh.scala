@@ -34,9 +34,14 @@ object AnnLsh {
     * one compiled loop via the native HyperplaneCode expression (the
     * planes ride along as a codegen reference object). The previous
     * `aggregate(zip_with(...))` HOF formulation evaluated bits×dim
-    * interpreted lambdas per row on the full corpus scan; the fold
-    * order is unchanged, so codes (and the DuckDB replay) are
-    * bit-identical.
+    * interpreted lambdas per row on the full corpus scan; for
+    * well-formed (non-null, full-dimension) vectors the fold order is
+    * unchanged, so codes (and the DuckDB replay) are bit-identical.
+    * Edge semantics deliberately differ: a NULL vector now yields a
+    * NULL code (dropping out of the bucket equi-join) where the HOF
+    * chain collapsed all nulls into bucket 0, and a short vector is
+    * treated as zero-padded (prefix dot) rather than forcing every
+    * bit to 0.
     */
   def bucketCode(v: String, hp: Array[Array[Double]]): Column =
     graft.functions.expressions.GraftFunctions.hyperplaneCode(col(v), hp)

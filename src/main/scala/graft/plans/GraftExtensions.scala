@@ -45,18 +45,26 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  // wrong-arity SQL calls should name the function and expected count,
+  // not surface a raw IndexOutOfBoundsException from es(i)
+  private def arity(fn: String, es: Seq[Expression], allowed: Int*): Unit =
+    if (!allowed.contains(es.length)) throw new IllegalArgumentException(
+      s"$fn expects ${allowed.mkString(" or ")} argument(s), got ${es.length}")
+
   val functionBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "simhash64" -> (es => SimHash64(es.head)),
-    "poly_fingerprint" -> (es => PolyFingerprint(es.head)),
-    "hamming64" -> (es => HammingDistance64(es(0), es(1))),
-    "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
-    "gram_hashes" -> (es => GramHashes(es.head)),
-    "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
-    "minhash_signature" -> (es => MinHashSignature(es(0), intLit(es(1), "k"))),
-    "signature_overlap" -> (es => SignatureOverlap(es(0), es(1))),
-    "chunk_fingerprints" -> (es =>
+    "simhash64" -> (es => { arity("simhash64", es, 1); SimHash64(es.head) }),
+    "poly_fingerprint" -> (es => { arity("poly_fingerprint", es, 1); PolyFingerprint(es.head) }),
+    "hamming64" -> (es => { arity("hamming64", es, 2); HammingDistance64(es(0), es(1)) }),
+    "cosine_similarity" -> (es => { arity("cosine_similarity", es, 2); CosineSimilarity(es(0), es(1)) }),
+    "gram_hashes" -> (es => { arity("gram_hashes", es, 1); GramHashes(es.head) }),
+    "sorted_intersect_count" -> (es => { arity("sorted_intersect_count", es, 2); SortedIntersectCount(es(0), es(1)) }),
+    "minhash_signature" -> (es => { arity("minhash_signature", es, 2); MinHashSignature(es(0), intLit(es(1), "k")) }),
+    "signature_overlap" -> (es => { arity("signature_overlap", es, 2); SignatureOverlap(es(0), es(1)) }),
+    "chunk_fingerprints" -> (es => {
+      arity("chunk_fingerprints", es, 1, 3)
       if (es.length == 1) ChunkFingerprints(es.head, 8, 31L)
-      else ChunkFingerprints(es(0), intLit(es(1), "window"), longLit(es(2), "mask"))))
+      else ChunkFingerprints(es(0), intLit(es(1), "window"), longLit(es(2), "mask"))
+    }))
 
   /** Runtime registration on an existing session (idempotent). */
   def install(spark: SparkSession): Unit = {

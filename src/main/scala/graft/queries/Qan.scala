@@ -421,7 +421,11 @@ object Qan {
         counter = col("counter"), out = "delta")
       .withColumn("delta_value", col("delta").cast(DoubleType))
     val records = graft.sources.OtelLogs.toLogRecords(deltas)
-    val path = s"/tmp/graft_otel_roundtrip_${Integer.toHexString(d.hashCode)}"
+    // run-unique wire dir: a fixed hash-derived path races when two
+    // harnesses (Verify + Bench, parallel specs) evaluate this query
+    // concurrently — one run's delete/overwrite corrupts the other's read
+    val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_otel_roundtrip_" +
+      java.util.UUID.randomUUID.toString.take(8)
     graft.sources.OtelLogs.writeJson(records, path)
     graft.sources.OtelLogs.readJson(s, path, records.schema)
       .groupBy(col("db_system"), col("resource_instance_id"),

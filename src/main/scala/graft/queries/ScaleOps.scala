@@ -192,6 +192,9 @@ object ScaleOps {
       .withColumn("hex", hex(col("payload")))
       .withColumn("n_frames",
         ceil(octet_length(col("payload")).cast(DoubleType) / 16.0).cast("long"))
+      // empty payload → no frames; without this guard sequence(0,-1,4)
+      // throws, while the oracle's range(0,0,4) just yields no rows
+      .where(col("n_frames") > 0)
       .select(col("doc_id"), col("n_frames"),
         explode(expr(
           "transform(sequence(0, cast(n_frames-1 AS INT), 4), " +

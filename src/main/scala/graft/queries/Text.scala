@@ -323,6 +323,11 @@ object Text {
       size(col("words")).as("n_words"),
       size(array_distinct(col("words"))).as("n_distinct"))
     val topBigram = words
+      // a single-word doc has no bigrams: two-arg sequence(0,-1) would
+      // step BACKWARD to [0,-1] and emit null bigram rows, where the
+      // oracle's range(1,1) is empty — drop such docs up front (the
+      // inner join below drops them on the oracle side)
+      .where(size(col("words")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(words)-2), i -> concat(words[i], ' ', words[i+1]))")).as("bigram"))
       .groupBy(col("doc_id"), col("bigram"))
@@ -376,9 +381,10 @@ object Text {
   // quality decile) — the dashboard a 100 TB cleaning job is steered
   // by. Composes the lang-ID and quality stages in one plan.
   private val docQualityHistogram: Q = (s, d) => {
-    val lang = langScored(s, d).select(col("doc_id"), col("pred_lang"))
-    val qual = qualityScored(s, d).select(col("doc_id"), col("quality"))
-    lang.join(qual, "doc_id")
+    // one scan: stack both stages on the same frame (the
+    // doc_pipeline_filter composition) — scan + self-join on doc_id
+    // would read the table twice and shuffle the whole corpus by id
+    qualityScoredDf(langScoredDf(documents(s, d)))
       .withColumn("quality_decile",
         least(floor(col("quality") * 10).cast("long"), lit(9L)))
       .groupBy(col("pred_lang"), col("quality_decile"))
