@@ -467,6 +467,142 @@ object Text {
             ${occSql(" the ")} + ${occSql(" a ")} AS stop_cnt
           FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded FROM documents))"""
 
+  // ------------------------------------------------------ doc_seq_pack
+  // Sequence packing — the "concatenate and chunk" step that turns a
+  // cleaned corpus into fixed-length training sequences: docs are laid
+  // out end-to-end in deterministic order inside each shard, and every
+  // doc learns which packed sequence (and offset) its tokens start at.
+  // Distributed shape: one shuffle by shard (a shard stands in for an
+  // output partition/file at 100 TB), one running-sum window inside the
+  // shard, then pure projection — no global ordering anywhere.
+  private val seqBudget = 512
+  private val docSeqPack: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    documents(s, d)
+      .withColumn("shard", col("doc_id") % 8)
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .withColumn("start_off",
+        coalesce(sum(col("n_tokens").cast("long")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("start_off"),
+        expr(s"start_off div $seqBudget").as("seq_id"),
+        (col("start_off") % seqBudget).as("seq_off"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val docSeqPackSql = s"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+        len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents),
+    o AS (
+      SELECT doc_id, shard, n_tokens,
+        COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_off
+      FROM t)
+    SELECT doc_id, shard, n_tokens, start_off,
+      start_off // $seqBudget AS seq_id,
+      start_off % $seqBudget AS seq_off
+    FROM o
+    ORDER BY doc_id"""
+
+  // -------------------------------------------------- doc_contamination
+  // Train/test contamination check: for every train document, the
+  // fraction of its distinct word-8-grams that also occur anywhere in
+  // the held-out test split (the published eval-decontamination rule
+  // family). Distributed shape: one gram explode per side, an equi-join
+  // on the 60-bit gram hash (never on gram text), one hash-aggregate
+  // per train doc. Gram hashing is md5-prefix based so DuckDB replays
+  // it bit-exactly; the split rule is doc_hash_split's.
+  private val docContamination: Q = (s, d) => {
+    val grams = documents(s, d)
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit("|graft-split-v1"))), 1, 8), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
+      .withColumn("words", split(trim(col("text")), "\\s+"))
+      // guard: <8 words → no 8-grams (two-arg sequence would step backward)
+      .where(size(col("words")) >= 8)
+      .select(col("doc_id"), col("split"), explode(expr(
+        "array_distinct(transform(sequence(0, size(words)-8), " +
+          "i -> cast(conv(substring(md5(array_join(slice(words, i+1, 8), ' ')), 1, 15), 16, 10) AS BIGINT)))"))
+        .as("gram"))
+    val testGrams = grams.where(col("split") === "test")
+      .select(col("gram")).distinct().withColumn("hit", lit(1))
+    grams.where(col("split") === "train")
+      .join(testGrams, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("hit")), lit(0)).cast("long").as("n_matched"))
+      .select(col("doc_id"), col("n_grams"), col("n_matched"),
+        round(col("n_matched").cast(DoubleType) / col("n_grams").cast(DoubleType), 6)
+          .as("overlap_frac"),
+        (col("n_matched").cast(DoubleType) / col("n_grams").cast(DoubleType) >= 0.1)
+          .as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val docContaminationSql = """
+    WITH w AS (
+      SELECT doc_id,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split-v1'), 1, 8)) AS BIGINT) % 100 AS bucket,
+        string_split_regex(trim(text), '\s+') AS words
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+        unnest(list_distinct(list_transform(range(0, len(words) - 7),
+          i -> CAST(('0x' || substr(md5(array_to_string(words[CAST(i AS INT) + 1:CAST(i AS INT) + 8], ' ')), 1, 15)) AS BIGINT)))) AS gram
+      FROM w
+      WHERE len(words) >= 8),
+    t AS (SELECT DISTINCT gram FROM g WHERE split = 'test')
+    SELECT g.doc_id, COUNT(*) AS n_grams,
+      CAST(SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+      ROUND(CAST(SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS overlap_frac,
+      CAST(SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) >= 0.1 AS contaminated
+    FROM g LEFT JOIN t ON t.gram = g.gram
+    WHERE g.split = 'train'
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id"""
+
+  // ------------------------------------------------------ doc_pii_scrub
+  // PII scrubbing: count and redact emails/URLs in one scan-level
+  // projection (regexp_count + chained regexp_replace — codegen'd, no
+  // UDF). The synthetic corpus contains no PII, so a deterministic
+  // doc_id-keyed suffix injects known matches first — documented test
+  // scaffolding, identical on the oracle side; the md5 of the scrubbed
+  // body proves the replacements (not just the counts) agree.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val urlRe = "https?://[A-Za-z0-9./_-]+"
+  private val docPiiScrub: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("body", concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.org now"))).otherwise(""),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" docs at https://example.com/d/"), col("doc_id"), lit(" ok"))).otherwise("")))
+      .select(col("doc_id"),
+        regexp_count(col("body"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("body"), lit(urlRe)).cast("long").as("n_urls"),
+        md5(regexp_replace(regexp_replace(col("body"), urlRe, "<URL>"), emailRe, "<EMAIL>"))
+          .as("scrub_md5"))
+      .orderBy(col("doc_id"))
+
+  private val docPiiScrubSql = s"""
+    WITH b AS (
+      SELECT doc_id, text
+        || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.org now' ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN ' docs at https://example.com/d/' || doc_id || ' ok' ELSE '' END AS body
+      FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(body, '$emailRe')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(body, '$urlRe')) AS BIGINT) AS n_urls,
+      md5(regexp_replace(regexp_replace(body, '$urlRe', '<URL>', 'g'), '$emailRe', '<EMAIL>', 'g')) AS scrub_md5
+    FROM b
+    ORDER BY doc_id"""
+
   val entries: Map[String, Q] = Map(
     "doc_exact_dedup" -> docExactDedup,
     "doc_prefix_dedup" -> docPrefixDedup,
@@ -478,6 +614,9 @@ object Text {
     "doc_top_tokens" -> docTopTokens,
     "doc_quality_histogram" -> docQualityHistogram,
     "doc_repetition_stats" -> docRepetitionStats,
+    "doc_seq_pack" -> docSeqPack,
+    "doc_contamination" -> docContamination,
+    "doc_pii_scrub" -> docPiiScrub,
     "mm_binary_meta" -> mmBinaryMeta)
 
   val oracles: Map[String, String] = Map(
@@ -491,5 +630,8 @@ object Text {
     "doc_top_tokens" -> docTopTokensSql,
     "doc_quality_histogram" -> docQualityHistogramSql,
     "doc_repetition_stats" -> docRepetitionStatsSql,
+    "doc_seq_pack" -> docSeqPackSql,
+    "doc_contamination" -> docContaminationSql,
+    "doc_pii_scrub" -> docPiiScrubSql,
     "mm_binary_meta" -> mmBinaryMetaSql)
 }
