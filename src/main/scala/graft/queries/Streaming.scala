@@ -185,7 +185,24 @@ object Streaming {
       .orderBy(col("event_id"))
   }
 
+  // Streaming exact dedup — the ingestion-time dedup of a continuously
+  // arriving corpus: group state per content hash accumulates
+  // (min doc_id, copy count) exactly as the batch hash-aggregate does,
+  // so arrival order across files/partitions cannot change the answer
+  // and the batch oracle carries over unchanged. At 100 TB the state
+  // is one 16-byte key + 16 bytes of counters per DISTINCT document —
+  // the same footprint the batch shuffle pays.
+  private val stExactDedup: Q = (s, d) => {
+    val agg = QanStream.documentsStream(s, d)
+      .withColumn("content_key", md5(col("text")))
+      .groupBy(col("content_key"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
+    QanStream.runToMemory(agg, OutputMode.Complete())
+      .orderBy(col("keep_doc_id"))
+  }
+
   val entries: Map[String, Q] = Map(
+    "st_exact_dedup_stream" -> stExactDedup,
     "st_multi_counter_stream" -> stMultiCounter,
     "st_delta_stream" -> stDelta,
     "st_rollup_stream" -> stRollup,
@@ -198,6 +215,7 @@ object Streaming {
     * share the batch oracles.
     */
   val oracles: Map[String, String] = Map(
+    "st_exact_dedup_stream" -> Text.oracles("doc_exact_dedup"),
     "st_multi_counter_stream" -> Qan.oracles("qan_multi_counter_delta"),
     "st_session_stream" -> stSessionSql,
     "st_delta_stream" -> Qan.oracles("qan_snapshot_delta"),

@@ -567,6 +567,41 @@ object Text {
     GROUP BY g.doc_id
     ORDER BY g.doc_id"""
 
+  // ------------------------------------------------------- doc_shuffle
+  // Deterministic corpus shuffle: every doc gets a keyed-hash shuffle
+  // key, an output bucket (= target partition/file at 100 TB), and a
+  // position inside that bucket — stable under re-runs, input
+  // partitioning, and corpus growth (a new doc displaces only its own
+  // bucket's tail, never reshuffles the world). Shape: one shuffle by
+  // bucket + a per-bucket window; there is deliberately NO global
+  // order — the bucket decomposition is what makes the op scale.
+  private val docShuffle: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("shuffle_key"), col("doc_id"))
+    documents(s, d)
+      .withColumn("shuffle_key",
+        md5(concat(col("doc_id").cast("string"), lit("|graft-shuffle-v1"))))
+      .withColumn("bucket",
+        conv(substring(col("shuffle_key"), 1, 8), 16, 10).cast("long") % 16)
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("bucket"), col("pos"))
+      .orderBy(col("bucket"), col("pos"))
+  }
+
+  private val docShuffleSql = """
+    WITH h AS (
+      SELECT doc_id,
+        md5(CAST(doc_id AS VARCHAR) || '|graft-shuffle-v1') AS shuffle_key
+      FROM documents),
+    b AS (
+      SELECT doc_id, shuffle_key,
+        CAST(('0x' || substr(shuffle_key, 1, 8)) AS BIGINT) % 16 AS bucket
+      FROM h)
+    SELECT doc_id, bucket,
+      ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY shuffle_key, doc_id) AS pos
+    FROM b
+    ORDER BY bucket, pos"""
+
   // ------------------------------------------------------ doc_pii_scrub
   // PII scrubbing: count and redact emails/URLs in one scan-level
   // projection (regexp_count + chained regexp_replace — codegen'd, no
@@ -617,6 +652,7 @@ object Text {
     "doc_seq_pack" -> docSeqPack,
     "doc_contamination" -> docContamination,
     "doc_pii_scrub" -> docPiiScrub,
+    "doc_shuffle" -> docShuffle,
     "mm_binary_meta" -> mmBinaryMeta)
 
   val oracles: Map[String, String] = Map(
@@ -633,5 +669,6 @@ object Text {
     "doc_seq_pack" -> docSeqPackSql,
     "doc_contamination" -> docContaminationSql,
     "doc_pii_scrub" -> docPiiScrubSql,
+    "doc_shuffle" -> docShuffleSql,
     "mm_binary_meta" -> mmBinaryMetaSql)
 }

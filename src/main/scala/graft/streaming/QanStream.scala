@@ -228,6 +228,16 @@ object QanStream {
     else raw
   }
 
+  /** File-source stream over the documents table (same single-file
+    * glob trick as [[eventsStream]]) — the ingestion shape of a
+    * continuously-arriving corpus.
+    */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (test/verify scaffolding).
     */

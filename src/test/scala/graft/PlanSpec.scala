@@ -130,6 +130,29 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"exchange in assignment stage:\n$plan")
   }
 
+  test("doc_seq_pack runs on one hash shuffle (shard) + one window, no global sort before it") {
+    // AQE's toString appends an "== Initial Plan ==" copy — count only
+    // the final plan section
+    val plan = executedPlan("doc_seq_pack").split("== Initial Plan ==")(0)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n$plan")
+    val windows = "\\bWindow\\b".r.findAllIn(plan).length
+    assert(windows == 1, s"expected 1 window, got $windows:\n$plan")
+  }
+
+  test("doc_contamination joins grams as an equi-join, never a nested loop") {
+    val plan = executedPlan("doc_contamination")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("doc_pii_scrub is a single scan-level codegen projection") {
+    val plan = executedPlan("doc_pii_scrub")
+    assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined, s"projection not codegen'd:\n$plan")
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     // the "*(n)" prefix marks codegen spans; the fingerprint/simhash
     // projections must carry it (no CodegenFallback breaking the span)
