@@ -780,7 +780,59 @@ object Qan {
     GROUP BY 1, 2
     ORDER BY 1, 2"""
 
+  // ------------------------------------------- qan_digest_normalize
+  // Statement fingerprinting — the step BEFORE everything else in the
+  // QAN pipeline when digests aren't precomputed by the database
+  // (performance_schema / pg_stat_statements hand the reference a
+  // ready Digest, snapshot.go:13; raw general/slow logs don't):
+  // strip literals to '?', collapse whitespace, hash the normalized
+  // form, and roll up per digest. Pure regexp projection + one
+  // hash-aggregate — codegen end to end, no UDF. The corpus has no
+  // raw SQL, so statements are synthesized deterministically from
+  // events (literal values vary per row; the shape per event_type) —
+  // documented scaffolding, identical on the oracle side, which is
+  // exactly what lets the gate prove variants collapse to one digest.
+  private val qanDigestNormalize: Q = (s, d) =>
+    events(s, d)
+      .withColumn("k", regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long"))
+      .withColumn("raw_sql", concat(
+        lit("SELECT * FROM "), col("event_type"), lit("s  WHERE id = "), col("k"),
+        lit(" AND tag = 'u"), col("user_id") % 10, lit("'"),
+        when(col("k") % 3 === 0, lit("   ORDER BY  ts")).otherwise(lit(""))))
+      .withColumn("norm_text",
+        trim(regexp_replace(regexp_replace(regexp_replace(lower(col("raw_sql")),
+          "'[^']*'", "?"), "\\b[0-9]+\\b", "?"), "\\s+", " ")))
+      .withColumn("digest", substring(md5(col("norm_text")), 1, 16))
+      .groupBy(col("digest"), col("norm_text"))
+      .agg(count(lit(1)).as("n_statements"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("raw_sql")).as("sample_sql"))
+      .orderBy(col("digest"))
+
+  private val qanDigestNormalizeSql = """
+    WITH raw AS (
+      SELECT user_id,
+        'SELECT * FROM ' || event_type || 's  WHERE id = '
+          || CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+          || ' AND tag = ''u' || (user_id % 10) || ''''
+          || CASE WHEN CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 3 = 0
+                  THEN '   ORDER BY  ts' ELSE '' END AS raw_sql
+      FROM events),
+    norm AS (
+      SELECT user_id, raw_sql,
+        trim(regexp_replace(regexp_replace(regexp_replace(lower(raw_sql),
+          '''[^'']*''', '?', 'g'), '\b[0-9]+\b', '?', 'g'), '\s+', ' ', 'g')) AS norm_text
+      FROM raw)
+    SELECT substr(md5(norm_text), 1, 16) AS digest, norm_text,
+      COUNT(*) AS n_statements,
+      COUNT(DISTINCT user_id) AS n_users,
+      MIN(raw_sql) AS sample_sql
+    FROM norm
+    GROUP BY 1, 2
+    ORDER BY 1"""
+
   val entries: Map[String, Q] = Map(
+    "qan_digest_normalize" -> qanDigestNormalize,
     "qan_pg_block_stats" -> qanPgBlockStats,
     "qan_latest_metric" -> qanLatestMetric,
     "qan_skew_join" -> qanSkewJoin,
@@ -801,6 +853,7 @@ object Qan {
     "qan_governor_interval" -> qanGovernorInterval)
 
   val oracles: Map[String, String] = Map(
+    "qan_digest_normalize" -> qanDigestNormalizeSql,
     "qan_pg_block_stats" -> qanPgBlockStatsSql,
     "qan_latest_metric" -> qanLatestMetricSql,
     "qan_skew_join" -> qanSkewJoinSql,
