@@ -567,6 +567,52 @@ object Text {
     GROUP BY g.doc_id
     ORDER BY g.doc_id"""
 
+  // ---------------------------------------------- doc_incremental_dedup
+  // Incremental-ingest dedup — the daily reality of a 100 TB corpus:
+  // a NEW batch (here: the top 20% of doc ids) is deduped against the
+  // EXISTING corpus without reprocessing it. Every new doc is
+  // classified dup_of_existing (content hash already in the corpus
+  // index), dup_in_batch (an earlier new doc has the same hash), or
+  // unique. Shape: the existing side collapses to (16-byte hash →
+  // min id) — the persisted dedup index — then one equi-join on the
+  // hash + one window inside the new batch; the existing TEXT is
+  // never re-read past its hash.
+  private val docIncrementalDedup: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("content_key"))
+    val cut = documents(s, d).agg(expr("(max(doc_id)*4) div 5").as("cutoff"))
+    val tagged = documents(s, d).crossJoin(broadcast(cut))
+      .withColumn("content_key", md5(col("text")))
+    val existing = tagged.where(col("doc_id") < col("cutoff"))
+      .groupBy(col("content_key")).agg(min(col("doc_id")).as("existing_match"))
+    tagged.where(col("doc_id") >= col("cutoff"))
+      .withColumn("batch_min", min(col("doc_id")).over(w))
+      .join(existing, Seq("content_key"), "left")
+      .select(col("doc_id"),
+        when(col("existing_match").isNotNull, "dup_of_existing")
+          .when(col("batch_min") < col("doc_id"), "dup_in_batch")
+          .otherwise("unique").as("status"),
+        coalesce(col("existing_match"),
+          when(col("batch_min") < col("doc_id"), col("batch_min"))).as("match_doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val docIncrementalDedupSql = """
+    WITH c AS (SELECT MAX(doc_id) * 4 // 5 AS cutoff FROM documents),
+    t AS (SELECT doc_id, md5(text) AS content_key, cutoff FROM documents, c),
+    e AS (SELECT content_key, MIN(doc_id) AS existing_match
+          FROM t WHERE doc_id < cutoff GROUP BY 1),
+    n AS (SELECT doc_id, content_key,
+            MIN(doc_id) OVER (PARTITION BY content_key) AS batch_min
+          FROM t WHERE doc_id >= cutoff)
+    SELECT n.doc_id,
+      CASE WHEN e.existing_match IS NOT NULL THEN 'dup_of_existing'
+           WHEN n.batch_min < n.doc_id THEN 'dup_in_batch'
+           ELSE 'unique' END AS status,
+      COALESCE(e.existing_match,
+        CASE WHEN n.batch_min < n.doc_id THEN n.batch_min END) AS match_doc_id
+    FROM n LEFT JOIN e ON e.content_key = n.content_key
+    ORDER BY n.doc_id"""
+
   // ------------------------------------------------------- doc_shuffle
   // Deterministic corpus shuffle: every doc gets a keyed-hash shuffle
   // key, an output bucket (= target partition/file at 100 TB), and a
@@ -653,6 +699,7 @@ object Text {
     "doc_contamination" -> docContamination,
     "doc_pii_scrub" -> docPiiScrub,
     "doc_shuffle" -> docShuffle,
+    "doc_incremental_dedup" -> docIncrementalDedup,
     "mm_binary_meta" -> mmBinaryMeta)
 
   val oracles: Map[String, String] = Map(
@@ -670,5 +717,6 @@ object Text {
     "doc_contamination" -> docContaminationSql,
     "doc_pii_scrub" -> docPiiScrubSql,
     "doc_shuffle" -> docShuffleSql,
+    "doc_incremental_dedup" -> docIncrementalDedupSql,
     "mm_binary_meta" -> mmBinaryMetaSql)
 }

@@ -69,6 +69,31 @@ class StreamingSpec extends SparkSpec {
     } finally out.query.stop()
   }
 
+  test("streaming exact dedup is arrival-order independent across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.QanStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val agg = ms.toDF().toDF("doc_id", "text")
+      .withColumn("content_key", md5(col("text")))
+      .groupBy(col("content_key"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
+    val out = QanStream.runToMemoryQuery(agg, OutputMode.Complete())
+    try {
+      // duplicates arrive highest-id first and split across batches —
+      // the keeper (min id) must win regardless
+      ms.addData((7L, "aaa"), (9L, "bbb"), (8L, "aaa"))
+      out.query.processAllAvailable()
+      ms.addData((1L, "aaa"), (2L, "ccc"))
+      out.query.processAllAvailable()
+      val rows = spark.table(out.name).orderBy(col("keep_doc_id"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+      assert(rows == Seq((1L, 3L), (2L, 1L), (9L, 1L)), rows.toString)
+    } finally out.query.stop()
+  }
+
   test("governor stream: O(1) state folds identically across many batches") {
     import spark.implicits._
     import graft.streaming.QanStream
