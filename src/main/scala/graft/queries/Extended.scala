@@ -234,7 +234,49 @@ object Extended {
         col("n"))
       .orderBy(col("l_returnflag"))
 
+  // ------------------------------------------------------ q22_range_join
+  // Range (interval) join with NO equality key: events against global
+  // time windows. Spark's native plan for a pure inequality join is a
+  // broadcast nested loop — O(|events|·|windows|) compares. The scale
+  // path is bucket decomposition: each window explodes into the hour
+  // buckets it covers, each event maps to its single hour bucket, and
+  // the join becomes an EQUI-join on bucket followed by the exact
+  // range filter. Each event meets each window at most once (one
+  // bucket per event, distinct buckets per window), so no dedup stage
+  // is needed. PlanSpec pins the no-nested-loop guarantee. The oracle
+  // is the naive inequality join — same answer, different plan class.
+  private val hourUs = 3600L * 1000000L
+  private val q22: Q = (s, d) => {
+    val win = s.range(40).toDF("w_id")
+      .withColumn("w_start",
+        timestamp_micros(lit(1704067200000000L) + col("w_id") * (17L * hourUs)))
+      .withColumn("w_end", timestamp_micros(unix_micros(col("w_start")) + 5L * hourUs))
+    val winBuckets = win.withColumn("bucket", explode(expr(
+      s"sequence(unix_micros(w_start) div $hourUs, (unix_micros(w_end) - 1) div $hourUs)")))
+    events(s, d)
+      .withColumn("bucket", expr(s"unix_micros(ts) div $hourUs"))
+      .join(winBuckets, Seq("bucket"))
+      .where(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .groupBy(col("w_id"), col("w_start"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("w_id"))
+  }
+
+  // 1704067200000000 us = 2024-01-01 00:00:00 UTC (the corpus epoch)
+  private val q22Sql = """
+    WITH w AS (
+      SELECT i AS w_id,
+        TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i * 17) HOUR AS w_start
+      FROM range(40) t(i))
+    SELECT w.w_id, w.w_start, COUNT(*) AS n_events,
+      CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM w JOIN events e
+      ON e.ts >= w.w_start AND e.ts < w.w_start + INTERVAL 5 HOUR
+    GROUP BY 1, 2
+    ORDER BY 1"""
+
   val entries: Map[String, Q] = Map(
+    "q22_range_join" -> q22,
     "q18_approx_percentile" -> q18,
     "qan_sessionize" -> qanSessionize,
     "qan_asof_enrich" -> qanAsofEnrich,
@@ -251,5 +293,6 @@ object Extended {
     "q14_window_suite" -> q14Sql,
     "q15_date_dims" -> q15Sql,
     "q16_percentiles" -> q16Sql,
-    "q17_string_funcs" -> q17Sql)
+    "q17_string_funcs" -> q17Sql,
+    "q22_range_join" -> q22Sql)
 }

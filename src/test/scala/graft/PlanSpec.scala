@@ -153,6 +153,13 @@ class PlanSpec extends SparkSpec {
     assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined, s"projection not codegen'd:\n$plan")
   }
 
+  test("q22 range join decomposes to an equi-join on bucket, never a nested loop") {
+    val plan = executedPlan("q22_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in range join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     // the "*(n)" prefix marks codegen spans; the fingerprint/simhash
     // projections must carry it (no CodegenFallback breaking the span)
