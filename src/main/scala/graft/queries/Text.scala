@@ -195,7 +195,12 @@ object Text {
       .withColumn("punct_cnt", length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
       .withColumn("stop_cnt",
         occurrences(col("padded"), " the ") + occurrences(col("padded"), " a "))
-      .withColumn("punct_ratio", col("punct_cnt").cast(DoubleType) / col("n_chars_m").cast(DoubleType))
+      // zero-length docs exist in real corpora: ANSI mode turns the
+      // unguarded divide into a job-killing error at scale
+      .withColumn("punct_ratio",
+        when(col("n_chars_m") > 0,
+          col("punct_cnt").cast(DoubleType) / col("n_chars_m").cast(DoubleType))
+          .otherwise(0.0))
       .withColumn("stop_ratio", col("stop_cnt").cast(DoubleType) / col("n_words").cast(DoubleType))
       .withColumn("quality",
         least(lit(1.0), col("n_words").cast(DoubleType) / 200.0) * 0.4
@@ -215,14 +220,20 @@ object Text {
         len(string_split_regex(trim(text), '\\s+')) AS n_words,
         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_cnt,
         ${occSql(" the ")} + ${occSql(" a ")} AS stop_cnt
-      FROM documents)
+      FROM documents),
+    ratios AS (
+      SELECT doc_id, n_chars_m, n_words, punct_cnt, stop_cnt,
+        CASE WHEN n_chars_m > 0
+             THEN CAST(punct_cnt AS DOUBLE) / CAST(n_chars_m AS DOUBLE)
+             ELSE 0.0 END AS punct_ratio,
+        CAST(stop_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio
+      FROM base)
     SELECT doc_id, n_chars_m, n_words, punct_cnt, stop_cnt,
-      CAST(punct_cnt AS DOUBLE) / CAST(n_chars_m AS DOUBLE) AS punct_ratio,
-      CAST(stop_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio,
+      punct_ratio, stop_ratio,
       LEAST(1.0, CAST(n_words AS DOUBLE) / 200.0) * 0.4
-        + (1.0 - CAST(punct_cnt AS DOUBLE) / CAST(n_chars_m AS DOUBLE)) * 0.3
-        + LEAST(1.0, CAST(stop_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) * 10.0) * 0.3 AS quality
-    FROM base
+        + (1.0 - punct_ratio) * 0.3
+        + LEAST(1.0, stop_ratio * 10.0) * 0.3 AS quality
+    FROM ratios
     ORDER BY doc_id"""
 
   // --------------------------------------------------- doc_token_count
@@ -459,7 +470,9 @@ object Text {
     * Same expression shapes as docQualityScoreSql. */
   val qualitySql: String = s"""SELECT doc_id,
       LEAST(1.0, CAST(n_words AS DOUBLE) / 200.0) * 0.4
-        + (1.0 - CAST(punct_cnt AS DOUBLE) / CAST(n_chars_m AS DOUBLE)) * 0.3
+        + (1.0 - CASE WHEN n_chars_m > 0
+                      THEN CAST(punct_cnt AS DOUBLE) / CAST(n_chars_m AS DOUBLE)
+                      ELSE 0.0 END) * 0.3
         + LEAST(1.0, CAST(stop_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) * 10.0) * 0.3 AS quality
     FROM (SELECT doc_id, length(text) AS n_chars_m,
             len(string_split_regex(trim(text), '\\s+')) AS n_words,

@@ -39,6 +39,19 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.filter(col("doc_id") === 900002L).count() === 1)
   }
 
+  test("every documents-table query survives a degenerate corpus") {
+    // the sweep: empty and single-word docs must never crash an
+    // operator — correctness vs the oracle is the driver gate's job,
+    // this asserts total functions over degenerate input
+    val docQueries = SparkEntry.queries.keys.filter(n =>
+      n.startsWith("doc_") || n.startsWith("mm_")).toSeq.sorted
+    val failures = docQueries.flatMap { name =>
+      try { SparkEntry.queries(name)(spark, edgeDir).collect(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(200)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("nearest-cell kernels rank NaN vectors deterministically, no crash") {
     import graft.functions.expressions.GraftFunctions
     val cents = Array(Array(0.0, 0.0), Array(1.0, 1.0), Array(2.0, 2.0))
