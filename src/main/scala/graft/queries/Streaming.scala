@@ -192,14 +192,10 @@ object Streaming {
   // and the batch oracle carries over unchanged. At 100 TB the state
   // is one 16-byte key + 16 bytes of counters per DISTINCT document —
   // the same footprint the batch shuffle pays.
-  private val stExactDedup: Q = (s, d) => {
-    val agg = QanStream.documentsStream(s, d)
-      .withColumn("content_key", md5(col("text")))
-      .groupBy(col("content_key"))
-      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
-    QanStream.runToMemory(agg, OutputMode.Complete())
+  private val stExactDedup: Q = (s, d) =>
+    QanStream.runToMemory(
+        Text.exactDedupAgg(QanStream.documentsStream(s, d)), OutputMode.Complete())
       .orderBy(col("keep_doc_id"))
-  }
 
   val entries: Map[String, Q] = Map(
     "st_exact_dedup_stream" -> stExactDedup,

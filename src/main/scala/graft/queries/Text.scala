@@ -29,12 +29,19 @@ object Text {
   // when their entire text is byte-identical. Scales as a single
   // hash-aggregate on the 16-byte digest — the canonical 100 TB exact
   // dedup plan (the text itself never shuffles, only its hash).
-  private val docExactDedup: Q = (s, d) =>
-    documents(s, d)
+  /** The content-hash dedup aggregate itself, shared by the batch
+    * entry, the streaming form (st_exact_dedup_stream), and specs —
+    * one definition so batch and stream can never drift apart while
+    * claiming the same oracle.
+    */
+  def exactDedupAgg(docs: DataFrame): DataFrame =
+    docs
       .withColumn("content_key", md5(col("text")))
       .groupBy(col("content_key"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
-      .orderBy(col("keep_doc_id"))
+
+  private val docExactDedup: Q = (s, d) =>
+    exactDedupAgg(documents(s, d)).orderBy(col("keep_doc_id"))
 
   private val docExactDedupSql = """
     SELECT md5(text) AS content_key,
@@ -263,8 +270,11 @@ object Text {
   // corpus: stable under re-runs, partition order, and corpus growth
   // (a document's split never changes when others are added), no RNG
   // state anywhere. Pure scan-level projection + one aggregate.
-  private val docHashSplit: Q = (s, d) =>
-    documents(s, d)
+  // The rule lives in ONE place per engine (splitDf / splitBucketSql):
+  // doc_contamination partitions by the same rule, and a drifted copy
+  // would silently check contamination against a different split.
+  def splitDf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("bucket",
         conv(substring(md5(concat(col("doc_id").cast("string"), lit("|graft-split-v1"))), 1, 8), 16, 10)
           .cast("long") % 100)
@@ -272,20 +282,25 @@ object Text {
         when(col("bucket") < 90, "train")
           .when(col("bucket") < 95, "val")
           .otherwise("test"))
+
+  val splitBucketSql: String =
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split-v1'), 1, 8)) AS BIGINT) % 100"
+  val splitCaseSql: String =
+    "CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END"
+
+  private val docHashSplit: Q = (s, d) =>
+    splitDf(documents(s, d))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("min_doc_id"),
         max(col("doc_id")).as("max_doc_id"))
       .orderBy(col("split"))
 
-  private val docHashSplitSql = """
+  private val docHashSplitSql = s"""
     WITH b AS (
-      SELECT doc_id,
-        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split-v1'), 1, 8)) AS BIGINT) % 100 AS bucket
+      SELECT doc_id, $splitBucketSql AS bucket
       FROM documents)
-    SELECT CASE WHEN bucket < 90 THEN 'train'
-                WHEN bucket < 95 THEN 'val'
-                ELSE 'test' END AS split,
+    SELECT $splitCaseSql AS split,
       COUNT(*) AS n_docs,
       MIN(doc_id) AS min_doc_id,
       MAX(doc_id) AS max_doc_id
@@ -529,12 +544,7 @@ object Text {
   // per train doc. Gram hashing is md5-prefix based so DuckDB replays
   // it bit-exactly; the split rule is doc_hash_split's.
   private val docContamination: Q = (s, d) => {
-    val grams = documents(s, d)
-      .withColumn("bucket",
-        conv(substring(md5(concat(col("doc_id").cast("string"), lit("|graft-split-v1"))), 1, 8), 16, 10)
-          .cast("long") % 100)
-      .withColumn("split",
-        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
+    val grams = splitDf(documents(s, d))
       .withColumn("words", split(trim(col("text")), "\\s+"))
       // guard: <8 words → no 8-grams (two-arg sequence would step backward)
       .where(size(col("words")) >= 8)
@@ -557,15 +567,13 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
-  private val docContaminationSql = """
+  private val docContaminationSql = s"""
     WITH w AS (
-      SELECT doc_id,
-        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split-v1'), 1, 8)) AS BIGINT) % 100 AS bucket,
-        string_split_regex(trim(text), '\s+') AS words
+      SELECT doc_id, $splitBucketSql AS bucket,
+        string_split_regex(trim(text), '\\s+') AS words
       FROM documents),
     g AS (
-      SELECT doc_id,
-        CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+      SELECT doc_id, $splitCaseSql AS split,
         unnest(list_distinct(list_transform(range(0, len(words) - 7),
           i -> CAST(('0x' || substr(md5(array_to_string(words[CAST(i AS INT) + 1:CAST(i AS INT) + 8], ' ')), 1, 15)) AS BIGINT)))) AS gram
       FROM w

@@ -47,7 +47,7 @@ class EdgeCaseSpec extends SparkSpec {
       n.startsWith("doc_") || n.startsWith("mm_")).toSeq.sorted
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, edgeDir).collect(); None }
-      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(200)}") }
+      catch { case e: Throwable => Some(s"$name: ${e.toString.take(200)}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }

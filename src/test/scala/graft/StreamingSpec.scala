@@ -76,10 +76,7 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.streaming.OutputMode
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(Long, String)]
-    val agg = ms.toDF().toDF("doc_id", "text")
-      .withColumn("content_key", md5(col("text")))
-      .groupBy(col("content_key"))
-      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
+    val agg = graft.queries.Text.exactDedupAgg(ms.toDF().toDF("doc_id", "text"))
     val out = QanStream.runToMemoryQuery(agg, OutputMode.Complete())
     try {
       // duplicates arrive highest-id first and split across batches —
