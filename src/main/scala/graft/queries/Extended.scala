@@ -24,7 +24,7 @@ object Extended {
   // up per (bucket, metric).
   private val qanLabelMetrics: Q = (s, d) =>
     events(s, d)
-      .withColumn("label_k", regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast(IntegerType))
+      .withColumn("label_k", nullif(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1), lit("")).cast(IntegerType))
       .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
@@ -37,7 +37,7 @@ object Extended {
   private val qanLabelMetricsSql = """
     WITH e AS (
       SELECT date_trunc('hour', ts) AS bucket, event_type,
-        CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS label_k
+        CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS INT) AS label_k
       FROM events)
     SELECT bucket, event_type, COUNT(*) AS n,
       CAST(SUM(label_k) AS BIGINT) AS sum_k, MIN(label_k) AS min_k, MAX(label_k) AS max_k,

@@ -543,7 +543,7 @@ object Qan {
     events(s, d)
       .repartition(col("user_id"), col("event_type"))
       .withColumn("label_k",
-        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long"))
+        nullif(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1), lit("")).cast("long"))
       // the Druid ingestion dims carry sample/schema next to
       // instance/digest (druid-specs/qan_db_ingestion.json): a
       // representative statement body per digest and the logical
@@ -566,7 +566,7 @@ object Qan {
       CAST(SUM(label_k) OVER wd AS BIGINT) AS cum_rows,
       CAST(SUM(CASE WHEN label_k % 7 = 0 THEN 1 ELSE 0 END) OVER wd AS BIGINT) AS cum_errors
     FROM (SELECT event_id, user_id, event_type, ts, value,
-            CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS label_k,
+            CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT) AS label_k,
             event_type || ' /*' || props || '*/' AS sample,
             'db_' || (user_id % 4) AS schema_name
           FROM events)
@@ -699,7 +699,7 @@ object Qan {
     events(s, d)
       .repartition(col("user_id"), col("event_type"))
       .withColumn("label_k",
-        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long"))
+        nullif(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1), lit("")).cast("long"))
       .select(col("*"),
         sum(when(col("value") >= 10.0, 1L).otherwise(0L)).over(wDay).as("cum_calls"),
         sum(col("label_k")).over(wDay).as("cum_blks_hit"),
@@ -714,7 +714,7 @@ object Qan {
       CAST(SUM(label_k % 5) OVER wd AS BIGINT) AS cum_blks_read,
       SUM(CAST(value AS DECIMAL(18,6))) OVER wd AS cum_exec_time
     FROM (SELECT event_id, user_id, event_type, ts, value,
-            CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS label_k
+            CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT) AS label_k
           FROM events)
     WINDOW wd AS (PARTITION BY user_id, event_type, date_trunc('day', ts)
                   ORDER BY ts, event_id
@@ -794,7 +794,7 @@ object Qan {
   // exactly what lets the gate prove variants collapse to one digest.
   private val qanDigestNormalize: Q = (s, d) =>
     events(s, d)
-      .withColumn("k", regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long"))
+      .withColumn("k", nullif(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1), lit("")).cast("long"))
       .withColumn("raw_sql", concat(
         lit("SELECT * FROM "), col("event_type"), lit("s  WHERE id = "), col("k"),
         lit(" AND tag = 'u"), col("user_id") % 10, lit("'"),
@@ -813,9 +813,9 @@ object Qan {
     WITH raw AS (
       SELECT user_id,
         'SELECT * FROM ' || event_type || 's  WHERE id = '
-          || CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+          || CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)
           || ' AND tag = ''u' || (user_id % 10) || ''''
-          || CASE WHEN CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 3 = 0
+          || CASE WHEN CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT) % 3 = 0
                   THEN '   ORDER BY  ts' ELSE '' END AS raw_sql
       FROM events),
     norm AS (

@@ -172,7 +172,7 @@ object Streaming {
     import s.implicits._
     val feed = QanStream.eventsStream(s, d)
       .withColumn("label_k",
-        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long"))
+        nullif(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1), lit("")).cast("long"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"),
         unix_micros(date_trunc("day", col("ts"))).as("day_us"),
