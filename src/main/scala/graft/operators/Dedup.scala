@@ -235,9 +235,11 @@ object Dedup {
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
         .localCheckpoint(eager = false)
-      val curSum = next
+      // SUM over zero rows is null — an empty node set must converge
+      // (to zero), not NPE the fixpoint compare
+      val curSum = Option(next
         .agg(sum(col("cluster").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-        .head.getDecimal(0)
+        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
       labels.unpersist()
       labels = next
       converged = prevSum.exists(_.compareTo(curSum) == 0)

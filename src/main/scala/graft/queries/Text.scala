@@ -705,6 +705,120 @@ object Text {
     FROM b
     ORDER BY doc_id"""
 
+  // ------------------------------------------- doc_stratified_sample
+  // Stratified downsampling: each language stratum keeps a configured
+  // fraction, decided per document by a salted hash threshold — the
+  // language-rebalancing pass of a pretraining mix. No global or
+  // per-stratum counts are needed to DECIDE membership (contrast
+  // exact-fraction samplers, which need a count-then-take pass): the
+  // keep/drop rule is a pure scan-level projection, stable under
+  // re-runs, partition order, and corpus growth, so at 100 TB the
+  // sample is reproducible and the op costs one scan + one map-side-
+  // combinable aggregate for the audit summary.
+  private val sampleRates: Seq[(String, Int)] = Seq(
+    // permyriad (out of 10 000) keep-rates per stratum
+    "en" -> 2500, "de" -> 5000, "fr" -> 5000, "es" -> 7500, "zh" -> 10000)
+
+  private val docStratifiedSample: Q = (s, d) => {
+    val rate = sampleRates.foldLeft(lit(10000)) { case (e, (l, r)) =>
+      when(col("lang") === l, r).otherwise(e)
+    }
+    documents(s, d)
+      .withColumn("sample_bucket",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit("|graft-sample-v1"))), 1, 8), 16, 10)
+          .cast("long") % 10000)
+      .withColumn("kept", col("sample_bucket") < rate)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("kept"), col("doc_id"))).as("min_kept_id"),
+        max(when(col("kept"), col("doc_id"))).as("max_kept_id"))
+      .withColumn("kept_frac",
+        col("n_kept").cast(DoubleType) / col("n_total").cast(DoubleType))
+      .orderBy(col("lang"))
+  }
+
+  private val docStratifiedSampleSql = {
+    val rateCase = sampleRates.map { case (l, r) =>
+      s"WHEN lang = '$l' THEN $r"
+    }.mkString("CASE ", " ", " ELSE 10000 END")
+    s"""
+    WITH b AS (
+      SELECT doc_id, lang,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft-sample-v1'), 1, 8)) AS BIGINT) % 10000
+          < $rateCase AS kept
+      FROM documents)
+    SELECT lang,
+      COUNT(*) AS n_total,
+      CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      MIN(CASE WHEN kept THEN doc_id END) AS min_kept_id,
+      MAX(CASE WHEN kept THEN doc_id END) AS max_kept_id,
+      CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS kept_frac
+    FROM b
+    GROUP BY 1
+    ORDER BY 1"""
+  }
+
+  // -------------------------------------- doc_quality_quantile_filter
+  // Per-stratum quantile gating: drop every document below its
+  // language's 25th-percentile quality score. The thresholds table is
+  // |languages| rows — an aggregate that collapses to almost nothing —
+  // and joins back by broadcast, so the plan is scan → tiny agg →
+  // broadcast-join → filter: no global sort, no per-group window over
+  // the corpus. Quality is discretized to integer micro-units BEFORE
+  // the percentile so the interpolation ((1-f)·a + f·b with integer
+  // a,b and f a multiple of 0.25) is exact binary arithmetic — the
+  // threshold is bit-identical in any engine and the boundary compare
+  // cannot flap. At 100 TB the same plan runs with approx_percentile
+  // (mergeable sketch, no sort); exact percentile here is the
+  // verifiable gate form (same pairing as q16/q18).
+  private val docQualityQuantileFilter: Q = (s, d) => {
+    val scored = qualityScoredDf(documents(s, d))
+      .withColumn("micro_q", round(col("quality") * 1e6, 0).cast("long"))
+    val thresholds = scored
+      .groupBy(col("lang"))
+      .agg(expr("percentile(micro_q, 0.25)").as("q25_micro"),
+        count(lit(1)).as("n_lang"))
+    scored
+      .join(broadcast(thresholds), Seq("lang"))
+      .where(col("micro_q").cast(DoubleType) >= col("q25_micro"))
+      .select(col("doc_id"), col("lang"), col("micro_q"),
+        col("q25_micro"), col("n_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val docQualityQuantileFilterSql = s"""
+    WITH base AS (
+      SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS padded,
+        length(text) AS n_chars_m,
+        len(string_split_regex(trim(text), '\\s+')) AS n_words,
+        length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_cnt,
+        ${occSql(" the ")} + ${occSql(" a ")} AS stop_cnt
+      FROM documents),
+    ratios AS (
+      SELECT doc_id, lang, n_words,
+        CASE WHEN n_chars_m > 0
+             THEN CAST(punct_cnt AS DOUBLE) / CAST(n_chars_m AS DOUBLE)
+             ELSE 0.0 END AS punct_ratio,
+        CAST(stop_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio
+      FROM base),
+    scored AS (
+      SELECT doc_id, lang,
+        CAST(round((LEAST(1.0, CAST(n_words AS DOUBLE) / 200.0) * 0.4
+          + (1.0 - punct_ratio) * 0.3
+          + LEAST(1.0, stop_ratio * 10.0) * 0.3) * 1e6, 0) AS BIGINT) AS micro_q
+      FROM ratios),
+    thresholds AS (
+      SELECT lang, quantile_cont(micro_q, 0.25) AS q25_micro,
+        COUNT(*) AS n_lang
+      FROM scored
+      GROUP BY 1)
+    SELECT s.doc_id, s.lang, s.micro_q, t.q25_micro, t.n_lang
+    FROM scored s JOIN thresholds t USING (lang)
+    WHERE CAST(s.micro_q AS DOUBLE) >= t.q25_micro
+    ORDER BY s.doc_id"""
+
   val entries: Map[String, Q] = Map(
     "doc_exact_dedup" -> docExactDedup,
     "doc_prefix_dedup" -> docPrefixDedup,
@@ -721,6 +835,8 @@ object Text {
     "doc_pii_scrub" -> docPiiScrub,
     "doc_shuffle" -> docShuffle,
     "doc_incremental_dedup" -> docIncrementalDedup,
+    "doc_stratified_sample" -> docStratifiedSample,
+    "doc_quality_quantile_filter" -> docQualityQuantileFilter,
     "mm_binary_meta" -> mmBinaryMeta)
 
   val oracles: Map[String, String] = Map(
@@ -739,5 +855,7 @@ object Text {
     "doc_pii_scrub" -> docPiiScrubSql,
     "doc_shuffle" -> docShuffleSql,
     "doc_incremental_dedup" -> docIncrementalDedupSql,
+    "doc_stratified_sample" -> docStratifiedSampleSql,
+    "doc_quality_quantile_filter" -> docQualityQuantileFilterSql,
     "mm_binary_meta" -> mmBinaryMetaSql)
 }
