@@ -67,10 +67,20 @@ object Bench {
       }
       val median =
         if (times.isEmpty) -1.0
-        else times.sorted.apply(times.size / 2)
+        else {
+          val s = times.sorted
+          if (s.size % 2 == 1) s(s.size / 2)
+          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+        }
       name -> median
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (millisecond) precision: full-precision doubles made the
+    // JSON line ~4 KB, which overflowed the driver's stdout tail capture
+    // and left the round-3 bench unparseable. ms precision is all the
+    // comparison needs and keeps the line well under the window.
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
@@ -78,7 +88,7 @@ object Bench {
     val fails = failures.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failures":$fails,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"queries":$qs,"failures":$fails,"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

@@ -336,6 +336,9 @@ object AnnKernels {
     * same rule as `ROW_NUMBER() OVER (ORDER BY dist, cell)`).
     */
   def nearestCell(v: ArrayData, cents: Array[Array[Double]], cellIds: Array[Int]): Int = {
+    // invertedFile is public API: an empty centroid set must fail the
+    // call clearly, not crash a task with cellIds(-1)
+    require(cents.nonEmpty, "nearestCell: empty centroid set")
     // Double.compare (not <): NaN distances sort AFTER +Inf — the same
     // total order Spark's and DuckDB's ORDER BY use — so a vector with
     // NaN coords still resolves deterministically instead of depending

@@ -423,9 +423,15 @@ object Qan {
     val records = graft.sources.OtelLogs.toLogRecords(deltas)
     // run-unique wire dir: a fixed hash-derived path races when two
     // harnesses (Verify + Bench, parallel specs) evaluate this query
-    // concurrently — one run's delete/overwrite corrupts the other's read
-    val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_otel_roundtrip_" +
+    // concurrently — one run's delete/overwrite corrupts the other's read.
+    // The read is lazy, so the dir must outlive this call — it is removed
+    // at JVM exit (shutdown hook), and dirs orphaned by killed JVMs are
+    // swept on the next invocation once they are clearly stale.
+    val tmp = System.getProperty("java.io.tmpdir", "/tmp")
+    sweepStaleWireDirs(new java.io.File(tmp))
+    val path = s"$tmp/graft_otel_roundtrip_" +
       java.util.UUID.randomUUID.toString.take(8)
+    deleteAtExit(new java.io.File(path))
     graft.sources.OtelLogs.writeJson(records, path)
     graft.sources.OtelLogs.readJson(s, path, records.schema)
       .groupBy(col("db_system"), col("resource_instance_id"),
@@ -436,6 +442,33 @@ object Qan {
         max(col("timestamp")).as("last_seen"))
       .orderBy(col("db_system"), col("resource_instance_id"),
         col("db_statement_digest"))
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteTree)
+    f.delete(): Unit
+  }
+
+  /** Remove this run's wire dirs when the JVM exits (the lazy read means
+    * they cannot be deleted inline; deleteOnExit can't remove non-empty
+    * dirs, so one hook walks the tree).
+    */
+  private def deleteAtExit(dir: java.io.File): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(dir)))
+
+  /** Sweep wire dirs orphaned by killed JVMs (shutdown hooks never ran).
+    * Only dirs stale by more than an hour are touched — a concurrent
+    * harness's live dir is at most minutes old.
+    */
+  private def sweepStaleWireDirs(tmp: java.io.File): Unit = {
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    val kids = tmp.listFiles()
+    if (kids != null) kids.foreach { f =>
+      if (f.isDirectory && f.getName.startsWith("graft_otel_roundtrip_") &&
+          f.lastModified() < cutoff)
+        deleteTree(f)
+    }
   }
 
   private val qanOtelRoundtripSql = s"""
