@@ -20,6 +20,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same extension surface as Verify and a cluster deployment
+    graft.plans.GraftExtensions.install(spark)
     // Materialize through the noop sink, not count(): under a count
     // Catalyst prunes projection-only work (string funcs, hashes,
     // fingerprints would never execute), so count() times little more

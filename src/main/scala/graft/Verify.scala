@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // full extension surface active during the gate: the TopK rewrite
+    // rule + SQL functions run exactly as a cluster deployment
+    // (spark.sql.extensions=graft.plans.GraftExtensions) would
+    graft.plans.GraftExtensions.install(spark)
     new java.io.File(outDir).mkdirs()
     // comma-separated query-name filter for single-query iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

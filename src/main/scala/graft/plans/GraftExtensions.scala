@@ -17,6 +17,7 @@ import graft.functions.expressions._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectOptimizerRule(_ => TopKRewriteRule)
     GraftExtensions.functionBuilders.foreach { case (name, builder) =>
       e.injectFunction(
         (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -69,6 +70,9 @@ object GraftExtensions {
   /** Runtime registration on an existing session (idempotent). */
   def install(spark: SparkSession): Unit = {
     TopK.install(spark)
+    if (!spark.experimental.extraOptimizations.contains(TopKRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKRewriteRule
     functionBuilders.foreach { case (name, builder) =>
       org.apache.spark.sql.graft.Bridge.registerFunction(spark, name, builder)
     }

@@ -110,11 +110,17 @@ object Extended {
   private val q16: Q = (s, d) =>
     lineitem(s, d)
       .groupBy(col("l_returnflag"))
+      // ONE percentile buffer for all three cut points: three separate
+      // percentile() aggregates each accumulate their own value map
+      // (3× the map-side work and merge traffic for identical state)
       .agg(
-        expr("round(percentile(l_extendedprice, 0.5), 4)").as("p50"),
-        expr("round(percentile(l_extendedprice, 0.9), 4)").as("p90"),
-        expr("round(percentile(l_extendedprice, 0.99), 4)").as("p99"),
+        expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        expr("round(ps[0], 4)").as("p50"),
+        expr("round(ps[1], 4)").as("p90"),
+        expr("round(ps[2], 4)").as("p99"),
+        col("n"))
       .orderBy(col("l_returnflag"))
 
   private val q16Sql = """
