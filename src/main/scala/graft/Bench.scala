@@ -76,21 +76,43 @@ object Bench {
         }
       name -> median
     }
-    // 3-decimal (millisecond) precision: full-precision doubles made the
-    // JSON line ~4 KB, which overflowed the driver's stdout tail capture
-    // and left the round-3 bench unparseable. ms precision is all the
-    // comparison needs and keeps the line well under the window.
+    // The driver keeps only the last 2000 chars of stdout, and sbt's
+    // trailing "[success] Total time ..." line eats ~80 of them. At 83+
+    // queries even a 1-decimal all-query map is >2000 chars (round-4's
+    // bench line was head-truncated and unparseable), so the stdout line
+    // carries the slowest queries that fit a fixed budget and the FULL
+    // per-query map goes to BENCH_FULL.json (and stderr) instead.
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => " "; case c => c.toString } + "\""
-    val fails = failures.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+    val fails = failures.map { case (k, v) => s"${jstr(k)}:${jstr(v).take(120)}" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"queries":$qs,"failures":$fails,"sf":"$sfDir"}""")
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"queries":$fullQs,"failures":$fails,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+    // NOTE: do not print fullLine to stderr — sbt relays forked stderr
+    // into its stdout log ([error] ...), which would land the oversized
+    // line back in the driver's tail window and re-truncate the capture.
+    // Greedy fill, slowest first — the interesting entries — until the
+    // whole line fits the budget with margin for the sbt trailer.
+    val budget = 1750
+    val header = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"q_total":${results.size},"full":"BENCH_FULL.json","queries":{"""
+    val footer = s"""},"failures":$fails,"sf":"$sfDir"}"""
+    val inline = scala.collection.mutable.ArrayBuffer[String]()
+    var len = header.length + footer.length
+    results.toSeq.sortBy { case (_, v) => -v }.foreach { case (k, v) =>
+      val part = s"\"" + k + "\":" + r3(v)
+      if (len + part.length + 1 <= budget) { inline += part; len += part.length + 1 }
+    }
+    println(header + inline.mkString(",") + footer)
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }
