@@ -47,14 +47,42 @@ object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
         case Some(k) if k >= 1 && k <= MaxK =>
           // WindowGroupLimit below the Window (inserted by Spark's own
           // InferWindowGroupLimit when this rule runs late) becomes
-          // redundant: the heap IS the group limit. Strip it.
+          // redundant: the heap IS the group limit. Strip it — but only
+          // when it provably limits the SAME grouping/ordering at a
+          // bound no tighter than k; anything else (a hand-built plan,
+          // a future Spark inserting WGL elsewhere) keeps its node.
           val realChild = child match {
-            case WindowGroupLimit(_, _, _, _, grandChild) => grandChild
+            case WindowGroupLimit(wp, wo, _, limit, grandChild)
+                if limit >= k &&
+                  wp.length == partitionSpec.length &&
+                  wp.zip(partitionSpec).forall { case (a, b) => a.semanticEquals(b) } &&
+                  wo.length == orderSpec.length &&
+                  wo.zip(orderSpec).forall { case (a, b) => a.semanticEquals(b) } =>
+              grandChild
             case other => other
           }
+          // When this rule fires inside the operator-optimization batch
+          // it can beat PushDownPredicates to the Window, and once the
+          // child is the custom node stock pushdown no longer moves
+          // partition-key conjuncts below it — losing scan pruning. Do
+          // that split here: conjuncts over partition attributes only
+          // (the exact condition under which pushing through a window
+          // is semantics-preserving — dropping whole groups cannot
+          // change ranks inside surviving groups) go below the heap,
+          // where later batch iterations push them into the scan.
+          val partAttrs = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+            partitionSpec.collect { case a: Attribute => a })
+          val (pushable, residual) = conjuncts.partition { c =>
+            c.deterministic && c.references.nonEmpty &&
+              c.references.subsetOf(partAttrs)
+          }
+          val pushedChild =
+            if (pushable.isEmpty) realChild
+            else Filter(pushable.reduce(org.apache.spark.sql.catalyst.expressions.And), realChild)
           val topk = TopKPerGroup(k, partitionSpec,
-            orderSpec, rn, realChild)
-          Filter(cond, topk)
+            orderSpec, rn, pushedChild)
+          if (residual.isEmpty) topk
+          else Filter(residual.reduce(org.apache.spark.sql.catalyst.expressions.And), topk)
         case _ => f
       }
   }

@@ -452,17 +452,26 @@ object Qan {
 
   /** Remove this run's wire dirs when the JVM exits (the lazy read means
     * they cannot be deleted inline; deleteOnExit can't remove non-empty
-    * dirs, so one hook walks the tree).
+    * dirs). ONE hook drains a shared list — registering a hook per
+    * evaluation accumulated threads unboundedly across repeated
+    * spec/bench invocations in a long-lived session.
     */
-  private def deleteAtExit(dir: java.io.File): Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(dir)))
+  private val exitDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val exitHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => exitDirs.forEach(deleteTree)))
+  private def deleteAtExit(dir: java.io.File): Unit = {
+    exitHook
+    exitDirs.add(dir): Unit
+  }
 
   /** Sweep wire dirs orphaned by killed JVMs (shutdown hooks never ran).
-    * Only dirs stale by more than an hour are touched — a concurrent
-    * harness's live dir is at most minutes old.
+    * Only dirs stale by more than six hours are touched — longer than
+    * any harness run, so a concurrent run's dir is never swept even if
+    * its lazy read or a task retry lands hours after the dir was
+    * written.
     */
   private def sweepStaleWireDirs(tmp: java.io.File): Unit = {
-    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    val cutoff = System.currentTimeMillis() - 6L * 60 * 60 * 1000
     val kids = tmp.listFiles()
     if (kids != null) kids.foreach { f =>
       if (f.isDirectory && f.getName.startsWith("graft_otel_roundtrip_") &&

@@ -71,6 +71,30 @@ class TopKRewriteSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("partition-key conjuncts are pushed below the heap to the scan") {
+    GraftExtensions.install(spark)
+    // pick a real brand so the result set is non-trivial
+    val brand = Tables.part(spark, sf).select(min(col("p_brand")))
+      .collect()(0).getString(0)
+    val df = run(s"""
+      SELECT p_brand, p_partkey, rn FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               row_number() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice DESC, p_partkey) AS rn
+        FROM part) WHERE rn <= 3 AND p_brand = '$brand'""")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("TopKPerGroup"), optimized)
+    // the brand conjunct must sit BELOW the heap node (pushable through
+    // a window over the same key: dropping whole groups cannot change
+    // ranks in surviving groups), where scan pushdown can consume it
+    val below = optimized.substring(optimized.indexOf("TopKPerGroup"))
+    assert(below.contains(brand), s"brand filter not below TopKPerGroup:\n$optimized")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val exp = expectedTop3()
+      .collect { case (b, pk, _, rn) if b == brand => (b, pk, rn) }.toSet
+    assert(got == exp)
+  }
+
   test("rank() and global row_number do not rewrite") {
     GraftExtensions.install(spark)
     // rank() can emit >k rows under ties — the heap cannot represent it
