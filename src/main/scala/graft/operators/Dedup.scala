@@ -198,18 +198,79 @@ object Dedup {
     * (min id in the component), the final step of corpus dedup: keep
     * one representative per cluster, drop the rest.
     *
-    * Iterative min-label propagation over the edge list: each round
-    * every node adopts the minimum label in its neighborhood; rounds
-    * are whole-stage joins (no driver graph state) and the iteration
-    * count is bounded by the component diameter — near-dup clusters
-    * are shallow (dozens of hops at most), so this converges in a
-    * handful of shuffles even at 100 TB edge scale.
+    * Two regimes, picked by edge count:
+    *
+    *  - **Small graph** (≤ `driverEdgeCap` edges, integral ids): the
+    *    edge list is collected — two longs per edge, ≤ ~80 MB at the
+    *    default cap — union-find runs on the driver, and the labels
+    *    for edge-touched nodes come back as one broadcast join
+    *    (singletons keep their own id via coalesce). One Spark job
+    *    total. This is the common case even at 100 TB corpus scale:
+    *    the rep graph holds only verified near-dup PAIRS, orders of
+    *    magnitude smaller than the corpus — the same bounded-small-
+    *    side reasoning as broadcasting IVF centroids.
+    *  - **Large graph** (or non-integral ids): iterative min-label
+    *    propagation over the edge list; rounds are whole-stage joins
+    *    (no driver graph state) and the iteration count is bounded by
+    *    the component diameter — near-dup clusters are shallow, so
+    *    this converges in a handful of shuffles at any edge scale.
     *
     * @param ids   one column `id` — every node (incl. singletons)
     * @param pairs columns `a_id`, `b_id`
     * @return (id, cluster) where cluster = min id of the component
     */
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
+      maxIterations: Int = 20, driverEdgeCap: Long = 5000000L): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integralIds = pairs.schema.fields.forall(f =>
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType))
+    if (integralIds) {
+      val edgeList = pairs
+        .select(col("a_id").cast(LongType), col("b_id").cast(LongType))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = edgeList.count()
+      if (n <= driverEdgeCap) {
+        val rows = edgeList.collect()
+        edgeList.unpersist()
+        // path-halving union-find, then min id per component root
+        val parent = new scala.collection.mutable.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          while (parent(x) != x) {
+            parent(x) = parent(parent(x)); x = parent(x)
+          }
+          x
+        }
+        rows.foreach { r =>
+          val a = r.getLong(0); val b = r.getLong(1)
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent(if (ra < rb) rb else ra) = math.min(ra, rb)
+        }
+        val minOfRoot = new scala.collection.mutable.HashMap[Long, Long]()
+        parent.keysIterator.foreach { id =>
+          val r = find(id)
+          minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), id)
+        }
+        val labels = parent.keysIterator
+          .map(id => (id, minOfRoot(find(id)))).toSeq
+        val spark = ids.sparkSession
+        import spark.implicits._
+        // match the loop path's output schema: cluster in the id's type
+        val idType = ids.schema("id").dataType
+        val labelDf = labels.toDF("id", "cluster")
+        return ids.join(broadcast(labelDf), Seq("id"), "left")
+          .select(ids("id"),
+            coalesce(col("cluster").cast(idType), ids("id")).as("cluster"))
+      }
+      edgeList.unpersist()
+    }
+    connectedComponentsLoop(ids, pairs, maxIterations)
+  }
+
+  /** Distributed min-label propagation — the large-graph regime of
+    * [[connectedComponents]]. */
+  private[operators] def connectedComponentsLoop(ids: DataFrame, pairs: DataFrame,
       maxIterations: Int = 20): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))

@@ -110,16 +110,23 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq(0L, 1L, 64L, 4L))
   }
 
-  test("connected components match a union-find ground truth") {
+  test("connected components match a union-find ground truth (both regimes)") {
     import spark.implicits._
     val ids = (1L to 10L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (1L, 3L))
       .toDF("a_id", "b_id")
+    // union-find truth: {1,2,3}→1, {5,6}→5, {8,9,10}→8, singletons self
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
+      6L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 8L, 10L -> 8L)
+    // small-graph regime: driver union-find + broadcast label join
     val got = Dedup.connectedComponents(ids, pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // union-find truth: {1,2,3}→1, {5,6}→5, {8,9,10}→8, singletons self
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
-      6L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 8L, 10L -> 8L))
+    assert(got == expected)
+    // large-graph regime: forced distributed min-label propagation —
+    // must produce identical labels and schema
+    val gotLoop = Dedup.connectedComponents(ids, pairs, driverEdgeCap = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotLoop == expected)
   }
 
   test("dedup clusters cover every document exactly once") {
