@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g forced constant old-gen churn across an 80+-query bench run
+  // (every persist-heavy query inherited the previous ones' GC debt),
+  // and the default 240m code cache fills with accumulated codegen
+  // classes mid-run, silently disabling the JIT — both showed up as
+  // 3-6x inflation of late-run queries vs the same query isolated.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:ReservedCodeCacheSize=512m",
 )
