@@ -386,6 +386,66 @@ object AnnKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Symmetric int8 quantization code for one element: round-half-up
+    * toward +∞ via floor(x/scale + 0.5) — the same expression DuckDB
+    * replays exactly (round()'s half-rule differs between engines;
+    * floor(+0.5) does not) — clamped to [-127, 127]. */
+  private def int8Code(x: Double, scale: Double): Long =
+    if (scale == 0.0) 0L
+    else {
+      val r = math.floor(x / scale + 0.5)
+      (if (r > 127.0) 127.0 else if (r < -127.0) -127.0 else r).toLong
+    }
+
+  /** `[scale, mae, n_sat]` of a vector's symmetric int8 quantization:
+    * scale = max|x|/127, mae = mean |x - code·scale| (index-order
+    * accumulation — replayable as a DuckDB sequential list fold),
+    * n_sat = #codes clamped at ±127.
+    */
+  def int8QuantStats(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(v.getDouble(i))
+      if (x > maxAbs) maxAbs = x
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    var err = 0.0
+    var sat = 0L
+    i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      val c = int8Code(x, scale)
+      if (c == 127L || c == -127L) sat += 1
+      err += math.abs(x - c * scale)
+      i += 1
+    }
+    new GenericArrayData(Array(scale, if (n == 0) 0.0 else err / n, sat.toDouble))
+  }
+
+  /** Quantize-then-dequantize in one compiled pass: code·scale per
+    * element — the vectors a quantized index actually searches. */
+  def int8Recon(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(v.getDouble(i))
+      if (x > maxAbs) maxAbs = x
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      out(i) = int8Code(v.getDouble(i), scale) * scale
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Random-hyperplane LSH bucket code of an array<double> vector —
@@ -586,6 +646,42 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "simhash64"
 }
 
+/** `[scale, mae, n_sat]` of a vector's symmetric int8 quantization —
+  * the storage-planning stats (see AnnKernels.int8QuantStats). A fixed
+  * 3-slot double array rather than a struct keeps the codegen path the
+  * same one every other array kernel uses.
+  */
+case class Int8QuantStats(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def nullSafeEval(v: Any): Any =
+    AnnKernels.int8QuantStats(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.AnnKernels.int8QuantStats($c);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "int8_quant_stats"
+}
+
+/** Quantize-then-dequantize of an array<double> vector (one compiled
+  * pass) — what a quantized ANN index searches against.
+  */
+case class Int8Recon(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def nullSafeEval(v: Any): Any =
+    AnnKernels.int8Recon(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.AnnKernels.int8Recon($c);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "int8_recon"
+}
+
 /** Column-level entry points (Spark 4: Column↔Expression bridge via
   * classic.ExpressionUtils).
   */
@@ -608,4 +704,6 @@ object GraftFunctions {
   def nearestCells(v: Column, cents: Array[Array[Double]], cellIds: Array[Int],
       nprobe: Int): Column =
     column(NearestCells(expression(v), cents.toSeq.map(_.toSeq), cellIds.toSeq, nprobe))
+  def int8QuantStats(v: Column): Column = column(Int8QuantStats(expression(v)))
+  def int8Recon(v: Column): Column = column(Int8Recon(expression(v)))
 }

@@ -45,6 +45,32 @@ class AnnSpec extends SparkSpec {
     assert(first.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("int8 quantization: high recall@10, near-1 recon cosine, bounded mae") {
+    // asymmetric quantized search must track the exact ranking closely —
+    // int8 keeps ~2-3 decimal digits per dim, so recall@10 stays high
+    val exact = SparkEntry.queries("emb_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val quant = SparkEntry.queries("emb_quantized_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.toSeq.map { q =>
+      exact(q).intersect(quant.getOrElse(q, Set.empty)).size.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"quantized mean recall@10 $mean too low: $recalls")
+    // per-vector quality: reconstruction cosine ≈ 1, mae ≤ scale/2
+    // (max per-element quantization error is half a code step)
+    val rows = SparkEntry.queries("emb_int8_quantize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(1); val mae = r.getDouble(2)
+      val recon = r.getDouble(4)
+      assert(recon >= 0.999, s"recon_cos $recon for vec ${r.getLong(0)}")
+      assert(mae <= scale / 2 + 1e-12, s"mae $mae > scale/2 ${scale / 2}")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val approx = SparkEntry.queries("q13_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -168,5 +168,11 @@ class PlanSpec extends SparkSpec {
     assert("\\*\\(\\d+\\) Project".r.findFirstIn(fp).isDefined, s"projection not codegen'd:\n$fp")
     val sh = executedPlan("doc_simhash")
     assert("\\*\\(\\d+\\) Project".r.findFirstIn(sh).isDefined, s"projection not codegen'd:\n$sh")
+    // int8 quantization kernels must be compiled projections too —
+    // no interpreted per-element HOFs on the full-corpus scan
+    val qz = executedPlan("emb_int8_quantize")
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(qz).isDefined, s"projection not codegen'd:\n$qz")
+    assert(!qz.contains("aggregate(") && !qz.contains("transform("),
+      s"interpreted HOF left in quantize plan:\n$qz")
   }
 }
