@@ -281,7 +281,56 @@ object Extended {
     GROUP BY 1, 2
     ORDER BY 1"""
 
+  // --------------------------------------------------- qan_anomaly_mad
+  // Robust per-key outlier detection — the "this query suddenly
+  // behaves differently" alert a QAN service raises: per (instance,
+  // digest) the median and the median absolute deviation (robust to
+  // the very outliers being hunted, unlike mean/stddev), then flag
+  // events beyond 3 scaled MADs (1.4826·MAD ≈ σ under normality).
+  // Distributed shape: two small per-key aggregates broadcast back
+  // onto the stream — the event table itself shuffles once per
+  // aggregate and never sorts globally; exact `percentile` per key is
+  // the honest small-key-count path (the sketch path is q18's
+  // approx_percentile, same pairing as q16).
+  private val qanAnomalyMad: Q = (s, d) => {
+    val ev = events(s, d)
+    val med = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(expr("percentile(value, 0.5D)").as("med"))
+    val dev = ev.join(broadcast(med), Seq("user_id", "event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("user_id"), col("event_type"))
+      .agg(expr("percentile(adev, 0.5D)").as("mad"))
+    dev.join(broadcast(mad), Seq("user_id", "event_type"))
+      .filter(col("mad") > 0)
+      .withColumn("score", (col("value") - col("med")) / (lit(1.4826) * col("mad")))
+      .filter(abs(col("score")) > 3.0)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+        round(col("score"), 4).as("score"))
+      .orderBy(col("event_id"))
+  }
+
+  private val qanAnomalyMadSql = """
+    WITH med AS (
+      SELECT user_id, event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1, 2),
+    dev AS (
+      SELECT e.event_id, e.user_id, e.event_type, e.value, m.med,
+        abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (user_id, event_type)),
+    mad AS (
+      SELECT user_id, event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY 1, 2)
+    SELECT d.event_id, d.user_id, d.event_type, d.value,
+      ROUND(d.med, 6) AS med, ROUND(m.mad, 6) AS mad,
+      ROUND((d.value - d.med) / (1.4826 * m.mad), 4) AS score
+    FROM dev d JOIN mad m USING (user_id, event_type)
+    WHERE m.mad > 0
+      AND abs((d.value - d.med) / (1.4826 * m.mad)) > 3.0
+    ORDER BY d.event_id"""
+
   val entries: Map[String, Q] = Map(
+    "qan_anomaly_mad" -> qanAnomalyMad,
     "q22_range_join" -> q22,
     "q18_approx_percentile" -> q18,
     "qan_sessionize" -> qanSessionize,
@@ -293,6 +342,7 @@ object Extended {
     "q17_string_funcs" -> q17)
 
   val oracles: Map[String, String] = Map(
+    "qan_anomaly_mad" -> qanAnomalyMadSql,
     "qan_sessionize" -> qanSessionizeSql,
     "qan_asof_enrich" -> qanAsofEnrichSql,
     "qan_label_metrics" -> qanLabelMetricsSql,

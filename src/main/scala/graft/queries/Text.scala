@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.Tables._
 
@@ -819,7 +819,60 @@ object Text {
     WHERE CAST(s.micro_q AS DOUBLE) >= t.q25_micro
     ORDER BY s.doc_id"""
 
+  // ------------------------------------------- doc_unigram_logprob
+  // Unigram LM scoring — the perplexity-proxy quality filter (CCNet
+  // lineage): token log-probabilities from the corpus's own unigram
+  // frequencies, averaged per document; low avg_logprob = improbable
+  // token soup, high = boilerplate-probable text. Distributed shape:
+  // one explode + one hash-aggregate builds the vocab (bounded by
+  // distinct tokens, NOT corpus size), broadcast back onto the token
+  // stream — the corpus text shuffles zero times. Log sums run through
+  // DECIMAL(28,15) so the per-doc mean is order-independent; exp() at
+  // the end is rounded like every cross-engine pow.
+  private val docUnigramLogprob: Q = (s, d) => {
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks
+      .join(broadcast(vocab), Seq("tok"))
+      .crossJoin(broadcast(total))
+      .withColumn("lp",
+        log(col("tf").cast(DoubleType) / col("n_total").cast(DoubleType)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("lp").cast(DecimalType(28, 15))).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("avg_lp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("avg_lp"), 6).as("avg_logprob"),
+        round(exp(negate(col("avg_lp"))), 4).as("ppl_proxy"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val docUnigramLogprobSql = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents),
+    vocab AS (
+      SELECT tok, COUNT(*) AS tf FROM toks GROUP BY 1),
+    total AS (
+      SELECT COUNT(*) AS n_total FROM toks),
+    scored AS (
+      SELECT t.doc_id,
+        ln(CAST(v.tf AS DOUBLE) / CAST(tt.n_total AS DOUBLE)) AS lp
+      FROM toks t JOIN vocab v USING (tok), total tt),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+        CAST(SUM(CAST(lp AS DECIMAL(28,15))) AS DOUBLE) / COUNT(*) AS avg_lp
+      FROM scored GROUP BY 1)
+    SELECT doc_id, n_tokens,
+      ROUND(avg_lp, 6) AS avg_logprob,
+      ROUND(exp(-avg_lp), 4) AS ppl_proxy
+    FROM agg
+    ORDER BY doc_id"""
+
   val entries: Map[String, Q] = Map(
+    "doc_unigram_logprob" -> docUnigramLogprob,
     "doc_exact_dedup" -> docExactDedup,
     "doc_prefix_dedup" -> docPrefixDedup,
     "doc_ngram_jaccard_pairs" -> docNgramJaccard,
@@ -840,6 +893,7 @@ object Text {
     "mm_binary_meta" -> mmBinaryMeta)
 
   val oracles: Map[String, String] = Map(
+    "doc_unigram_logprob" -> docUnigramLogprobSql,
     "doc_exact_dedup" -> docExactDedupSql,
     "doc_prefix_dedup" -> docPrefixDedupSql,
     "doc_ngram_jaccard_pairs" -> docNgramJaccardSql,
