@@ -706,4 +706,19 @@ object GraftFunctions {
     column(NearestCells(expression(v), cents.toSeq.map(_.toSeq), cellIds.toSeq, nprobe))
   def int8QuantStats(v: Column): Column = column(Int8QuantStats(expression(v)))
   def int8Recon(v: Column): Column = column(Int8Recon(expression(v)))
+  // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
+  // runtime row-level filtering but does not register them as SQL
+  // functions; surfacing them here gives pipelines the standard
+  // build-filter-then-probe primitive (no false negatives — a bloom
+  // PREfilter provably cannot change an exact join's result).
+  def bloomAgg(v: Column, expectedItems: Long = 1000000L,
+      numBits: Long = 8388608L): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      expression(v),
+      org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+      org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression())
+  def bloomContains(bloom: Column, v: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      expression(bloom), expression(v)))
 }

@@ -65,6 +65,20 @@ object GraftExtensions {
       arity("chunk_fingerprints", es, 1, 3)
       if (es.length == 1) ChunkFingerprints(es.head, 8, 31L)
       else ChunkFingerprints(es(0), intLit(es(1), "window"), longLit(es(2), "mask"))
+    }),
+    // Spark's internal bloom pair, surfaced as SQL (the analyzer wraps
+    // the bare AggregateFunction returned here into an AggregateExpression)
+    "bloom_agg" -> (es => {
+      arity("bloom_agg", es, 1, 3)
+      if (es.length == 1)
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(es.head)
+      else
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          es(0), es(1), es(2))
+    }),
+    "bloom_contains" -> (es => {
+      arity("bloom_contains", es, 2)
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))
     }))
 
   /** Runtime registration on an existing session (idempotent). */

@@ -588,6 +588,48 @@ object Text {
     GROUP BY g.doc_id
     ORDER BY g.doc_id"""
 
+  // ---------------------------------------------- doc_bloom_prefilter
+  // doc_contamination's 100 TB form: the held-out split's gram set
+  // builds ONE bloom filter (a few MB, broadcast), and train-side grams
+  // probe it BEFORE the exact equi-join — at scale almost every gram of
+  // an uncontaminated corpus is dropped at the scan, so the shuffle
+  // carries only probable hits. Blooms have no false negatives and the
+  // exact join removes the false positives, so the result is provably
+  // identical to doc_contamination — it shares that oracle verbatim
+  // (and BloomSpec asserts row-level equality of the two plans).
+  private val docBloomPrefilter: Q = (s, d) => {
+    import graft.functions.expressions.GraftFunctions
+    val grams = splitDf(documents(s, d))
+      .withColumn("words", split(trim(col("text")), "\\s+"))
+      .where(size(col("words")) >= 8)
+      .select(col("doc_id"), col("split"), explode(expr(
+        "array_distinct(transform(sequence(0, size(words)-8), " +
+          "i -> cast(conv(substring(md5(array_join(slice(words, i+1, 8), ' ')), 1, 15), 16, 10) AS BIGINT)))"))
+        .as("gram"))
+    val testGrams = grams.where(col("split") === "test").select(col("gram")).distinct()
+    // the built filter is a bounded ~1 MB byte array — materialize it
+    // once and inline it as a constant (might_contain requires a
+    // constant/scalar-subquery bloom; same driver-side small-side
+    // pattern as the IVF centroids)
+    val bf: Array[Byte] = testGrams
+      .agg(GraftFunctions.bloomAgg(col("gram")).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val train = grams.where(col("split") === "train")
+    val counts = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val matched = train
+      .where(GraftFunctions.bloomContains(lit(bf), col("gram")))
+      .join(testGrams, Seq("gram"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    counts.join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_matched"),
+        round(coalesce(col("n_hit"), lit(0L)).cast(DoubleType) /
+          col("n_grams").cast(DoubleType), 6).as("overlap_frac"),
+        (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) /
+          col("n_grams").cast(DoubleType) >= 0.1).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------- doc_incremental_dedup
   // Incremental-ingest dedup — the daily reality of a 100 TB corpus:
   // a NEW batch (here: the top 20% of doc ids) is deduped against the
@@ -873,6 +915,7 @@ object Text {
 
   val entries: Map[String, Q] = Map(
     "doc_unigram_logprob" -> docUnigramLogprob,
+    "doc_bloom_prefilter" -> docBloomPrefilter,
     "doc_exact_dedup" -> docExactDedup,
     "doc_prefix_dedup" -> docPrefixDedup,
     "doc_ngram_jaccard_pairs" -> docNgramJaccard,
@@ -894,6 +937,9 @@ object Text {
 
   val oracles: Map[String, String] = Map(
     "doc_unigram_logprob" -> docUnigramLogprobSql,
+    // the bloom prefilter provably returns doc_contamination's exact
+    // result — it shares that oracle verbatim
+    "doc_bloom_prefilter" -> docContaminationSql,
     "doc_exact_dedup" -> docExactDedupSql,
     "doc_prefix_dedup" -> docPrefixDedupSql,
     "doc_ngram_jaccard_pairs" -> docNgramJaccardSql,

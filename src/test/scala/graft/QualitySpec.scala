@@ -24,6 +24,26 @@ class QualitySpec extends SparkSpec {
     assert(nTok == ws)
   }
 
+  test("bloom prefilter returns exactly doc_contamination's rows (no false negatives)") {
+    val exact = SparkEntry.queries("doc_contamination")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val bloomed = SparkEntry.queries("doc_bloom_prefilter")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(bloomed == exact)
+  }
+
+  test("bloom_agg / bloom_contains are callable from SQL") {
+    graft.plans.GraftExtensions.install(spark)
+    import spark.implicits._
+    Seq(1L, 2L, 3L).toDF("x").createOrReplaceTempView("bloom_probe_t")
+    val hits = spark.sql("""
+      SELECT x, bloom_contains(
+        (SELECT bloom_agg(x) FROM bloom_probe_t WHERE x < 3), x) AS hit
+      FROM bloom_probe_t ORDER BY x""")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(hits(1L) && hits(2L)) // members always hit
+  }
+
   test("mad anomalies: every flagged event is >3 scaled MADs from its group median") {
     val out = SparkEntry.queries("qan_anomaly_mad")(spark, sf).collect()
     assert(out.nonEmpty)
