@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.ScaleOps.entries ++
       graft.queries.Streaming.entries ++
       graft.queries.Polling.entries ++
-      graft.queries.Extended.entries
+      graft.queries.Extended.entries ++
+      graft.queries.Corpus.entries
 
   /** DuckDB-equivalent SQL per query key (driver correctness gate). */
   def oracleSql: Map[String, String] =
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.Streaming.oracles ++
       graft.queries.Polling.oracles ++
       graft.queries.Extended.oracles ++
-      graft.queries.ScaleOps.oracles
+      graft.queries.ScaleOps.oracles ++
+      graft.queries.Corpus.oracles
 }

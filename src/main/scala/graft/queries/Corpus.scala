@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables._
+import graft.functions.expressions.GraftFunctions
+
+/** Corpus-level curation operators (SURVEY §2.C additions, round 5):
+  * source/domain reputation gating, per-document TF-IDF key terms,
+  * and directed n-gram containment — the remaining members of the
+  * published pretraining-cleaning family (C4/RefinedWeb drop whole
+  * domains; term extraction and doc-in-doc containment are the
+  * standard corpus-diagnostics passes next to them).
+  */
+object Corpus {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------- doc_source_reputation
+  // Domain-level quality gating: documents are kept or dropped by the
+  // REPUTATION OF THEIR SOURCE, not only their own features — the
+  // C4/RefinedWeb rule (blocklisted/low-quality domains are removed
+  // wholesale). Per-source aggregates: mean quality, exact-duplicate
+  // rate (1 − distinct(full-text hash)/n) and English share, folded
+  // into one reputation score, then joined BACK to every document.
+  //
+  // 100 TB shape: one corpus scan computes lang+quality features
+  // inline (scan-level projections, no UDFs), one hash-aggregate with
+  // map-side partials collapses ~10⁵-ish sources to a tiny table, and
+  // the join-back is a broadcast — the corpus never shuffles.
+  private val docSourceReputation: Q = (s, d) => {
+    val scored = Text.qualityScoredDf(Text.langScoredDf(documents(s, d)))
+      .withColumn("content_key", md5(col("text")))
+    val perSource = scored
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        // exact decimal sums before the divide: a raw double AVG
+        // would drift by ulps across partitionings/engines
+        round(sum(col("quality").cast(DecimalType(28, 15))).cast(DoubleType)
+          / count(lit(1)), 6).as("avg_quality"),
+        round((count(lit(1)) - countDistinct(col("content_key")))
+          .cast(DecimalType(28, 15)).cast(DoubleType) / count(lit(1)), 6)
+          .as("dup_rate"),
+        round(sum(when(col("pred_lang") === "en", 1L).otherwise(0L))
+          .cast(DecimalType(28, 15)).cast(DoubleType) / count(lit(1)), 6)
+          .as("en_share"))
+      .withColumn("reputation",
+        round(col("avg_quality") * 0.5 + (lit(1.0) - col("dup_rate")) * 0.3
+          + col("en_share") * 0.2, 6))
+      .withColumn("source_keep", col("reputation") >= 0.5)
+    scored.select(col("doc_id"), col("source"))
+      .join(broadcast(perSource), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_docs"), col("avg_quality"),
+        col("dup_rate"), col("en_share"), col("reputation"), col("source_keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val docSourceReputationSql: String = s"""
+    WITH lang AS (${Text.langPredSql}),
+    qual AS (${Text.qualitySql}),
+    scored AS (
+      SELECT d.doc_id, d.source, q.quality, l.pred_lang, md5(d.text) AS content_key
+      FROM documents d
+      JOIN lang l ON l.doc_id = d.doc_id
+      JOIN qual q ON q.doc_id = d.doc_id),
+    per_source AS (
+      SELECT source,
+        COUNT(*) AS n_docs,
+        ROUND(CAST(SUM(CAST(quality AS DECIMAL(28,15))) AS DOUBLE) / COUNT(*), 6) AS avg_quality,
+        ROUND(CAST(CAST(COUNT(*) - COUNT(DISTINCT content_key) AS DECIMAL(28,15)) AS DOUBLE)
+          / COUNT(*), 6) AS dup_rate,
+        ROUND(CAST(CAST(SUM(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END) AS DECIMAL(28,15)) AS DOUBLE)
+          / COUNT(*), 6) AS en_share
+      FROM scored
+      GROUP BY source),
+    rep AS (
+      SELECT *,
+        ROUND(avg_quality * 0.5 + (1.0 - dup_rate) * 0.3 + en_share * 0.2, 6) AS reputation
+      FROM per_source)
+    SELECT s.doc_id, s.source, r.n_docs, r.avg_quality, r.dup_rate, r.en_share,
+      r.reputation, r.reputation >= 0.5 AS source_keep
+    FROM scored s JOIN rep r ON r.source = s.source
+    ORDER BY s.doc_id"""
+
+  // ------------------------------------------------------ doc_tfidf_topk
+  // Per-document top-k key terms by TF-IDF — the corpus-diagnostics /
+  // topic-fingerprint pass (what is this document about; which docs
+  // are dominated by boilerplate terms). Tokenization is the shared
+  // whitespace rule (doc_top_tokens). The idf weight uses an exact
+  // RATIONAL surrogate — score = tf · ⌊10⁶·N/df⌋-style integer
+  // arithmetic, monotone in tf·N/df — so the ranking is bit-identical
+  // across engines (ln() last-ulp behavior is not); ln-idf is a
+  // drop-in at the marked line.
+  //
+  // 100 TB shape: explode → hash-aggregate tf on (doc, token)
+  // (map-side partials), df derived from the SAME aggregate (one row
+  // per (doc, token) ⇒ df = per-token row count — no second corpus
+  // scan), fine-grained equi-join tf↔df on token, then top-k per doc
+  // through the bounded-heap TopKPerGroup rewrite — never a per-doc
+  // sort. N arrives via a broadcast single-row count.
+  private val docTfidfTopk: Q = (s, d) => {
+    val k = 5
+    val tf = documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = documents(s, d).select(count(lit(1)).as("n_corpus"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      // integer tf-idf: exact in both engines; `div` truncates like //
+      .withColumn("score", expr("tf * (1000000L * n_corpus div df)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("token"))))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val docTfidfTopkSql: String = """
+    WITH tok AS (
+      SELECT doc_id,
+        unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_corpus FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        tf.tf * (1000000 * n.n_corpus // df.df) AS score
+      FROM tf JOIN df ON df.token = tf.token CROSS JOIN n),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        ORDER BY score DESC, token) AS rank
+      FROM scored)
+    SELECT doc_id, rank, token, tf, df, score
+    FROM ranked
+    WHERE rank <= 5
+    ORDER BY doc_id, rank"""
+
+  // ------------------------------------------------ doc_containment_pairs
+  // Directed n-gram CONTAINMENT |g(A) ∩ g(B)| / |g(A)| — catches
+  // doc-in-doc duplication (a quote, a mirrored article inside a
+  // larger page) that symmetric Jaccard misses: a short doc fully
+  // contained in a long one has low Jaccard but containment ≈ 1.
+  // Brute-force over the same bounded id range as the Jaccard
+  // baseline; the scale path shares doc_minhash_lsh's banding
+  // (containment is estimated from the same signatures).
+  private val docContainmentPairs: Q = (s, d) => {
+    val g = documents(s, d)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        GraftFunctions.gramHashes(
+          expr("transform(sequence(1, greatest(length(text)-2, 1)), i -> substring(text, i, 3))")).as("grams"))
+    val a = g.select(col("doc_id").as("a_id"), col("grams").as("a_grams"))
+    val b = g.select(col("doc_id").as("b_id"), col("grams").as("b_grams"))
+    a.join(b, col("a_id") =!= col("b_id"))
+      .withColumn("inter", GraftFunctions.sortedIntersectCount(col("a_grams"), col("b_grams")))
+      .withColumn("containment", col("inter").cast(DoubleType) /
+        size(col("a_grams")).cast(DoubleType))
+      .filter(col("containment") >= 0.9)
+      .select(col("a_id"), col("b_id"), col("inter").as("n_shared"),
+        size(col("a_grams")).cast("long").as("n_a"), col("containment"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val docContainmentPairsSql: String = """
+    WITH g AS (
+      SELECT doc_id,
+        list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)),
+                                     i -> substr(text, CAST(i AS INT), 3))) AS grams
+      FROM documents WHERE doc_id < 200),
+    p AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        len(list_intersect(a.grams, b.grams)) AS inter,
+        len(a.grams) AS na
+      FROM g a JOIN g b ON a.doc_id <> b.doc_id)
+    SELECT a_id, b_id, CAST(inter AS BIGINT) AS n_shared,
+      CAST(na AS BIGINT) AS n_a,
+      CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+    FROM p
+    WHERE CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) >= 0.9
+    ORDER BY a_id, b_id"""
+
+  val entries: Map[String, Q] = Map(
+    "doc_source_reputation" -> docSourceReputation,
+    "doc_tfidf_topk" -> docTfidfTopk,
+    "doc_containment_pairs" -> docContainmentPairs)
+
+  val oracles: Map[String, String] = Map(
+    "doc_source_reputation" -> docSourceReputationSql,
+    "doc_tfidf_topk" -> docTfidfTopkSql,
+    "doc_containment_pairs" -> docContainmentPairsSql)
+}
