@@ -291,6 +291,22 @@ object ExprKernels {
     }
     dot / (math.sqrt(nx) * math.sqrt(ny))
   }
+
+  /** L1 (sum-of-absolute-differences) distance — the reconstruction-
+    * error kernel of the quantization ops. Sequential index-order
+    * fold, same order as DuckDB's `list_reduce`, so the value is
+    * bit-identical across engines.
+    */
+  def l1Distance(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += math.abs(x.getDouble(i) - y.getDouble(i))
+      i += 1
+    }
+    s
+  }
 }
 
 /** Static kernels for the ANN expressions: plane/centroid tables ride
@@ -615,6 +631,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "cosine_similarity"
 }
 
+/** L1 distance between two double arrays (reconstruction error of the
+  * quantization ops) — one compiled index-order pass.
+  */
+case class L1Distance(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.l1Distance(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.ExprKernels.l1Distance($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "l1_distance"
+}
+
 /** Content-defined chunk fingerprints of a document (rolling-window
   * FNV boundaries, polynomial chunk hashes) — the shift-resistant
   * chunk-level dedup primitive (see ExprKernels.chunkFingerprints).
@@ -692,6 +726,7 @@ object GraftFunctions {
   def signatureOverlap(a: Column, b: Column): Column = column(SignatureOverlap(expression(a), expression(b)))
   def gramHashes(grams: Column): Column = column(GramHashes(expression(grams)))
   def cosineSimilarity(a: Column, b: Column): Column = column(CosineSimilarity(expression(a), expression(b)))
+  def l1Distance(a: Column, b: Column): Column = column(L1Distance(expression(a), expression(b)))
   def sortedIntersectCount(a: Column, b: Column): Column = column(SortedIntersectCount(expression(a), expression(b)))
   def polyFingerprint(c: Column): Column = column(PolyFingerprint(expression(c)))
   def chunkFingerprints(c: Column, w: Int = 8, mask: Long = 31L): Column =

@@ -57,6 +57,7 @@ object GraftExtensions {
     "poly_fingerprint" -> (es => { arity("poly_fingerprint", es, 1); PolyFingerprint(es.head) }),
     "hamming64" -> (es => { arity("hamming64", es, 2); HammingDistance64(es(0), es(1)) }),
     "cosine_similarity" -> (es => { arity("cosine_similarity", es, 2); CosineSimilarity(es(0), es(1)) }),
+    "l1_distance" -> (es => { arity("l1_distance", es, 2); L1Distance(es(0), es(1)) }),
     "gram_hashes" -> (es => { arity("gram_hashes", es, 1); GramHashes(es.head) }),
     "sorted_intersect_count" -> (es => { arity("sorted_intersect_count", es, 2); SortedIntersectCount(es(0), es(1)) }),
     "minhash_signature" -> (es => { arity("minhash_signature", es, 2); MinHashSignature(es(0), intLit(es(1), "k")) }),

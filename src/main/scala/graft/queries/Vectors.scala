@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.Tables._
 import graft.functions.expressions.GraftFunctions
+import graft.operators.AnnPq
 
 /** Block D — similarity search over the `embeddings` table (SURVEY
   * §2.D). The pairwise kernel is the native CosineSimilarity
@@ -222,7 +223,145 @@ object Vectors {
     GROUP BY 1
     ORDER BY 1"""
 
+  // --------------------------------------------------- emb_pq_codes
+  // Product quantization (Jégou et al. 2011): m=16 subspaces × 64
+  // codes — 64 float dims compress to 16 6-bit ints (~42×). This
+  // corpus is near-uniform noise (the hardest case for PQ — nothing
+  // to cluster), so codebooks are sized up (k=64 per 4-dim subspace)
+  // and the honest quality numbers live in AnnSpec. Codebooks are
+  // seeded + one decimal-exact Lloyd refinement (the AnnIvf recipe,
+  // per subspace), collected to the driver (≤ m·k·dsub doubles) and
+  // shipped back as codegen constants, so CODING is a single
+  // scan-level projection: m compiled argmin kernels + a constant
+  // lookup — no joins, no shuffle, the 100 TB shape. The oracle
+  // replays seeding, assignment, refinement, positional re-coding,
+  // reconstruction and the index-order error folds bit-exactly.
+  private val pqM = 16; private val pqDsub = 4; private val pqK = 64
+
+  private def pqEncoded(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id").as("id"), col("v"))
+    val books = AnnPq.collectCodebooks(
+      AnnPq.refinedCodebooks(e, pqM, pqDsub, pqK), pqM)
+    AnnPq.encode(e, books, pqDsub)
+  }
+
+  private val embPqCodes: Q = (s, d) =>
+    pqEncoded(s, d)
+      .select(col("id").as("vec_id"),
+        concat_ws(",", (0 until pqM).map(i => col(s"code_$i")): _*).as("codes"),
+        (GraftFunctions.l1Distance(col("v"), col("recon")) / lit(64.0)).as("mae"),
+        round(GraftFunctions.cosineSimilarity(col("v"), col("recon")), 4).as("recon_cos"))
+      .orderBy(col("vec_id"))
+
+  /** Shared PQ replay CTEs: seeded codebook inlined as literals; every
+    * distance/mean/fold has the same index-order shape as the Spark
+    * kernels, so codes, reconstruction and errors are bit-identical.
+    */
+  private lazy val pqCtes: String = {
+    val c0 = AnnPq.codebook0(pqK, pqDsub)
+    val centRows = c0.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.map(java.lang.Double.toString).mkString("[", ", ", "]")}::DOUBLE[])"
+    }.mkString(", ")
+    def sqDist(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${pqDsub + 1}), " +
+        s"i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))), (acc, x) -> acc + x)"
+    s"""e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    subs AS (
+      SELECT vec_id, v, CAST(sub AS INT) AS sub,
+        list_slice(v, sub * $pqDsub + 1, sub * $pqDsub + $pqDsub) AS subv
+      FROM e CROSS JOIN (SELECT unnest(range(0, $pqM)) AS sub)),
+    cents0(cell, c) AS (VALUES $centRows),
+    assign0 AS (
+      SELECT vec_id, sub, subv, cell FROM (
+        SELECT s.vec_id, s.sub, s.subv, c0.cell,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+            ORDER BY ${sqDist("s.subv", "c0.c")}, c0.cell) AS rn
+        FROM subs s CROSS JOIN cents0 c0)
+      WHERE rn = 1),
+    cb1 AS (
+      SELECT sub, cell, list(mn ORDER BY i) AS c FROM (
+        SELECT a.sub, a.cell, i,
+          CAST(SUM(CAST(a.subv[CAST(i AS INT)] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mn
+        FROM assign0 a CROSS JOIN (SELECT unnest(range(1, ${pqDsub + 1})) AS i)
+        GROUP BY a.sub, a.cell, i)
+      GROUP BY sub, cell),
+    cb AS (
+      SELECT sub, cell, c,
+        ROW_NUMBER() OVER (PARTITION BY sub ORDER BY cell) - 1 AS code
+      FROM cb1),
+    coded AS (
+      SELECT vec_id, sub, code, c FROM (
+        SELECT s.vec_id, s.sub, b.code, b.c,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+            ORDER BY ${sqDist("s.subv", "b.c")}, b.cell) AS rn
+        FROM subs s JOIN cb b ON b.sub = s.sub)
+      WHERE rn = 1),
+    pq AS (
+      SELECT c.vec_id,
+        string_agg(CAST(c.code AS VARCHAR), ',' ORDER BY c.sub) AS codes,
+        flatten(list(c.c ORDER BY c.sub)) AS recon
+      FROM coded c GROUP BY c.vec_id)"""
+  }
+
+  private def cosFold(a: String, b: String, dim: Int): String = {
+    def f(term: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), i -> $term)), (acc, x) -> acc + x)"
+    val dot = f(s"$a[CAST(i AS INT)] * $b[CAST(i AS INT)]")
+    val na = f(s"$a[CAST(i AS INT)] * $a[CAST(i AS INT)]")
+    val nb = f(s"$b[CAST(i AS INT)] * $b[CAST(i AS INT)]")
+    s"$dot / (sqrt($na) * sqrt($nb))"
+  }
+
+  private lazy val embPqCodesSql: String = s"""
+    WITH $pqCtes
+    SELECT e.vec_id, pq.codes,
+      list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        i -> abs(e.v[CAST(i AS INT)] - pq.recon[CAST(i AS INT)]))),
+        (acc, x) -> acc + x) / 64.0 AS mae,
+      ROUND(${cosFold("e.v", "pq.recon", 64)}, 4) AS recon_cos
+    FROM e JOIN pq ON pq.vec_id = e.vec_id
+    ORDER BY e.vec_id"""
+
+  // --------------------------------------------------- emb_pq_topk
+  // ADC-style top-k over the PQ-compressed index: queries stay
+  // full-precision, the corpus side is reconstructed from its m
+  // codes — the asymmetric scheme PQ search services run. Recall vs
+  // the exact ranking is measured in AnnSpec.
+  private val embPqTopk: Q = (s, d) => {
+    val c = pqEncoded(s, d)
+      .select(col("id").as("neighbor_id"), col("recon").as("cv"))
+    val q = vecs(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("qcos", GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("qcos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("qcos"), 4).as("qcos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private lazy val embPqTopkSql: String = s"""
+    WITH $pqCtes,
+    p AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ${cosFold("q.v", "c.recon", 64)} AS cos_raw
+      FROM e q JOIN pq c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+    rk AS (
+      SELECT query_id, neighbor_id, cos_raw,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM p)
+    SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 4) AS qcos
+    FROM rk
+    WHERE rank <= 10
+    ORDER BY query_id, rank"""
+
   val entries: Map[String, Q] = Map(
+    "emb_pq_codes" -> embPqCodes,
+    "emb_pq_topk" -> embPqTopk,
     "emb_cosine_topk" -> embCosineTopk,
     "emb_near_dup_pairs" -> embNearDupPairs,
     "emb_int8_quantize" -> embInt8Quantize,
@@ -230,6 +369,8 @@ object Vectors {
     "emb_dedup_clusters" -> embDedupClusters)
 
   val oracles: Map[String, String] = Map(
+    "emb_pq_codes" -> embPqCodesSql,
+    "emb_pq_topk" -> embPqTopkSql,
     "emb_cosine_topk" -> embCosineTopkSql,
     "emb_near_dup_pairs" -> embNearDupPairsSql,
     "emb_int8_quantize" -> embInt8QuantizeSql,

@@ -71,6 +71,35 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("pq quantization: recall beats random, bounded recon error, deterministic") {
+    // 16 subspaces × 64 codes ≈ 42× compression. This corpus is
+    // near-uniform noise — the worst case for PQ (nothing to
+    // cluster), and neighbor margins are tiny (max cos ≈ 0.51) — so
+    // the honest bar is the LSH/IVF one: recall@10 well above random
+    // selection (10/500 = 0.02), not int8's 0.8.
+    val exact = SparkEntry.queries("emb_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val pq = SparkEntry.queries("emb_pq_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.toSeq.map { q =>
+      exact(q).intersect(pq.getOrElse(q, Set.empty)).size.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.15, s"pq mean recall@10 $mean too low: $recalls")
+    val rows = SparkEntry.queries("emb_pq_codes")(spark, sf).collect()
+    assert(rows.length == Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getString(1).split(",").length == 16, s"codes ${r.getString(1)}")
+      assert(r.getDouble(2) < 0.2, s"mae ${r.getDouble(2)} for vec ${r.getLong(0)}")
+      assert(r.getDouble(3) > 0.3, s"recon_cos ${r.getDouble(3)} for vec ${r.getLong(0)}")
+    }
+    // seeded codebooks + decimal-exact refinement ⇒ bit-stable output
+    val again = SparkEntry.queries("emb_pq_codes")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val approx = SparkEntry.queries("q13_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
