@@ -96,11 +96,13 @@ object Corpus {
   // drop-in at the marked line.
   //
   // 100 TB shape: explode → hash-aggregate tf on (doc, token)
-  // (map-side partials), df derived from the SAME aggregate (one row
-  // per (doc, token) ⇒ df = per-token row count — no second corpus
-  // scan), fine-grained equi-join tf↔df on token, then top-k per doc
-  // through the bounded-heap TopKPerGroup rewrite — never a per-doc
-  // sort. N arrives via a broadcast single-row count.
+  // (map-side partials), df derived from the SAME aggregate via a
+  // count window over token (one row per (doc, token) ⇒ per-token row
+  // count = distinct-doc count) — NOT a tf⟗df self-join, which would
+  // recompute the whole explode+aggregate on both sides (measured 2×
+  // at sf0.1). Top-k per doc then goes through the bounded-heap
+  // TopKPerGroup rewrite — never a per-doc sort. N arrives via a
+  // broadcast single-row count.
   private val docTfidfTopk: Q = (s, d) => {
     val k = 5
     val tf = documents(s, d)
@@ -108,9 +110,8 @@ object Corpus {
         explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = documents(s, d).select(count(lit(1)).as("n_corpus"))
-    tf.join(df, Seq("token"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
       .crossJoin(broadcast(n))
       // integer tf-idf: exact in both engines; `div` truncates like //
       .withColumn("score", expr("tf * (1000000L * n_corpus div df)"))

@@ -130,6 +130,37 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"exchange in assignment stage:\n$plan")
   }
 
+  test("PQ coding stage is a pure projection: no Window, no Exchange, native kernels") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("v", col("embedding").cast(ArrayType(DoubleType)))
+    val corpus = e.select(col("vec_id").as("id"), col("v"))
+    val books = graft.operators.AnnPq.collectCodebooks(
+      graft.operators.AnnPq.refinedCodebooks(corpus, m = 16, dsub = 4, k = 64), m = 16)
+    val coded = graft.operators.AnnPq.encode(corpus, books, dsub = 4)
+    coded.collect()
+    val plan = coded.queryExecution.executedPlan.toString
+    assert(plan.contains("nearest_cell"), plan)
+    assert(!plan.contains("Window"), s"window shuffle in coding stage:\n$plan")
+    assert(!plan.contains("Exchange"), s"exchange in coding stage:\n$plan")
+    assert(!plan.contains("aggregate("), s"interpreted HOF fold in coding stage:\n$plan")
+  }
+
+  test("doc_tfidf_topk ranks through TopKPerGroup and broadcasts the corpus count") {
+    // the rewrite is an installed rule (Verify/Bench/production all
+    // install it); the bare test session needs it added explicitly
+    graft.plans.GraftExtensions.install(spark)
+    val plan = executedPlan("doc_tfidf_topk")
+    assert(plan.contains("TopKPerGroup"), s"row_number not rewritten:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"corpus count not broadcast:\n$plan")
+  }
+
+  test("doc_source_reputation joins the per-source table as a broadcast") {
+    val plan = executedPlan("doc_source_reputation")
+    assert(plan.contains("BroadcastHashJoin"), s"source join-back not broadcast:\n$plan")
+  }
+
   test("doc_seq_pack runs on one hash shuffle (shard) + one window, no global sort before it") {
     // AQE's toString appends an "== Initial Plan ==" copy — count only
     // the final plan section
