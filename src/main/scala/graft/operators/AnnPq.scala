@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType}
 
 import graft.functions.expressions.GraftFunctions
 
@@ -81,15 +81,23 @@ object AnnPq {
   def encode(vecs: DataFrame, books: Array[Array[Array[Double]]],
       dsub: Int): DataFrame = {
     val m = books.length
+    // a subspace codebook is empty only when the TRAINING corpus was
+    // empty (no members → no refined cells); the plan must still
+    // type-check (EmptyInputSpec) — null-typed stand-ins keep every
+    // downstream expression ARRAY<DOUBLE> without ever evaluating
     val codeCols = (0 until m).map { s =>
-      GraftFunctions.nearestCell(
+      if (books(s).isEmpty) lit(-1).as(s"code_$s")
+      else GraftFunctions.nearestCell(
         expr(s"slice(v, ${s * dsub + 1}, $dsub)"),
         books(s), Array.tabulate(books(s).length)(identity)).as(s"code_$s")
     }
     val coded = vecs.select(vecs.columns.map(col) ++ codeCols: _*)
     val reconCols: Seq[Column] = (0 until m).map { s =>
-      val bookLit = array(books(s).map(c => array(c.map(lit): _*)): _*)
-      element_at(bookLit, col(s"code_$s") + 1)
+      if (books(s).isEmpty) lit(null).cast(ArrayType(DoubleType))
+      else {
+        val bookLit = array(books(s).map(c => array(c.map(lit): _*)): _*)
+        element_at(bookLit, col(s"code_$s") + 1)
+      }
     }
     coded.withColumn("recon", concat(reconCols: _*))
   }

@@ -180,6 +180,62 @@ object ScaleOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ------------------------------------------------ emb_cluster_sample
+  // Cluster-balanced data selection (the embedding-space analogue of
+  // doc_stratified_sample, the SemDeDup/DC-style "diversify the
+  // training mix" pass): vectors are assigned to IVF cells, each cell
+  // gets a deterministic keep-rate aiming at a fixed per-cell target —
+  // dense regions are downsampled hard, sparse regions kept whole —
+  // and membership is decided per vector by the salted-hash threshold
+  // rule, so the sample is reproducible under re-runs, partitioning
+  // and corpus growth. Shape: projection-only cell assignment (the
+  // inverted file), a ≤cells-row count aggregate broadcast back, and
+  // a scan-level keep decision — no count-then-take pass over the
+  // corpus. At 100 TB the inverted file would be a checkpointed
+  // column, not recomputed per consumer. Output is the per-cell audit.
+  private val embClusterSample: Q = (s, d) => {
+    val e = embeddings(s, d).withColumn("v", col("embedding").cast(ArrayType(DoubleType)))
+    val corpus = e.select(col("vec_id").as("id"), col("v"))
+    val (ids, cents) = AnnIvf.collectCentroids(
+      AnnIvf.refinedCentroids(corpus, cells = 16, dim = 64))
+    val inverted = AnnIvf.invertedFile(corpus, ids, cents)
+    val thresholds = inverted.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cell_n"))
+      .withColumn("threshold",
+        expr("least(CAST(10000 AS BIGINT), (10000 * 32) div cell_n)"))
+    inverted
+      .join(broadcast(thresholds), Seq("cell"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("id").cast("string"), lit("|graft-cluster-sample-v1"))), 1, 8), 16, 10)
+          .cast("long") % 10000)
+      .groupBy(col("cell"), col("cell_n"), col("threshold"))
+      .agg(
+        count(when(col("bucket") < col("threshold"), 1)).as("n_kept"),
+        min(when(col("bucket") < col("threshold"), col("id"))).as("min_kept_id"),
+        max(when(col("bucket") < col("threshold"), col("id"))).as("max_kept_id"))
+      .orderBy(col("cell"))
+  }
+
+  private lazy val embClusterSampleSql: String = s"""
+    WITH ${ivfCtes(16, 64)},
+    counts AS (
+      SELECT cell, COUNT(*) AS cell_n FROM inverted GROUP BY cell),
+    thr AS (
+      SELECT cell, cell_n,
+        LEAST(CAST(10000 AS BIGINT), (10000 * 32) // cell_n) AS threshold
+      FROM counts),
+    k AS (
+      SELECT iv.vec_id, iv.cell, t.cell_n, t.threshold,
+        CAST(('0x' || substr(md5(CAST(iv.vec_id AS VARCHAR) || '|graft-cluster-sample-v1'), 1, 8)) AS BIGINT) % 10000 AS bucket
+      FROM inverted iv JOIN thr t ON t.cell = iv.cell)
+    SELECT cell, cell_n, threshold,
+      COUNT(CASE WHEN bucket < threshold THEN 1 END) AS n_kept,
+      MIN(CASE WHEN bucket < threshold THEN vec_id END) AS min_kept_id,
+      MAX(CASE WHEN bucket < threshold THEN vec_id END) AS max_kept_id
+    FROM k
+    GROUP BY 1, 2, 3
+    ORDER BY cell"""
+
   // Multimodal: frame sampling over an opaque binary payload — the
   // video-pipeline shape (decode is elsewhere; THIS op is the offset
   // arithmetic that picks every k-th fixed-size frame out of a byte
@@ -254,6 +310,7 @@ object ScaleOps {
     "doc_chunk_dedup" -> docChunkDedup,
     "doc_pipeline_filter" -> docPipelineFilter,
     "emb_ann_ivf" -> embAnnIvf,
+    "emb_cluster_sample" -> embClusterSample,
     "doc_minhash_lsh" -> docMinhashLsh,
     "doc_dedup_clusters" -> docDedupClusters,
     "doc_simhash" -> docSimhash,
@@ -479,29 +536,28 @@ object ScaleOps {
     * assignments, the Lloyd refinement and the final ranking are
     * bit-identical across engines.
     */
-  private val embAnnIvfSql: String = {
-    val cells = 16; val dim = 64; val k = 10; val nprobe = 2
+  /** Shared replay CTE block for every IVF-derived oracle: seeded
+    * centroids as literals → assign0 → decimal-exact Lloyd means →
+    * `inverted(vec_id, v, cell)`. Distances use the same sequential
+    * fold shape as the Spark kernels.
+    */
+  private def ivfSqDist(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+      s"i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))), (acc, x) -> acc + x)"
+
+  private def ivfCtes(cells: Int, dim: Int): String = {
     val cents = AnnIvf.centroids0(cells, dim)
     val centRows = cents.zipWithIndex.map { case (c, i) =>
       s"($i, ${c.map(java.lang.Double.toString).mkString("[", ", ", "]")}::DOUBLE[])"
     }.mkString(", ")
-    def sqDist(a: String, b: String): String =
-      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
-        s"i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))), (acc, x) -> acc + x)"
-    def sumFold(term: String): String =
-      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), i -> $term)), (acc, x) -> acc + x)"
-    val dot = sumFold("qv[CAST(i AS INT)] * cv[CAST(i AS INT)]")
-    val nq = sumFold("qv[CAST(i AS INT)] * qv[CAST(i AS INT)]")
-    val nc = sumFold("cv[CAST(i AS INT)] * cv[CAST(i AS INT)]")
-    s"""
-    WITH e AS (
+    s"""e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     cents0(cell, c) AS (VALUES $centRows),
     assign0 AS (
       SELECT vec_id, v, cell FROM (
         SELECT e.vec_id, e.v, c0.cell,
           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-            ORDER BY ${sqDist("e.v", "c0.c")}, c0.cell) AS rn
+            ORDER BY ${ivfSqDist("e.v", "c0.c", dim)}, c0.cell) AS rn
         FROM e CROSS JOIN cents0 c0)
       WHERE rn = 1),
     cent1 AS (
@@ -515,9 +571,21 @@ object ScaleOps {
       SELECT vec_id, v, cell FROM (
         SELECT e.vec_id, e.v, c1.cell,
           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-            ORDER BY ${sqDist("e.v", "c1.c")}, c1.cell) AS rn
+            ORDER BY ${ivfSqDist("e.v", "c1.c", dim)}, c1.cell) AS rn
         FROM e CROSS JOIN cent1 c1)
-      WHERE rn = 1),
+      WHERE rn = 1)"""
+  }
+
+  private val embAnnIvfSql: String = {
+    val cells = 16; val dim = 64; val k = 10; val nprobe = 2
+    def sqDist(a: String, b: String): String = ivfSqDist(a, b, dim)
+    def sumFold(term: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), i -> $term)), (acc, x) -> acc + x)"
+    val dot = sumFold("qv[CAST(i AS INT)] * cv[CAST(i AS INT)]")
+    val nq = sumFold("qv[CAST(i AS INT)] * qv[CAST(i AS INT)]")
+    val nc = sumFold("cv[CAST(i AS INT)] * cv[CAST(i AS INT)]")
+    s"""
+    WITH ${ivfCtes(cells, dim)},
     probes AS (
       SELECT query_id, qv, cell FROM (
         SELECT e.vec_id AS query_id, e.v AS qv, c1.cell,
@@ -585,6 +653,7 @@ object ScaleOps {
     "doc_chunk_dedup" -> docChunkDedupSql,
     "doc_pipeline_filter" -> docPipelineFilterSql,
     "emb_ann_ivf" -> embAnnIvfSql,
+    "emb_cluster_sample" -> embClusterSampleSql,
     "emb_ann_lsh" -> embAnnLshSql,
     "doc_fingerprint" -> docFingerprintSql,
     "doc_simhash" -> docSimhashSql,
