@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.expressions.{AnnKernels, ExprKernels, PolyHash}
+
+/** Property-based tests of the native expression kernels: the
+  * compiled loops must agree with straightforward reference
+  * implementations on arbitrary inputs — exactly the claim the
+  * DuckDB oracles make for specific corpora, here quantified over
+  * generated ones.
+  */
+class KernelPropSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private def arr(xs: Seq[Double]) = new GenericArrayData(xs.toArray)
+  private def sarr(xs: Seq[String]) =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+
+  private val vecGen: Gen[List[Double]] =
+    Gen.chooseNum(1, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1000.0, 1000.0)))
+
+  private val tokensGen: Gen[List[String]] =
+    Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 6).flatMap(l =>
+        Gen.listOfN(l, Gen.alphaNumChar).map(_.mkString))))
+
+  test("gram hashes + merge-walk intersection == reference set intersection") {
+    check(Prop.forAll(tokensGen, tokensGen) { (a, b) =>
+      val ga = ExprKernels.gramHashes(sarr(a)).toLongArray()
+      val gb = ExprKernels.gramHashes(sarr(b)).toLongArray()
+      val got = ExprKernels.sortedIntersectCount(
+        new GenericArrayData(ga), new GenericArrayData(gb))
+      val want = ga.toSet.intersect(gb.toSet).size.toLong
+      got == want
+    })
+  }
+
+  test("gram hashes are sorted and distinct (the merge-walk precondition)") {
+    check(Prop.forAll(tokensGen) { a =>
+      val g = ExprKernels.gramHashes(sarr(a)).toLongArray()
+      g.sameElements(g.distinct.sorted)
+    })
+  }
+
+  test("minhash fundamental property: sig(A ∪ B) = elementwise min(sig A, sig B)") {
+    check(Prop.forAll(tokensGen, tokensGen) { (a, b) =>
+      (a.nonEmpty && b.nonEmpty) ==> {
+        val k = 36
+        val sa = ExprKernels.minhashSignature(ExprKernels.gramHashes(sarr(a)), k).toLongArray()
+        val sb = ExprKernels.minhashSignature(ExprKernels.gramHashes(sarr(b)), k).toLongArray()
+        val su = ExprKernels.minhashSignature(ExprKernels.gramHashes(sarr(a ++ b)), k).toLongArray()
+        // slot values are UNSIGNED 64-bit patterns (see MinHash.signature)
+        su.sameElements(sa.zip(sb).map { case (x, y) =>
+          if (java.lang.Long.compareUnsigned(x, y) <= 0) x else y })
+      }
+    })
+  }
+
+  test("signature overlap is k on self, symmetric, bounded by k") {
+    check(Prop.forAll(tokensGen, tokensGen) { (a, b) =>
+      (a.nonEmpty && b.nonEmpty) ==> {
+        val k = 36
+        val sa = ExprKernels.minhashSignature(ExprKernels.gramHashes(sarr(a)), k)
+        val sb = ExprKernels.minhashSignature(ExprKernels.gramHashes(sarr(b)), k)
+        val self = ExprKernels.signatureOverlap(sa, sa)
+        val ab = ExprKernels.signatureOverlap(sa, sb)
+        val ba = ExprKernels.signatureOverlap(sb, sa)
+        self == k && ab == ba && ab >= 0 && ab <= k
+      }
+    })
+  }
+
+  test("cosine similarity: cos(v,v)=1, symmetric, |cos|<=1, scale-invariant") {
+    check(Prop.forAll(vecGen, vecGen) { (a0, b0) =>
+      val n = math.min(a0.length, b0.length)
+      val a = a0.take(n); val b = b0.take(n)
+      (a.exists(_ != 0.0) && b.exists(_ != 0.0)) ==> {
+        val cab = ExprKernels.cosineSimilarity(arr(a), arr(b))
+        val cba = ExprKernels.cosineSimilarity(arr(b), arr(a))
+        val self = ExprKernels.cosineSimilarity(arr(a), arr(a))
+        val scaled = ExprKernels.cosineSimilarity(arr(a.map(_ * 3.0)), arr(b))
+        math.abs(self - 1.0) < 1e-9 && cab == cba &&
+          math.abs(cab) <= 1.0 + 1e-9 && math.abs(scaled - cab) < 1e-9
+      }
+    })
+  }
+
+  test("l1 distance: identity, symmetry, triangle inequality") {
+    check(Prop.forAll(vecGen, vecGen, vecGen) { (a0, b0, c0) =>
+      val n = List(a0.length, b0.length, c0.length).min
+      val a = a0.take(n); val b = b0.take(n); val c = c0.take(n)
+      val ab = ExprKernels.l1Distance(arr(a), arr(b))
+      val ba = ExprKernels.l1Distance(arr(b), arr(a))
+      val ac = ExprKernels.l1Distance(arr(a), arr(c))
+      val cb = ExprKernels.l1Distance(arr(c), arr(b))
+      ExprKernels.l1Distance(arr(a), arr(a)) == 0.0 &&
+        ab == ba && ab <= ac + cb + 1e-6 * (1 + ab)
+    })
+  }
+
+  test("nearest cell is the argmin with lowest-cell tie-break") {
+    val centsGen = Gen.chooseNum(1, 8).flatMap(k =>
+      Gen.listOfN(k, Gen.listOfN(4, Gen.chooseNum(-10.0, 10.0))))
+    check(Prop.forAll(Gen.listOfN(4, Gen.chooseNum(-10.0, 10.0)), centsGen) { (v, cents) =>
+      val cs = cents.map(_.toArray).toArray
+      val ids = Array.tabulate(cs.length)(identity)
+      val got = AnnKernels.nearestCell(arr(v), cs, ids)
+      def d2(c: Array[Double]) = {
+        var s = 0.0; var i = 0
+        while (i < 4) { val t = v(i) - c(i); s += t * t; i += 1 }; s
+      }
+      val want = cs.zipWithIndex.minBy { case (c, i) => (d2(c), i) }._2
+      got == want
+    })
+  }
+
+  test("int8 stats agree with recon: mae is the mean abs error, codes clamp") {
+    check(Prop.forAll(vecGen) { v =>
+      val stats = AnnKernels.int8QuantStats(arr(v)).toDoubleArray()
+      val recon = AnnKernels.int8Recon(arr(v)).toDoubleArray()
+      val scale = stats(0)
+      val maeRef = v.zip(recon).map { case (x, r) => math.abs(x - r) }.sum / v.length
+      // same index-order fold ⇒ bit-identical, but allow one ulp
+      math.abs(stats(1) - maeRef) < 1e-12 &&
+        v.zip(recon).forall { case (x, r) =>
+          math.abs(x - r) <= scale / 2 + 1e-9 || math.abs(x) > 127.0 * scale }
+    })
+  }
+
+  test("polynomial fingerprint: Math.multiplyHigh mulMod matches a BigInt reference fold") {
+    val textGen = Gen.chooseNum(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(32.toChar, 126.toChar)).map(_.mkString))
+    val M = BigInt("2305843009213693951") // 2^61 - 1
+    check(Prop.forAll(textGen) { s =>
+      val bytes = s.getBytes("UTF-8")
+      val got = PolyHash.ofBytes(bytes)
+      val want = bytes.foldLeft(BigInt(0)) { (acc, b) =>
+        (acc * PolyHash.Base + (b & 0xff)) mod M
+      }
+      BigInt(got) == want
+    })
+  }
+
+  test("mulMod matches BigInt multiplication mod 2^61-1 on arbitrary longs") {
+    val inMod = Gen.chooseNum(0L, PolyHash.Mod - 1)
+    check(Prop.forAll(inMod, inMod) { (a, b) =>
+      BigInt(PolyHash.mulMod(a, b)) == (BigInt(a) * BigInt(b)) .mod (BigInt(PolyHash.Mod))
+    })
+  }
+}
