@@ -396,15 +396,21 @@ object ScaleOps {
   /** Shared CTE chain ending in `pairs(a_id, b_id, jaccard)` — used
     * by both the pair oracle and the cluster oracle.
     */
-  private val minhashCtes: String = {
-    val k = 36; val bands = 6; val rows = 6; val tau = 0.8
+  /** Replay CTEs through candidate generation — grams, FNV hashes,
+    * affine-permutation signatures (HUGEINT mod 2⁶⁴), band slices and
+    * the distinct colliding-pair set `cand`. Shared by the batch LSH
+    * oracles (which add estimate prefilter + exact verify) and the
+    * streaming pair oracle (whose decision value IS the signature
+    * estimate).
+    */
+  private[queries] val minhashSigCtes: String = {
+    val k = 36; val bands = 6; val rows = 6
     val (as, bs) = graft.functions.expressions.MinHash.coefficients(k)
     val mask = (BigInt(1) << 64) - 1
     val coeffRows = (0 until k)
       .map(i => s"(${i + 1}, ${BigInt(as(i)) & mask}::HUGEINT, ${BigInt(bs(i)) & mask}::HUGEINT)")
       .mkString(", ")
     val two64 = BigInt(1) << 64
-    val est = tau - 0.2 // same double bits as the Spark-side filter
     s"""g AS (
       SELECT doc_id,
         list_transform(generate_series(1, greatest(length(text)-2, 1)),
@@ -436,7 +442,13 @@ object ScaleOps {
       FROM sig CROSS JOIN (SELECT unnest(range(0, $bands)) AS j)),
     cand AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM bands a JOIN bands b ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      FROM bands a JOIN bands b ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
+  }
+
+  private val minhashCtes: String = {
+    val k = 36; val tau = 0.8
+    val est = tau - 0.2 // same double bits as the Spark-side filter
+    s"""$minhashSigCtes,
     est AS (
       SELECT c.a_id, c.b_id
       FROM cand c

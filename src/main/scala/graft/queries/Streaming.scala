@@ -197,7 +197,30 @@ object Streaming {
         Text.exactDedupAgg(QanStream.documentsStream(s, d)), OutputMode.Complete())
       .orderBy(col("keep_doc_id"))
 
+  // Streaming ingestion-time NEAR-dup detection (DedupStream): as docs
+  // arrive, each is checked against resident (band, bucket) signature
+  // state; (older, newer, signature-estimate) pairs stream out, with
+  // multi-band duplicates removed by an in-stream dropDuplicates.
+  // The oracle replays signatures/bands/candidates bit-exactly and
+  // applies the same estimate threshold.
+  private val stMinhash: Q = (s, d) =>
+    QanStream.runToMemory(
+        graft.streaming.DedupStream.minhashDedupStream(QanStream.documentsStream(s, d)),
+        OutputMode.Append())
+      .orderBy(col("a_id"), col("b_id"))
+
+  private val stMinhashSql: String = s"""
+    WITH ${ScaleOps.minhashSigCtes}
+    SELECT c.a_id, c.b_id,
+      CAST(len(list_filter(range(1, 37), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 36 AS est
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.a_id
+    JOIN sig sb ON sb.doc_id = c.b_id
+    WHERE CAST(len(list_filter(range(1, 37), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 36 >= 0.8
+    ORDER BY c.a_id, c.b_id"""
+
   val entries: Map[String, Q] = Map(
+    "st_minhash_stream" -> stMinhash,
     "st_exact_dedup_stream" -> stExactDedup,
     "st_multi_counter_stream" -> stMultiCounter,
     "st_delta_stream" -> stDelta,
@@ -211,6 +234,7 @@ object Streaming {
     * share the batch oracles.
     */
   val oracles: Map[String, String] = Map(
+    "st_minhash_stream" -> stMinhashSql,
     "st_exact_dedup_stream" -> Text.oracles("doc_exact_dedup"),
     "st_multi_counter_stream" -> Qan.oracles("qan_multi_counter_delta"),
     "st_session_stream" -> stSessionSql,

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Dedup
+
+/** Streaming ingestion-time NEAR-duplicate detection — the minhash
+  * companion to the exact-dedup stream: as documents arrive, each is
+  * checked against everything already ingested that shares an LSH
+  * band bucket, and (older, newer) pairs whose signature-estimated
+  * Jaccard clears the threshold are emitted.
+  *
+  * The reference decision (who is a near-dup of whom) is made from
+  * SIGNATURES ONLY: per-bucket state holds (id, 36-long signature) —
+  * ~300 bytes per resident doc, never the text or gram set, which is
+  * what makes unbounded ingestion-time state affordable. The
+  * signature estimate overlap/k is the decision value (the batch
+  * pipeline uses the same estimate as its prefilter and then exact-
+  * verifies from gram sets; a stream that kept gram sets would pay
+  * orders of magnitude more state — at 100 TB the candidates are
+  * handed to a batch verify job instead).
+  *
+  * Scale shape: signatures and band keys are computed scan-side with
+  * the compiled kernels; state is partitioned by (band, bucket) so
+  * hot buckets spread across executors; per-bucket membership is the
+  * same occupancy the batch LSH join is bounded by.
+  */
+object DedupStream {
+
+  case class BucketRow(band: Int, bkey: String, doc_id: Long, sig: Seq[Long])
+  case class NearDupPair(a_id: Long, b_id: Long, est: Double)
+  case class BucketState(members: List[(Long, Seq[Long])])
+
+  /** Signature agreement fraction — the minhash Jaccard estimator
+    * (slot equality; values are opaque 64-bit patterns, equality is
+    * sign-agnostic).
+    */
+  private def estimate(a: Seq[Long], b: Seq[Long], k: Int): Double = {
+    var same = 0
+    var i = 0
+    while (i < k) {
+      if (a(i) == b(i)) same += 1
+      i += 1
+    }
+    same.toDouble / k
+  }
+
+  /** (band, bucket)-keyed stateful pair emission. Within a micro-batch
+    * the group's docs are processed in doc_id order and each is
+    * compared to state members and earlier in-batch docs, so the
+    * output is arrival-partition independent; pairs are (smaller id,
+    * larger id) within a batch and (resident, arrival) across batches
+    * — exactly the batch banding's candidate set when the feed is one
+    * batch, which is what lets it share a deterministic oracle.
+    */
+  def minhashPairStream(docs: DataFrame, k: Int = 36, bands: Int = 6,
+      tau: Double = 0.8): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    val rows = k / bands
+    val sigs = docs
+      .select(col("doc_id"),
+        expr("transform(sequence(1, greatest(length(text)-2, 1)), " +
+          "i -> substring(text, i, 3))").as("grams_raw"))
+      .select(col("doc_id"),
+        graft.functions.expressions.GraftFunctions.gramHashes(col("grams_raw")).as("ghash"))
+      .withColumn("sig", Dedup.minhashSignature("ghash", k))
+    val bucketed = sigs
+      .select(col("doc_id"), col("sig"),
+        explode(Dedup.lshBands("sig", bands, rows)).as("b"))
+      .select(col("b.band").as("band"),
+        concat_ws(",", col("b.bucket")).as("bkey"),
+        col("doc_id"), col("sig"))
+      .as[BucketRow]
+    bucketed
+      .groupByKey(r => (r.band, r.bkey))
+      .flatMapGroupsWithState[BucketState, NearDupPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[BucketState]) =>
+          val arrivals = it.toSeq.sortBy(_.doc_id)
+          var members = state.getOption.map(_.members).getOrElse(Nil)
+          val out = Seq.newBuilder[NearDupPair]
+          arrivals.foreach { r =>
+            members.foreach { case (mid, msig) =>
+              val est = estimate(msig, r.sig, k)
+              if (est >= tau && mid != r.doc_id)
+                out += NearDupPair(math.min(mid, r.doc_id), math.max(mid, r.doc_id), est)
+            }
+            members = (r.doc_id, r.sig) :: members
+          }
+          state.update(BucketState(members))
+          out.result().iterator
+      }
+  }
+
+  /** The full streaming query: pair emission + in-stream exact dedup of
+    * pairs surfaced by multiple colliding bands (dropDuplicates is
+    * itself a stateful streaming operator — the whole pipeline stays
+    * on the stream).
+    */
+  def minhashDedupStream(docs: DataFrame): DataFrame =
+    minhashPairStream(docs).toDF()
+      .dropDuplicates("a_id", "b_id")
+}

@@ -91,6 +91,39 @@ class StreamingSpec extends SparkSpec {
     } finally out.query.stop()
   }
 
+  test("minhash stream: resident signatures match later arrivals across batches") {
+    import spark.implicits._
+    import graft.streaming.{DedupStream, QanStream}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val pairs = DedupStream.minhashDedupStream(ms.toDF().toDF("doc_id", "text"))
+    val out = QanStream.runToMemoryQuery(pairs, OutputMode.Append())
+    val body = "the quick brown fox jumps over the lazy dog and keeps on running far away"
+    try {
+      // batch 1: two unrelated docs take residence in bucket state
+      ms.addData((10L, body), (20L, "completely different content with nothing shared at all here"))
+      out.query.processAllAvailable()
+      val afterB1 = spark.table(out.name).count()
+      assert(afterB1 == 0, s"no near-dups expected in batch 1, got $afterB1")
+      // batch 2: a near-identical copy of doc 10 arrives LATER — the
+      // pair must come from cross-batch state, not intra-batch compare
+      ms.addData((30L, body + "!"))
+      out.query.processAllAvailable()
+      val rows = spark.table(out.name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows.map(t => (t._1, t._2)) == Seq((10L, 30L)), rows.toString)
+      assert(rows.head._3 >= 0.8, rows.toString)
+      // a fresh exact copy of doc 20 also matches its resident state
+      ms.addData((40L, "completely different content with nothing shared at all here"))
+      out.query.processAllAvailable()
+      val all = spark.table(out.name).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(all == Set((10L, 30L), (20L, 40L)), all.toString)
+    } finally out.query.stop()
+  }
+
   test("governor stream: O(1) state folds identically across many batches") {
     import spark.implicits._
     import graft.streaming.QanStream
