@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.Streaming.entries ++
       graft.queries.Polling.entries ++
       graft.queries.Extended.entries ++
-      graft.queries.Corpus.entries
+      graft.queries.Corpus.entries ++
+      graft.queries.Timeseries.entries
 
   /** DuckDB-equivalent SQL per query key (driver correctness gate). */
   def oracleSql: Map[String, String] =
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.queries.Polling.oracles ++
       graft.queries.Extended.oracles ++
       graft.queries.ScaleOps.oracles ++
-      graft.queries.Corpus.oracles
+      graft.queries.Corpus.oracles ++
+      graft.queries.Timeseries.oracles
 }

@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables._
+
+/** Time-series analytics surface (SURVEY §2.B additions, round 5):
+  * the remaining Druid-class operations a monitoring UI issues against
+  * the rollup tables — gap-filled continuous series (Druid lacks them;
+  * every dashboard reimplements LOCF client-side), topN with an
+  * "(others)" remainder bucket (Druid's native topN query type,
+  * jupyter-notebooks/02-Query_Analysis.ipynb renders exactly this
+  * shape), and period-over-period change alerts (the QAN workflow's
+  * "did this digest regress since yesterday" question).
+  */
+object Timeseries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------- qan_gapfill
+  // Gap-filled per-series daily totals with LOCF (last observation
+  // carried forward) — the time_bucket_gapfill/locf operation of
+  // TimescaleDB-class stores, over the QAN (instance, digest) series.
+  //
+  // 100 TB shape: the observed rollup is one hash aggregate; the spine
+  // is generated per key from its own [min, max] bucket range
+  // (sequence + explode — bounded by retention horizon, never a global
+  // calendar cross-join); the spine⋈observed join is an equi-join on
+  // (key, bucket); LOCF is one window per key. No node ever sees more
+  // than one key-partition's spine.
+  private val qanGapfill: Q = (s, d) => {
+    val base = events(s, d)
+      .groupBy(col("user_id"), col("event_type"),
+        date_trunc("day", col("ts")).as("bucket"))
+      .agg(sum(col("value").cast(DecimalType(18, 6))).as("dv"),
+        count(lit(1)).as("n_events"))
+    val spine = base
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("user_id"), col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("bucket"))
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(base, Seq("user_id", "event_type", "bucket"), "left")
+      .withColumn("filled_value",
+        round(last(col("dv"), ignoreNulls = true).over(w).cast(DoubleType), 4))
+      .select(col("user_id"), col("event_type"), col("bucket"),
+        col("filled_value"),
+        col("dv").isNull.as("was_gap"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("user_id"), col("event_type"), col("bucket"))
+  }
+
+  private val qanGapfillSql = """
+    WITH base AS (
+      SELECT user_id, event_type, date_trunc('day', ts) AS bucket,
+        SUM(CAST(value AS DECIMAL(18,6))) AS dv,
+        COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2, 3),
+    spine AS (
+      SELECT user_id, event_type,
+        unnest(generate_series(MIN(bucket), MAX(bucket), INTERVAL 1 DAY)) AS bucket
+      FROM base GROUP BY 1, 2),
+    j AS (
+      SELECT s.user_id, s.event_type, s.bucket, b.dv, b.n_events
+      FROM spine s LEFT JOIN base b USING (user_id, event_type, bucket))
+    SELECT user_id, event_type, bucket,
+      ROUND(CAST(last_value(dv IGNORE NULLS) OVER (
+        PARTITION BY user_id, event_type ORDER BY bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS filled_value,
+      dv IS NULL AS was_gap,
+      COALESCE(n_events, 0) AS n_events
+    FROM j
+    ORDER BY user_id, event_type, bucket"""
+
+  // --------------------------------------------------- qan_topn_others
+  // Druid's native topN query shape: the K heaviest dimension values by
+  // a metric, plus ONE "(others)" row aggregating the remainder, with
+  // each row's share of the grand total — what the reference notebooks
+  // render as "top queries" pie/bar charts without dropping the tail.
+  //
+  // 100 TB shape: the corpus collapses through one map-side-combined
+  // hash aggregate to |dimension| rows BEFORE any ranking; the global
+  // row_number window and the grand-total broadcast run on that tiny
+  // aggregate, never on raw data. Sums stay DECIMAL through the
+  // re-group so the "(others)" fold is order-independent.
+  private val qanTopnOthers: Q = (s, d) => {
+    val agg = events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("calls"),
+        sum(col("value").cast(DecimalType(18, 6))).as("tv"))
+    val ranked = agg.withColumn("rk",
+      row_number().over(Window.orderBy(col("tv").desc, col("event_type"))))
+    val grand = agg.agg(sum(col("tv")).as("gv"))
+    ranked
+      .withColumn("bucket_name",
+        when(col("rk") <= 3, col("event_type")).otherwise(lit("(others)")))
+      .groupBy(col("bucket_name"))
+      .agg(sum(col("calls")).as("calls"),
+        sum(col("tv")).as("tv2"),
+        min(col("rk")).as("rank"),
+        count(lit(1)).as("n_merged"))
+      .crossJoin(broadcast(grand))
+      .select(col("bucket_name"), col("rank"), col("n_merged"), col("calls"),
+        round(col("tv2").cast(DoubleType), 4).as("total_value"),
+        round(col("tv2").cast(DoubleType) / col("gv").cast(DoubleType), 6)
+          .as("share"))
+      .orderBy(col("rank"))
+  }
+
+  private val qanTopnOthersSql = """
+    WITH agg AS (
+      SELECT event_type, COUNT(*) AS calls,
+        SUM(CAST(value AS DECIMAL(18,6))) AS tv
+      FROM events GROUP BY 1),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY tv DESC, event_type) AS rk
+      FROM agg),
+    grand AS (SELECT SUM(tv) AS gv FROM agg),
+    folded AS (
+      SELECT CASE WHEN rk <= 3 THEN event_type ELSE '(others)' END AS bucket_name,
+        CAST(SUM(calls) AS BIGINT) AS calls, SUM(tv) AS tv2,
+        MIN(rk) AS rank, COUNT(*) AS n_merged
+      FROM ranked GROUP BY 1)
+    SELECT bucket_name, rank, n_merged, calls,
+      ROUND(CAST(tv2 AS DOUBLE), 4) AS total_value,
+      ROUND(CAST(tv2 AS DOUBLE) / CAST(gv AS DOUBLE), 6) AS share
+    FROM folded, grand
+    ORDER BY rank"""
+
+  // ----------------------------------------------- qan_percent_change
+  // Period-over-period regression detection: each (instance, digest)
+  // day total vs its previous OBSERVED day, as a percent change, with
+  // an alert flag past ±50% — the "did this query's cost jump since
+  // yesterday" QAN alert (the behavior-change complement of
+  // qan_anomaly_mad's distributional outliers).
+  //
+  // 100 TB shape: one hash aggregate to day grain, then a single lag
+  // window per key — the same single-shuffle pattern as
+  // qan_snapshot_delta, so the plan is identical at any scale. The
+  // delta is computed on exact DECIMAL sums; only the final ratio is
+  // double, so the alert flag cannot flap across engines/partitionings.
+  private val qanPercentChange: Q = (s, d) => {
+    val base = events(s, d)
+      .groupBy(col("user_id"), col("event_type"),
+        date_trunc("day", col("ts")).as("bucket"))
+      .agg(sum(col("value").cast(DecimalType(18, 6))).as("dv"),
+        count(lit(1)).as("n_calls"))
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("bucket"))
+    base
+      .withColumn("prev", lag(col("dv"), 1).over(w))
+      .withColumn("pct_change",
+        when(col("prev").isNotNull && col("prev") =!= 0,
+          round((col("dv") - col("prev")).cast(DoubleType)
+            / col("prev").cast(DoubleType), 6)))
+      .select(col("user_id"), col("event_type"), col("bucket"), col("n_calls"),
+        round(col("dv").cast(DoubleType), 4).as("day_value"),
+        round(col("prev").cast(DoubleType), 4).as("prev_value"),
+        col("pct_change"),
+        coalesce(abs(col("pct_change")) > 0.5, lit(false)).as("alert"))
+      .orderBy(col("user_id"), col("event_type"), col("bucket"))
+  }
+
+  private val qanPercentChangeSql = """
+    WITH base AS (
+      SELECT user_id, event_type,
+        CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        SUM(CAST(value AS DECIMAL(18,6))) AS dv,
+        COUNT(*) AS n_calls
+      FROM events GROUP BY 1, 2, 3),
+    lagged AS (
+      SELECT *, LAG(dv, 1) OVER (
+        PARTITION BY user_id, event_type ORDER BY bucket) AS prev
+      FROM base),
+    pc AS (
+      SELECT *, CASE WHEN prev IS NOT NULL AND prev <> 0
+        THEN ROUND(CAST(dv - prev AS DOUBLE) / CAST(prev AS DOUBLE), 6)
+        END AS pct_change
+      FROM lagged)
+    SELECT user_id, event_type, bucket, n_calls,
+      ROUND(CAST(dv AS DOUBLE), 4) AS day_value,
+      ROUND(CAST(prev AS DOUBLE), 4) AS prev_value,
+      pct_change,
+      COALESCE(abs(pct_change) > 0.5, false) AS alert
+    FROM pc
+    ORDER BY user_id, event_type, bucket"""
+
+  val entries: Map[String, Q] = Map(
+    "qan_gapfill" -> qanGapfill,
+    "qan_topn_others" -> qanTopnOthers,
+    "qan_percent_change" -> qanPercentChange)
+
+  val oracles: Map[String, String] = Map(
+    "qan_gapfill" -> qanGapfillSql,
+    "qan_topn_others" -> qanTopnOthersSql,
+    "qan_percent_change" -> qanPercentChangeSql)
+}
