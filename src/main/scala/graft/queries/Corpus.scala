@@ -191,13 +191,159 @@ object Corpus {
     WHERE CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) >= 0.9
     ORDER BY a_id, b_id"""
 
+  // ---------------------------------------------------- doc_segment_dedup
+  // C4-style boilerplate REMOVAL with reassembly: every document is cut
+  // into fixed 10-word segments (the corpus has no newlines — segments
+  // play the role of C4's lines), a segment occurring ≥ 3 times
+  // corpus-wide is boilerplate and is dropped from every document, and
+  // each document's surviving segments are reassembled in order. This
+  // differs from doc_chunk_dedup (detection/reporting of shared
+  // passages) — here the output IS the cleaned corpus: per doc the
+  // segment counts and the md5 of the reassembled clean text (proving
+  // the reassembly byte-for-byte, not just the counts).
+  //
+  // 100 TB shape: one explode to (doc, pos, segment), one map-side-
+  // combined hash aggregate over segment hashes (bounded by distinct
+  // segments), an equi-join back on the 128-bit hash, and one ordered
+  // re-aggregate per doc (collect kept (pos, seg) structs, sort the
+  // ≤doc-sized array). No window over the corpus, no global order.
+  private val segWords = 10
+  private val docSegmentDedup: Q = (s, d) => {
+    val seg = documents(s, d)
+      .withColumn("words", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+              sequence(0, cast(greatest(ceil(size(words)/$segWords.0), 1) as int) - 1),
+              i -> array_join(slice(words, i*$segWords+1, $segWords), ' '))""")))
+      .withColumnRenamed("pos", "pos").withColumnRenamed("col", "seg")
+      .withColumn("k", md5(col("seg")))
+    val cnt = seg.groupBy(col("k")).agg(count(lit(1)).as("c"))
+    seg.join(cnt, Seq("k"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("c") >= 3, 1L).otherwise(0L)).as("n_removed"),
+        md5(expr("""array_join(
+          transform(
+            array_sort(collect_list(CASE WHEN c < 3 THEN struct(pos, seg) END)),
+            x -> x.seg), ' ')""")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val docSegmentDedupSql: String = s"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents),
+    seg AS (
+      SELECT doc_id,
+        unnest(generate_series(0,
+          CAST(greatest(ceil(len(words)/$segWords.0), 1) AS BIGINT) - 1)) AS pos,
+        unnest(list_transform(
+          generate_series(0,
+            CAST(greatest(ceil(len(words)/$segWords.0), 1) AS BIGINT) - 1),
+          i -> array_to_string(words[(i*$segWords+1):(i*$segWords+$segWords)], ' '))) AS seg
+      FROM w),
+    cnt AS (
+      SELECT md5(seg) AS k, COUNT(*) AS c FROM seg GROUP BY 1),
+    j AS (
+      SELECT s.doc_id, s.pos, s.seg, c.c
+      FROM seg s JOIN cnt c ON c.k = md5(s.seg))
+    SELECT doc_id, COUNT(*) AS n_segments,
+      CAST(SUM(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      md5(COALESCE(string_agg(CASE WHEN c < 3 THEN seg END, ' ' ORDER BY pos), ''))
+        AS clean_md5
+    FROM j
+    GROUP BY 1
+    ORDER BY doc_id"""
+
+  // ------------------------------------------------------ doc_mixture_plan
+  // Data-mixture rebalancing planner: given target language weights for
+  // the final pretraining mix, compute — from corpus aggregates alone —
+  // the largest feasible mixed corpus (the binding stratum saturates)
+  // and each language's keep rate and kept-token budget. This is the
+  // planning half of mixture sampling (DoReMi-class recipes publish
+  // exactly such weight tables); doc_stratified_sample is the matching
+  // execution half (salted-hash thresholds at the planned rates).
+  //
+  // Every quantity is integer arithmetic on permyriad weights
+  // (feasible total = min over strata of tokens·10⁴ div weight;
+  // kept = weight·N* div 10⁴) so the plan is bit-identical in any
+  // engine — only the display ratios are doubles, rounded. One corpus
+  // scan → |languages| rows; the N*/total fold runs on that tiny
+  // aggregate (broadcast), never on raw data.
+  private val mixtureWeights: Seq[(String, Long)] = Seq(
+    // target permyriad share of the final mix per language
+    "en" -> 5000L, "zh" -> 2000L, "de" -> 1000L, "fr" -> 1000L, "es" -> 1000L)
+
+  private val docMixturePlan: Q = (s, d) => {
+    val weight = mixtureWeights.foldLeft(lit(0L)) { case (e, (l, w)) =>
+      when(col("lang") === l, w).otherwise(e)
+    }
+    val perLang = documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("tokens"))
+      .withColumn("target_pmy", weight)
+      .withColumn("feasible",
+        when(col("target_pmy") > 0, expr("tokens * 10000L div target_pmy")))
+    val fold = perLang.agg(min(col("feasible")).as("n_star"),
+      sum(col("tokens")).as("total_tokens"))
+    perLang.crossJoin(broadcast(fold))
+      .withColumn("kept_tokens",
+        when(col("target_pmy") > 0, expr("target_pmy * n_star div 10000L"))
+          .otherwise(0L))
+      .select(col("lang"), col("n_docs"), col("tokens"),
+        round(col("tokens").cast(DoubleType) / col("total_tokens").cast(DoubleType), 6)
+          .as("current_share"),
+        round(col("target_pmy").cast(DoubleType) / 10000.0, 4).as("target_share"),
+        col("kept_tokens"),
+        round(col("kept_tokens").cast(DoubleType) / col("tokens").cast(DoubleType), 6)
+          .as("keep_rate"),
+        (col("feasible") === col("n_star")).as("binding"))
+      .orderBy(col("lang"))
+  }
+
+  private val docMixturePlanSql: String = {
+    val weightCase = mixtureWeights.map { case (l, w) =>
+      s"WHEN lang = '$l' THEN $w"
+    }.mkString("CASE ", " ", " ELSE 0 END")
+    s"""
+    WITH per_lang AS (
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS tokens,
+        $weightCase AS target_pmy
+      FROM documents
+      GROUP BY 1),
+    f AS (
+      SELECT lang, n_docs, tokens, target_pmy,
+        CASE WHEN target_pmy > 0 THEN tokens * 10000 // target_pmy END AS feasible
+      FROM per_lang),
+    fold AS (
+      SELECT MIN(feasible) AS n_star, CAST(SUM(tokens) AS BIGINT) AS total_tokens
+      FROM f)
+    SELECT lang, n_docs, tokens,
+      ROUND(CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6) AS current_share,
+      ROUND(CAST(target_pmy AS DOUBLE) / 10000.0, 4) AS target_share,
+      CAST(CASE WHEN target_pmy > 0 THEN target_pmy * n_star // 10000 ELSE 0 END AS BIGINT)
+        AS kept_tokens,
+      ROUND(CAST(CASE WHEN target_pmy > 0 THEN target_pmy * n_star // 10000 ELSE 0 END AS DOUBLE)
+        / CAST(tokens AS DOUBLE), 6) AS keep_rate,
+      feasible = n_star AS binding
+    FROM f, fold
+    ORDER BY lang"""
+  }
+
   val entries: Map[String, Q] = Map(
     "doc_source_reputation" -> docSourceReputation,
     "doc_tfidf_topk" -> docTfidfTopk,
-    "doc_containment_pairs" -> docContainmentPairs)
+    "doc_containment_pairs" -> docContainmentPairs,
+    "doc_segment_dedup" -> docSegmentDedup,
+    "doc_mixture_plan" -> docMixturePlan)
 
   val oracles: Map[String, String] = Map(
     "doc_source_reputation" -> docSourceReputationSql,
     "doc_tfidf_topk" -> docTfidfTopkSql,
-    "doc_containment_pairs" -> docContainmentPairsSql)
+    "doc_containment_pairs" -> docContainmentPairsSql,
+    "doc_segment_dedup" -> docSegmentDedupSql,
+    "doc_mixture_plan" -> docMixturePlanSql)
 }
