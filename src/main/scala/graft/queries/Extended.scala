@@ -329,7 +329,63 @@ object Extended {
       AND abs((d.value - d.med) / (1.4826 * m.mad)) > 3.0
     ORDER BY d.event_id"""
 
+  // -------------------------------------------------------- q23_pivot
+  // PIVOT: order counts and totals cross-tabbed priority × status —
+  // the wide-format report shape BI layers ask of a warehouse. Spark's
+  // .pivot with EXPLICIT values compiles to one hash aggregate of
+  // conditional aggregates (no values-discovery pre-query, no extra
+  // pass): same single-shuffle plan as any groupBy at 100 TB. Totals
+  // go through DECIMAL(18,2) so each cell is an exact cents sum.
+  private val q23Pivot: Q = (s, d) =>
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType), 2)
+          .as("total"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q23PivotSql = {
+    val cells = Seq("F", "O", "P").map { v =>
+      s"""CAST(SUM(CASE WHEN o_orderstatus = '$v' THEN 1 ELSE 0 END) AS BIGINT) AS "${v}_cnt",
+      ROUND(CAST(SUM(CASE WHEN o_orderstatus = '$v' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS "${v}_total""""
+    }.mkString(",\n      ")
+    s"""
+    SELECT o_orderpriority,
+      $cells
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1"""
+  }
+
+  // ------------------------------------------------------ q24_set_ops
+  // INTERSECT / EXCEPT set operations (distinct semantics): customers
+  // who ordered in BOTH 1995 and 1996, minus those with an open 1997
+  // order. Spark plans each as an aggregate + semi/anti join on the
+  // key — the same shuffle shape as q07/q08, no global sort at scale.
+  private val q24SetOps: Q = (s, d) => {
+    val o = orders(s, d)
+    def custsIn(cond: org.apache.spark.sql.Column) =
+      o.filter(cond).select(col("o_custkey"))
+    custsIn(year(col("o_orderdate")) === 1995)
+      .intersect(custsIn(year(col("o_orderdate")) === 1996))
+      .except(custsIn(year(col("o_orderdate")) === 1997 &&
+        col("o_orderstatus") === "O"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val q24SetOpsSql = """
+    (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+     INTERSECT
+     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+      AND o_orderstatus = 'O'
+    ORDER BY o_custkey"""
+
   val entries: Map[String, Q] = Map(
+    "q23_pivot" -> q23Pivot,
+    "q24_set_ops" -> q24SetOps,
     "qan_anomaly_mad" -> qanAnomalyMad,
     "q22_range_join" -> q22,
     "q18_approx_percentile" -> q18,
@@ -342,6 +398,8 @@ object Extended {
     "q17_string_funcs" -> q17)
 
   val oracles: Map[String, String] = Map(
+    "q23_pivot" -> q23PivotSql,
+    "q24_set_ops" -> q24SetOpsSql,
     "qan_anomaly_mad" -> qanAnomalyMadSql,
     "qan_sessionize" -> qanSessionizeSql,
     "qan_asof_enrich" -> qanAsofEnrichSql,
