@@ -76,4 +76,49 @@ class CorpusSpec extends SparkSpec {
       assert(rows.forall(_.getBoolean(7) == (rep >= 0.5)))
     }
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("segment dedup: a 3x boilerplate segment is removed everywhere, reassembly is byte-exact") {
+    val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_segdedup_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    def uniq(p: String) = (1 to 10).map(i => s"$p$i").mkString(" ")
+    val rows = Seq(
+      (1L, s"${uniq("u")} $boiler"), (2L, s"${uniq("v")} $boiler"),
+      (3L, s"${uniq("w")} $boiler"), (4L, "x1 x2 x3"))
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("doc_segment_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    Seq(1L -> "u", 2L -> "v", 3L -> "w").foreach { case (id, p) =>
+      val r = out(id)
+      assert(r.getLong(1) === 2 && r.getLong(2) === 1, s"doc $id segment counts")
+      assert(r.getString(3) === md5hex(uniq(p)), s"doc $id reassembly")
+    }
+    assert(out(4L).getLong(1) === 1 && out(4L).getLong(2) === 0)
+    assert(out(4L).getString(3) === md5hex("x1 x2 x3"))
+  }
+
+  test("mixture plan: integer-exact plan hits the target proportions with one binding stratum") {
+    val out = SparkEntry.queries("doc_mixture_plan")(spark, sf).collect()
+    assert(math.abs(out.map(_.getDouble(4)).sum - 1.0) < 1e-9, "target shares must sum to 1")
+    assert(out.count(_.getBoolean(7)) >= 1, "some stratum must bind")
+    val totalKept = out.map(_.getLong(5)).sum.toDouble
+    out.foreach { r =>
+      val (tokens, kept, rate) = (r.getLong(2), r.getLong(5), r.getDouble(6))
+      assert(kept <= tokens, s"${r.getString(0)} keeps more than it has")
+      assert(rate <= 1.0 + 1e-9)
+      if (r.getBoolean(7))
+        assert(rate > 0.999, s"binding stratum ${r.getString(0)} should keep ~all tokens")
+      // realized mix share lands on the target (floor dust only)
+      assert(math.abs(kept / totalKept - r.getDouble(4)) < 1e-3,
+        s"${r.getString(0)} realized share off target")
+    }
+  }
 }

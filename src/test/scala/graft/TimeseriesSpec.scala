@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Time-series surface: gap-filled LOCF series, topN with an
+  * "(others)" remainder, period-over-period change alerts.
+  */
+class TimeseriesSpec extends SparkSpec {
+
+  test("qan_gapfill: spines are contiguous per key, LOCF fills every gap after the first value") {
+    val out = SparkEntry.queries("qan_gapfill")(spark, sf).cache()
+    try {
+      // every key's bucket sequence is day-contiguous (that IS the spine)
+      val holes = out
+        .withColumn("prev", lag(col("bucket"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"), col("event_type")).orderBy(col("bucket"))))
+        .filter(col("prev").isNotNull &&
+          col("bucket") =!= col("prev") + expr("interval 1 day"))
+      assert(holes.count() === 0, "spine has holes")
+      // a key's first row is an observation (spine starts at min(bucket))
+      val firsts = out
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"), col("event_type")).orderBy(col("bucket"))))
+        .filter(col("rn") === 1)
+      assert(firsts.filter(col("was_gap")).count() === 0)
+      // gap rows carry no events and a non-null carried value
+      assert(out.filter(col("was_gap") &&
+        (col("n_events") =!= 0 || col("filled_value").isNull)).count() === 0)
+      // there IS something to fill at this sf (non-degenerate fixture)
+      assert(out.filter(col("was_gap")).count() > 0)
+    } finally out.unpersist()
+  }
+
+  test("qan_topn_others: exactly one remainder row, shares sum to 1, fold conserves calls") {
+    val out = SparkEntry.queries("qan_topn_others")(spark, sf).collect()
+    val others = out.filter(_.getString(0) == "(others)")
+    assert(others.length <= 1)
+    val shares = out.map(_.getDouble(5)).sum
+    assert(math.abs(shares - 1.0) < 1e-4, s"shares sum $shares")
+    val nTypes = Tables.events(spark, sf).select(col("event_type")).distinct.count()
+    assert(out.map(_.getLong(2)).sum === nTypes, "n_merged must cover every dimension value")
+    val totalCalls = out.map(_.getLong(3)).sum
+    assert(totalCalls === Tables.events(spark, sf).count())
+    // named rows are ranks 1..3; the remainder starts at 4
+    assert(out.filter(_.getString(0) != "(others)").map(_.getInt(1)).sorted.toSeq
+      == (1 to (out.length - others.length)).toSeq)
+    others.foreach(r => assert(r.getInt(1) === out.length - others.length + 1))
+  }
+
+  test("qan_percent_change: first observation never alerts, pct matches day values") {
+    val out = SparkEntry.queries("qan_percent_change")(spark, sf).collect()
+    out.foreach { r =>
+      val prev = if (r.isNullAt(5)) None else Some(r.getDouble(5))
+      val pct = if (r.isNullAt(6)) None else Some(r.getDouble(6))
+      val alert = r.getBoolean(7)
+      if (prev.isEmpty) {
+        assert(pct.isEmpty && !alert, "first observation must not alert")
+      } else if (prev.get != 0.0) {
+        // rounded display values reproduce the ratio to display precision
+        val approx = (r.getDouble(4) - prev.get) / prev.get
+        assert(math.abs(approx - pct.get) < 1e-3, s"pct ${pct.get} vs $approx")
+        assert(alert === (math.abs(pct.get) > 0.5))
+      }
+    }
+    assert(out.exists(r => !r.isNullAt(6)), "no comparable periods at this sf")
+  }
+}
