@@ -383,9 +383,68 @@ object Extended {
       AND o_orderstatus = 'O'
     ORDER BY o_custkey"""
 
+  // -------------------------------------------------- q25_window_dist
+  // Distribution window family: ntile / percent_rank / cume_dist —
+  // the remaining rank-class window functions next to q14's suite.
+  // The ORDER BY carries the key as a tiebreak so every rank is
+  // deterministic (equal totalprice values would otherwise make
+  // percent_rank engine-dependent). One hash shuffle on the partition
+  // key, per-partition sort — the standard window shape at scale.
+  private val q25WindowDist: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(s, d)
+      .filter(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q25WindowDistSql = """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+      ntile(4) OVER wp AS quartile,
+      ROUND(percent_rank() OVER wp, 6) AS pct_rank,
+      ROUND(cume_dist() OVER wp, 6) AS cume
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    WINDOW wp AS (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey"""
+
+  // ------------------------------------------------ q26_grouping_sets
+  // Explicit GROUPING SETS — the general form behind q09's ROLLUP and
+  // q21's CUBE: an arbitrary set list ((flag, status), (flag), ()),
+  // with grouping_id() disambiguating aggregated-out NULLs. Spark
+  // plans one Expand + one hash aggregate — a single pass over the
+  // fact table regardless of how many sets are requested.
+  private val q26GroupingSets: Q = (s, d) =>
+    lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  private val q26GroupingSetsSql = """
+    SELECT l_returnflag, l_linestatus,
+      CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY gid, l_returnflag, l_linestatus"""
+
   val entries: Map[String, Q] = Map(
     "q23_pivot" -> q23Pivot,
     "q24_set_ops" -> q24SetOps,
+    "q25_window_dist" -> q25WindowDist,
+    "q26_grouping_sets" -> q26GroupingSets,
     "qan_anomaly_mad" -> qanAnomalyMad,
     "q22_range_join" -> q22,
     "q18_approx_percentile" -> q18,
@@ -400,6 +459,8 @@ object Extended {
   val oracles: Map[String, String] = Map(
     "q23_pivot" -> q23PivotSql,
     "q24_set_ops" -> q24SetOpsSql,
+    "q25_window_dist" -> q25WindowDistSql,
+    "q26_grouping_sets" -> q26GroupingSetsSql,
     "qan_anomaly_mad" -> qanAnomalyMadSql,
     "qan_sessionize" -> qanSessionizeSql,
     "qan_asof_enrich" -> qanAsofEnrichSql,

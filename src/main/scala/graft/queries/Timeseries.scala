@@ -190,13 +190,114 @@ object Timeseries {
     FROM pc
     ORDER BY user_id, event_type, bucket"""
 
+  // -------------------------------------------------------- qan_funnel
+  // Ordered event-sequence funnel: per user the first `view`, the
+  // first `click` strictly AFTER it, and the first `purchase` strictly
+  // after that — the stage-reached report every behavioral-analytics
+  // store (Druid via theta sketches, product-analytics SQL) answers.
+  //
+  // 100 TB shape: each stage is one filtered aggregate + one equi-join
+  // on the user key — min-ts chaining, never a per-user ordered scan
+  // or a window over raw events. Stages prune hard: stage k only
+  // processes users that survived stage k-1 (the join IS the filter).
+  private val qanFunnel: Q = (s, d) => {
+    val ev = events(s, d)
+    val a = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts_view"))
+    val b = ev.filter(col("event_type") === "click")
+      .join(a, Seq("user_id"))
+      .filter(col("ts") > col("ts_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts_click"))
+    val c = ev.filter(col("event_type") === "purchase")
+      .join(b, Seq("user_id"))
+      .filter(col("ts") > col("ts_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts_purchase"))
+    a.join(b, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .withColumn("stage_reached",
+        when(col("ts_purchase").isNotNull, 3)
+          .when(col("ts_click").isNotNull, 2).otherwise(1))
+      .orderBy(col("user_id"))
+  }
+
+  private val qanFunnelSql = """
+    WITH a AS (
+      SELECT user_id, MIN(ts) AS ts_view FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    b AS (
+      SELECT e.user_id, MIN(e.ts) AS ts_click
+      FROM events e JOIN a ON a.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > a.ts_view GROUP BY 1),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS ts_purchase
+      FROM events e JOIN b ON b.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > b.ts_click GROUP BY 1)
+    SELECT a.user_id, a.ts_view, b.ts_click, c.ts_purchase,
+      CASE WHEN c.ts_purchase IS NOT NULL THEN 3
+           WHEN b.ts_click IS NOT NULL THEN 2 ELSE 1 END AS stage_reached
+    FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)
+    ORDER BY a.user_id"""
+
+  // ------------------------------------------------------ qan_retention
+  // Cohort retention matrix: users cohorted by first-activity day,
+  // each later active day counted as day-k retention, with the rate
+  // against the cohort's size — the engagement decay curve.
+  //
+  // 100 TB shape: first-activity is one hash aggregate per user; the
+  // (user, active-day) set is one distinct (hash aggregate); the
+  // cohort join is an equi-join on the user key; the matrix itself is
+  // a tiny (cohorts × horizon) aggregate with the per-cohort size
+  // broadcast back. Raw events never sort and never see a window.
+  private val qanRetention: Q = (s, d) => {
+    val ev = events(s, d)
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(date_trunc("day", min(col("ts"))).as("cohort_day"))
+    val activeDays = ev
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val cells = activeDays.join(cohort, Seq("user_id"))
+      .withColumn("day_k", datediff(col("day"), col("cohort_day")))
+      .groupBy(col("cohort_day"), col("day_k"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cohort.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    cells.join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_k"), col("n_active"), col("cohort_size"),
+        round(col("n_active").cast(DoubleType) / col("cohort_size").cast(DoubleType), 6)
+          .as("retention"))
+      .orderBy(col("cohort_day"), col("day_k"))
+  }
+
+  private val qanRetentionSql = """
+    WITH cohort AS (
+      SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS cohort_day
+      FROM events GROUP BY 1),
+    active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events),
+    cells AS (
+      SELECT c.cohort_day, datediff('day', c.cohort_day, a.day) AS day_k,
+        COUNT(*) AS n_active
+      FROM active a JOIN cohort c USING (user_id)
+      GROUP BY 1, 2),
+    sizes AS (
+      SELECT cohort_day, COUNT(*) AS cohort_size FROM cohort GROUP BY 1)
+    SELECT cohort_day, CAST(day_k AS INT) AS day_k, n_active, cohort_size,
+      ROUND(CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6) AS retention
+    FROM cells JOIN sizes USING (cohort_day)
+    ORDER BY cohort_day, day_k"""
+
   val entries: Map[String, Q] = Map(
     "qan_gapfill" -> qanGapfill,
     "qan_topn_others" -> qanTopnOthers,
-    "qan_percent_change" -> qanPercentChange)
+    "qan_percent_change" -> qanPercentChange,
+    "qan_funnel" -> qanFunnel,
+    "qan_retention" -> qanRetention)
 
   val oracles: Map[String, String] = Map(
     "qan_gapfill" -> qanGapfillSql,
     "qan_topn_others" -> qanTopnOthersSql,
-    "qan_percent_change" -> qanPercentChangeSql)
+    "qan_percent_change" -> qanPercentChangeSql,
+    "qan_funnel" -> qanFunnelSql,
+    "qan_retention" -> qanRetentionSql)
 }

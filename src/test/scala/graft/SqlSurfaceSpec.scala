@@ -31,4 +31,36 @@ class SqlSurfaceSpec extends SparkSpec {
     val open97 = keys(year(col("o_orderdate")) === 1997 && col("o_orderstatus") === "O")
     assert(out.toSet === ((y95 intersect y96) diff open97))
   }
+
+  test("q25_window_dist: quartiles balanced, pct_rank/cume bounded and monotone per group") {
+    val out = SparkEntry.queries("q25_window_dist")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(1)).foreach { case (prio, rows) =>
+      val n = rows.length
+      // ntile balance: bucket sizes differ by at most 1
+      val sizes = rows.groupBy(_.getInt(3)).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"$prio quartiles unbalanced")
+      val sorted = rows.sortBy(r => (r.getDouble(2), r.getLong(0)))
+      // percent_rank: first row 0, last row 1 (n>1); cume ends at 1
+      assert(sorted.head.getDouble(4) === 0.0)
+      if (n > 1) assert(math.abs(sorted.last.getDouble(4) - 1.0) < 1e-9)
+      assert(math.abs(sorted.last.getDouble(5) - 1.0) < 1e-9)
+      assert(sorted.sliding(2).forall(p => p.head.getDouble(5) <= p.last.getDouble(5) + 1e-12))
+    }
+  }
+
+  test("q26_grouping_sets: three grouping levels, each conserving the table totals") {
+    val out = SparkEntry.queries("q26_grouping_sets")(spark, sf).collect()
+    val total = Tables.lineitem(spark, sf).count()
+    val byGid = out.groupBy(_.getLong(2))
+    // gid 0 = (flag, status); gid 1 = (flag); gid 3 = ()
+    assert(byGid.keySet === Set(0L, 1L, 3L))
+    byGid.foreach { case (gid, rows) =>
+      assert(rows.map(_.getLong(3)).sum === total, s"gid $gid counts must cover the table")
+      if (gid == 3L) assert(rows.length === 1 &&
+        rows.head.isNullAt(0) && rows.head.isNullAt(1))
+      if (gid == 1L) assert(rows.forall(r => !r.isNullAt(0) && r.isNullAt(1)))
+      if (gid == 0L) assert(rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+    }
+  }
 }

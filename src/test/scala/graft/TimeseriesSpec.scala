@@ -66,4 +66,36 @@ class TimeseriesSpec extends SparkSpec {
     }
     assert(out.exists(r => !r.isNullAt(6)), "no comparable periods at this sf")
   }
+
+  test("qan_funnel: stage timestamps strictly ordered, stages monotonically shrink") {
+    val out = SparkEntry.queries("qan_funnel")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val view = r.getTimestamp(1)
+      val click = if (r.isNullAt(2)) None else Some(r.getTimestamp(2))
+      val purchase = if (r.isNullAt(3)) None else Some(r.getTimestamp(3))
+      val stage = r.getInt(4)
+      click.foreach(c => assert(c.after(view), "click must follow first view"))
+      purchase.foreach { p =>
+        assert(click.isDefined, "stage 3 implies stage 2")
+        assert(p.after(click.get), "purchase must follow first click")
+      }
+      assert(stage === (1 + click.size + purchase.size))
+    }
+    val counts = (1 to 3).map(k => out.count(_.getInt(4) >= k))
+    assert(counts == counts.sorted.reverse, s"funnel must shrink: $counts")
+  }
+
+  test("qan_retention: day-0 is complete, rates bounded, cohorts cover all users") {
+    val out = SparkEntry.queries("qan_retention")(spark, sf).collect()
+    val day0 = out.filter(_.getInt(1) == 0)
+    day0.foreach(r => assert(r.getLong(2) === r.getLong(3) &&
+      r.getDouble(4) === 1.0, "every cohort member is active on day 0"))
+    out.foreach { r =>
+      assert(r.getInt(1) >= 0, "activity cannot precede the cohort day")
+      assert(r.getLong(2) <= r.getLong(3) && r.getDouble(4) <= 1.0)
+    }
+    val users = Tables.events(spark, sf).select(col("user_id")).distinct.count()
+    assert(day0.map(_.getLong(3)).sum === users, "cohort sizes must partition users")
+  }
 }
