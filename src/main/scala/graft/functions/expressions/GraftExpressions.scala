@@ -370,6 +370,24 @@ object AnnKernels {
     cellIds(best)
   }
 
+  /** Squared L2 distance to the nearest centroid — the quantization
+    * error the IVF index audit reports. Same argmin rule (and the
+    * same index-order accumulation, so DuckDB's list fold replays the
+    * double bit-exactly) as [[nearestCell]].
+    */
+  def nearestCellDist(v: ArrayData, cents: Array[Array[Double]]): Double = {
+    require(cents.nonEmpty, "nearestCellDist: empty centroid set")
+    var best = -1
+    var bestD = 0.0
+    var j = 0
+    while (j < cents.length) {
+      val d = sqDist(v, cents(j))
+      if (best < 0 || java.lang.Double.compare(d, bestD) < 0) { bestD = d; best = j }
+      j += 1
+    }
+    bestD
+  }
+
   /** The `nprobe` nearest cell ids, ordered by (dist asc, cell asc) —
     * repeated argmin under Double.compare's total order (ties resolve
     * to the lower cell; NaN distances rank last but never crash).
@@ -511,6 +529,27 @@ case class NearestCell(child: Expression, cents: Seq[Seq[Double]], cellIds: Seq[
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "nearest_cell"
+}
+
+/** Squared L2 distance to the nearest centroid — the per-vector
+  * quantization error of an IVF assignment, as one compiled
+  * projection (pairs with [[NearestCell]] for the index audit).
+  */
+case class NearestCellDist(child: Expression, cents: Seq[Seq[Double]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  @transient private lazy val centArr: Array[Array[Double]] = cents.map(_.toArray).toArray
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def nullSafeEval(v: Any): Any =
+    AnnKernels.nearestCellDist(v.asInstanceOf[ArrayData], centArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cents", centArr, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.AnnKernels.nearestCellDist($c, $cRef);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "nearest_cell_dist"
 }
 
 /** The nprobe nearest cell ids for a query vector, ordered by
@@ -739,6 +778,8 @@ object GraftFunctions {
   def nearestCells(v: Column, cents: Array[Array[Double]], cellIds: Array[Int],
       nprobe: Int): Column =
     column(NearestCells(expression(v), cents.toSeq.map(_.toSeq), cellIds.toSeq, nprobe))
+  def nearestCellDist(v: Column, cents: Array[Array[Double]]): Column =
+    column(NearestCellDist(expression(v), cents.toSeq.map(_.toSeq)))
   def int8QuantStats(v: Column): Column = column(Int8QuantStats(expression(v)))
   def int8Recon(v: Column): Column = column(Int8Recon(expression(v)))
   // Spark ships BloomFilterAggregate / BloomFilterMightContain for its

@@ -333,7 +333,65 @@ object Corpus {
     ORDER BY lang"""
   }
 
+  // --------------------------------------------------- doc_bpe_pairs
+  // The tokenizer-training primitive: one BPE merge round's pair
+  // statistics — adjacent character-pair counts weighted by word
+  // frequency, over the corpus vocabulary. The top pair is what BPE
+  // would merge next; the table is the merge-decision input.
+  //
+  // 100 TB shape: the corpus collapses to its VOCABULARY first (one
+  // explode + hash aggregate, bounded by distinct words, not corpus
+  // size); pair explosion then runs on vocab rows only — a corpus
+  // 1000× bigger with the same vocabulary costs one bigger aggregate,
+  // not a bigger pair stage. Top-20 is orderBy+limit =
+  // TakeOrderedAndProject (bounded heap, no global sort).
+  private val docBpePairs: Q = (s, d) => {
+    val vocab = documents(s, d)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      .filter(length(col("word")) >= 2)
+    vocab
+      .select(col("word"), col("wf"),
+        explode(expr(
+          "transform(sequence(1, length(word)-1), i -> substring(word, i, 2))"))
+          .as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("wf")).as("total_count"),
+        count(lit(1)).as("n_positions"),
+        countDistinct(col("word")).as("n_words"))
+      .orderBy(col("total_count").desc, col("pair")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("total_count").desc, col("pair"))))
+      .select(col("rank"), col("pair"), col("total_count"),
+        col("n_positions"), col("n_words"))
+      .orderBy(col("rank"))
+  }
+
+  private val docBpePairsSql: String = """
+    WITH vocab AS (
+      SELECT word, COUNT(*) AS wf FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        FROM documents)
+      WHERE length(word) >= 2
+      GROUP BY 1),
+    p AS (
+      SELECT word, wf,
+        unnest(list_transform(generate_series(1, length(word)-1),
+          i -> substr(word, CAST(i AS INT), 2))) AS pair
+      FROM vocab),
+    agg AS (
+      SELECT pair, CAST(SUM(wf) AS BIGINT) AS total_count,
+        COUNT(*) AS n_positions, COUNT(DISTINCT word) AS n_words
+      FROM p GROUP BY 1),
+    top AS (
+      SELECT * FROM agg ORDER BY total_count DESC, pair LIMIT 20)
+    SELECT ROW_NUMBER() OVER (ORDER BY total_count DESC, pair) AS rank,
+      pair, total_count, n_positions, n_words
+    FROM top
+    ORDER BY rank"""
+
   val entries: Map[String, Q] = Map(
+    "doc_bpe_pairs" -> docBpePairs,
     "doc_source_reputation" -> docSourceReputation,
     "doc_tfidf_topk" -> docTfidfTopk,
     "doc_containment_pairs" -> docContainmentPairs,
@@ -341,6 +399,7 @@ object Corpus {
     "doc_mixture_plan" -> docMixturePlan)
 
   val oracles: Map[String, String] = Map(
+    "doc_bpe_pairs" -> docBpePairsSql,
     "doc_source_reputation" -> docSourceReputationSql,
     "doc_tfidf_topk" -> docTfidfTopkSql,
     "doc_containment_pairs" -> docContainmentPairsSql,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType}
 
 import graft.Tables._
 import graft.functions.expressions.GraftFunctions
@@ -236,6 +236,47 @@ object ScaleOps {
     GROUP BY 1, 2, 3
     ORDER BY cell"""
 
+  // -------------------------------------------------- emb_ivf_quality
+  // IVF index-quality audit: per cell the member count and the mean /
+  // max squared quantization error (distance to the refined centroid)
+  // — the observability pass an ANN index owner runs before trusting
+  // recall (unbalanced or high-inertia cells mean re-train). Error is
+  // computed by the NearestCellDist compiled kernel (same index-order
+  // fold DuckDB's list_reduce replays bit-exactly); the per-cell mean
+  // goes through exact decimal sums so it is order-independent. One
+  // projection-only scan + one hash aggregate — nothing but the
+  // ≤cells-row audit ever leaves the executors.
+  private val embIvfQuality: Q = (s, d) => {
+    val e = embeddings(s, d)
+      .withColumn("v", col("embedding").cast(ArrayType(DoubleType)))
+    val corpus = e.select(col("vec_id").as("id"), col("v"))
+    val (ids, cents) = AnnIvf.collectCentroids(
+      AnnIvf.refinedCentroids(corpus, cells = 16, dim = 64))
+    AnnIvf.invertedFile(corpus, ids, cents)
+      .withColumn("sq", GraftFunctions.nearestCellDist(col("v"), cents))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("sq").cast(DecimalType(28, 12))).cast(DoubleType)
+          / count(lit(1)), 6).as("mean_sq_err"),
+        round(max(col("sq")), 6).as("max_sq_err"),
+        min(col("id")).as("min_vec_id"))
+      .orderBy(col("cell"))
+  }
+
+  private lazy val embIvfQualitySql: String = s"""
+    WITH ${ivfCtes(16, 64)},
+    err AS (
+      SELECT iv.cell, iv.vec_id, ${ivfSqDist("iv.v", "c1.c", 64)} AS sq
+      FROM inverted iv JOIN cent1 c1 ON c1.cell = iv.cell)
+    SELECT cell, COUNT(*) AS n_vecs,
+      ROUND(CAST(SUM(CAST(sq AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+        AS mean_sq_err,
+      ROUND(MAX(sq), 6) AS max_sq_err,
+      MIN(vec_id) AS min_vec_id
+    FROM err
+    GROUP BY 1
+    ORDER BY cell"""
+
   // Multimodal: frame sampling over an opaque binary payload — the
   // video-pipeline shape (decode is elsewhere; THIS op is the offset
   // arithmetic that picks every k-th fixed-size frame out of a byte
@@ -311,6 +352,7 @@ object ScaleOps {
     "doc_pipeline_filter" -> docPipelineFilter,
     "emb_ann_ivf" -> embAnnIvf,
     "emb_cluster_sample" -> embClusterSample,
+    "emb_ivf_quality" -> embIvfQuality,
     "doc_minhash_lsh" -> docMinhashLsh,
     "doc_dedup_clusters" -> docDedupClusters,
     "doc_simhash" -> docSimhash,
@@ -666,6 +708,7 @@ object ScaleOps {
     "doc_pipeline_filter" -> docPipelineFilterSql,
     "emb_ann_ivf" -> embAnnIvfSql,
     "emb_cluster_sample" -> embClusterSampleSql,
+    "emb_ivf_quality" -> embIvfQualitySql,
     "emb_ann_lsh" -> embAnnLshSql,
     "doc_fingerprint" -> docFingerprintSql,
     "doc_simhash" -> docSimhashSql,

@@ -112,6 +112,39 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ivf quality audit: cells partition the corpus, errors consistent with the kernel") {
+    val out = SparkEntry.queries("emb_ivf_quality")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val corpusN = Tables.embeddings(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum === corpusN, "cells must partition the corpus")
+    out.foreach { r =>
+      val (mean, mx) = (r.getDouble(2), r.getDouble(3))
+      assert(mean >= 0 && mx >= 0 && mean <= mx + 1e-9,
+        s"cell ${r.getInt(0)}: mean $mean > max $mx")
+    }
+    // NearestCellDist agrees with an independent driver-side recompute
+    // for one vector per cell
+    import graft.operators.AnnIvf
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+    val (ids, cents) = AnnIvf.collectCentroids(
+      AnnIvf.refinedCentroids(corpus, cells = 16, dim = 64))
+    val probe = corpus.filter(col("id").isin(out.map(_.getLong(4)): _*))
+      .select(col("id"),
+        graft.functions.expressions.GraftFunctions.nearestCellDist(col("v"), cents).as("sq"),
+        col("v"))
+      .collect()
+    probe.foreach { r =>
+      val v = r.getSeq[Double](2).toArray
+      val manual = cents.map { c =>
+        v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.min
+      assert(math.abs(r.getDouble(1) - manual) < 1e-9,
+        s"kernel dist ${r.getDouble(1)} vs manual $manual")
+    }
+  }
+
   test("multimodal stub: features deterministic and shaped") {
     val out = SparkEntry.queries("mm_feature_stub")(spark, sf).collect()
     assert(out.length == Tables.documents(spark, sf).count())

@@ -77,6 +77,27 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("bpe pairs: top pair statistics match a driver-side brute-force recount") {
+    val out = SparkEntry.queries("doc_bpe_pairs")(spark, sf).collect()
+    assert(out.length === 20)
+    assert(out.map(_.getInt(0)).toSeq == (1 to 20), "ranks dense")
+    val counts = out.map(_.getLong(2))
+    assert(counts.toSeq == counts.sorted.reverse.toSeq, "sorted by weighted count")
+    // brute force: vocabulary pair counting in plain Scala
+    val vocab = Tables.documents(spark, sf)
+      .select(lower(trim(col("text"))).as("t")).collect()
+      .flatMap(_.getString(0).split("\\s+"))
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+      .filter(_._1.length >= 2)
+    val brute = vocab.toSeq.flatMap { case (w, wf) =>
+      w.sliding(2).map(p => (p, wf)).toSeq
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    out.take(3).foreach { r =>
+      assert(brute(r.getString(1)) === r.getLong(2),
+        s"pair ${r.getString(1)} weighted count mismatch")
+    }
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
