@@ -219,7 +219,26 @@ object Streaming {
     WHERE CAST(len(list_filter(range(1, 37), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 36 >= 0.8
     ORDER BY c.a_id, c.b_id"""
 
+  // Streaming funnel: the per-user stage state machine (O(1) per key)
+  // over the raw file-source stream; shares qan_funnel's oracle.
+  private val stFunnel: Q = (s, d) => {
+    import s.implicits._
+    val feed = QanStream.eventsStream(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[QanStream.FunnelEvent]
+    QanStream.runToMemory(QanStream.funnelStream(feed).toDF(), OutputMode.Append())
+      .select(col("user_id"),
+        timestamp_micros(col("view_us")).as("ts_view"),
+        timestamp_micros(col("click_us")).as("ts_click"),
+        timestamp_micros(col("purch_us")).as("ts_purchase"),
+        col("stage_reached"))
+      .orderBy(col("user_id"))
+  }
+
   val entries: Map[String, Q] = Map(
+    "st_funnel_stream" -> stFunnel,
     "st_minhash_stream" -> stMinhash,
     "st_exact_dedup_stream" -> stExactDedup,
     "st_multi_counter_stream" -> stMultiCounter,
@@ -234,6 +253,7 @@ object Streaming {
     * share the batch oracles.
     */
   val oracles: Map[String, String] = Map(
+    "st_funnel_stream" -> Timeseries.oracles("qan_funnel"),
     "st_minhash_stream" -> stMinhashSql,
     "st_exact_dedup_stream" -> Text.oracles("doc_exact_dedup"),
     "st_multi_counter_stream" -> Qan.oracles("qan_multi_counter_delta"),

@@ -148,6 +148,50 @@ object QanStream {
       }
   }
 
+  case class FunnelEvent(event_id: Long, user_id: Long, event_type: String,
+      ts_us: Long)
+  case class FunnelState(viewUs: Long, clickUs: Long, purchUs: Long)
+  case class FunnelRow(user_id: Long, view_us: Long, click_us: Option[Long],
+      purch_us: Option[Long], stage_reached: Int)
+
+  /** Streaming ordered-sequence funnel: per user the state machine
+    * holds at most three timestamps (first view, first click after it,
+    * first purchase after that — O(1) per key, -1 = unset), advanced
+    * in event-time order. Under an in-order feed (the same assumption
+    * every delta stream here makes) the first qualifying event IS the
+    * batch MIN, so the stream emits exactly qan_funnel's rows and
+    * shares its oracle. Each batch re-emits a user's current funnel
+    * row (Append); the latest row per user is the answer — the gate's
+    * single-batch replay makes that exact.
+    */
+  def funnelStream(events: Dataset[FunnelEvent]): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[FunnelState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          sorted.foreach { e =>
+            e.event_type match {
+              case "view" if st.viewUs < 0 => st = st.copy(viewUs = e.ts_us)
+              case "click" if st.viewUs >= 0 && st.clickUs < 0 && e.ts_us > st.viewUs =>
+                st = st.copy(clickUs = e.ts_us)
+              case "purchase" if st.clickUs >= 0 && st.purchUs < 0 && e.ts_us > st.clickUs =>
+                st = st.copy(purchUs = e.ts_us)
+              case _ =>
+            }
+          }
+          state.update(st)
+          if (st.viewUs < 0) Iterator.empty
+          else Iterator(FunnelRow(uid, st.viewUs,
+            if (st.clickUs < 0) None else Some(st.clickUs),
+            if (st.purchUs < 0) None else Some(st.purchUs),
+            1 + (if (st.clickUs >= 0) 1 else 0) + (if (st.purchUs >= 0) 1 else 0)))
+      }
+  }
+
   case class EmaRow(user_id: Long, n_days: Long, fast_ema: Double, slow_ema: Double)
   case class EmaState(fastEma: Double, slowEma: Double, lastDayMs: Long, nDays: Long)
 

@@ -205,4 +205,33 @@ class StreamingSpec extends SparkSpec {
       assert(deltas == Seq(10.0, 15.0, 5.0))
     } finally out.query.stop()
   }
+
+  test("streaming funnel carries stage state across micro-batches") {
+    import graft.streaming.QanStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[QanStream.FunnelEvent]
+    val out = QanStream.runToMemoryQuery(QanStream.funnelStream(ms.toDS()).toDF())
+    try {
+      // batch 1: user 1 views; user 2 clicks with NO prior view
+      ms.addData(
+        QanStream.FunnelEvent(1, 1, "view", 1000L),
+        QanStream.FunnelEvent(2, 2, "click", 1000L))
+      out.query.processAllAvailable()
+      // batch 2: user 1 clicks then purchases (state from batch 1 must
+      // qualify the click); user 2 views — too late for its click
+      ms.addData(
+        QanStream.FunnelEvent(3, 1, "click", 2000L),
+        QanStream.FunnelEvent(4, 1, "purchase", 3000L),
+        QanStream.FunnelEvent(5, 2, "view", 2000L))
+      out.query.processAllAvailable()
+      val last = spark.table(out.name).collect()
+        .groupBy(_.getLong(0)).map { case (u, rows) =>
+          u -> rows.maxBy(_.getInt(4)).getInt(4)
+        }
+      assert(last(1L) === 3, "user 1 must complete the funnel across batches")
+      assert(last(2L) === 1, "user 2's pre-view click must not count")
+    } finally out.query.stop()
+  }
 }
