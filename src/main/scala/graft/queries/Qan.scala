@@ -414,26 +414,33 @@ object Qan {
   // driver involvement); the oracle aggregates the same deltas
   // directly, so any loss in the wire format (timestamps, doubles,
   // encodings) breaks the hash.
-  private val qanOtelRoundtrip: Q = (s, d) => {
+  /** Export this sf's deltas as an OTel JSON-lines wire dir and return
+    * its path. Run-unique dir: a fixed hash-derived path races when two
+    * harnesses (Verify + Bench, parallel specs) evaluate concurrently —
+    * one run's delete/overwrite corrupts the other's read. The read is
+    * lazy, so the dir must outlive this call — it is removed at JVM
+    * exit (shutdown hook), and dirs orphaned by killed JVMs are swept
+    * on the next invocation once they are clearly stale.
+    */
+  private def otelWireDir(s: SparkSession, d: String): String = {
     val deltas = QanOps.snapshotDelta(snapshots(s, d),
         keys = Seq("user_id", "event_type"),
         ord = Seq(col("ts"), col("event_id")),
         counter = col("counter"), out = "delta")
       .withColumn("delta_value", col("delta").cast(DoubleType))
     val records = graft.sources.OtelLogs.toLogRecords(deltas)
-    // run-unique wire dir: a fixed hash-derived path races when two
-    // harnesses (Verify + Bench, parallel specs) evaluate this query
-    // concurrently — one run's delete/overwrite corrupts the other's read.
-    // The read is lazy, so the dir must outlive this call — it is removed
-    // at JVM exit (shutdown hook), and dirs orphaned by killed JVMs are
-    // swept on the next invocation once they are clearly stale.
     val tmp = System.getProperty("java.io.tmpdir", "/tmp")
     sweepStaleWireDirs(new java.io.File(tmp))
     val path = s"$tmp/graft_otel_roundtrip_" +
       java.util.UUID.randomUUID.toString.take(8)
     deleteAtExit(new java.io.File(path))
     graft.sources.OtelLogs.writeJson(records, path)
-    graft.sources.OtelLogs.readJson(s, path, records.schema)
+    path
+  }
+
+  /** The consumer-side rollup both import paths share. */
+  private def otelImportRollup(imported: DataFrame): DataFrame =
+    imported
       .groupBy(col("db_system"), col("resource_instance_id"),
         col("db_statement_digest"))
       .agg(count(lit(1)).as("n_records"),
@@ -442,6 +449,21 @@ object Qan {
         max(col("timestamp")).as("last_seen"))
       .orderBy(col("db_system"), col("resource_instance_id"),
         col("db_statement_digest"))
+
+  private val qanOtelRoundtrip: Q = (s, d) => {
+    val path = otelWireDir(s, d)
+    otelImportRollup(graft.sources.OtelLogs.readJson(s, path,
+      graft.sources.v2.OtelLogTable.WireSchema))
+  }
+
+  // The same export→import→rollup, but consumed through the custom
+  // DataSourceV2 reader (format "graft-otel"): pinned contract schema,
+  // per-file partitions, column pruning at the reader — the plan's
+  // BatchScan carries only the five rollup fields. Shares the
+  // roundtrip oracle: any wire-format or reader defect breaks the hash.
+  private val qanOtelDsv2: Q = (s, d) => {
+    val path = otelWireDir(s, d)
+    otelImportRollup(s.read.format("graft-otel").load(path))
   }
 
   private def deleteTree(f: java.io.File): Unit = {
@@ -882,6 +904,7 @@ object Qan {
     "qan_multi_counter_rollup" -> qanMultiCounterRollup,
     "qan_otel_export" -> qanOtelExport,
     "qan_otel_roundtrip" -> qanOtelRoundtrip,
+    "qan_otel_dsv2" -> qanOtelDsv2,
     "qan_snapshot_delta" -> qanSnapshotDelta,
     "qan_rollup_minute" -> qanRollupMinute,
     "qan_top_queries" -> qanTopQueries,
@@ -903,6 +926,7 @@ object Qan {
     "qan_multi_counter_rollup" -> qanMultiCounterRollupSql,
     "qan_otel_export" -> qanOtelExportSql,
     "qan_otel_roundtrip" -> qanOtelRoundtripSql,
+    "qan_otel_dsv2" -> qanOtelRoundtripSql,
     "qan_snapshot_delta" -> qanSnapshotDeltaSql,
     "qan_rollup_minute" -> qanRollupMinuteSql,
     "qan_top_queries" -> qanTopQueriesSql,

@@ -79,4 +79,40 @@ class SourcesSpec extends SparkSpec {
       assert(closed.contains("[2024-01-01 10:01:00,b,1,3.0]"), closed.mkString("\n"))
     } finally sink.query.stop()
   }
+
+  test("graft-otel V2 source: short name resolves, schema pinned, reader prunes columns") {
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_dsv2_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    val deltas = Seq(
+      (new java.sql.Timestamp(1704067200123L), 1L, "digest_a", 5.5),
+      (new java.sql.Timestamp(1704067260456L), 2L, "digest_b", 2.0))
+      .toDF("ts", "user_id", "event_type", "delta_value")
+    graft.sources.OtelLogs.writeJson(
+      graft.sources.OtelLogs.toLogRecords(deltas), dir)
+    try {
+      val df = spark.read.format("graft-otel").load(dir)
+      assert(df.schema === graft.sources.v2.OtelLogTable.WireSchema)
+      // values round-trip (timestamps to the microsecond, doubles exact)
+      val rows = df.select(col("db_statement_digest"), col("delta_value"),
+        col("timestamp").cast("long")).collect().map(_.toString).sorted
+      assert(rows.toSeq == Seq(
+        "[digest_a,5.5,1704067200]", "[digest_b,2.0,1704067260]"))
+      // column pruning reaches the scan: a two-column projection's
+      // BatchScan outputs exactly those two attributes
+      val pruned = df.select(col("delta_value"), col("db_system"))
+      val scans = pruned.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      assert(scans.nonEmpty, "expected a BatchScanExec")
+      assert(scans.head.output.map(_.name).toSet === Set("delta_value", "db_system"),
+        s"scan not pruned: ${scans.head.output.map(_.name)}")
+      assert(pruned.collect().length === 2)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
