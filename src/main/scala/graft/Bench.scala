@@ -37,6 +37,7 @@ object Bench {
     def clearState(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
+      graft.streaming.QanStream.releaseReplayState(spark)
     }
     // Warm-up at the smallest scale factor: JIT, codegen cache, parquet
     // footer reads — so per-query timings below measure the queries,

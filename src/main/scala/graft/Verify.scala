@@ -30,9 +30,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop intermediates operators persist/checkpoint (minhash base,
-      // CC labels) so they don't accumulate across the 58 queries
+      // CC labels) and finished streaming-replay state so they don't
+      // accumulate across the 100+ queries
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.catalog.clearCache()
+      graft.streaming.QanStream.releaseReplayState(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -294,6 +294,21 @@ object QanStream {
 
   case class MemorySink(name: String, query: org.apache.spark.sql.streaming.StreamingQuery)
 
+  /** Release everything a finished memory-sink replay pins in the JVM:
+    * the sink temp views (each holds EVERY emitted row — 100+ queries
+    * × repeated bench runs accumulate GBs and the GC pressure slowed
+    * late streaming queries ~10×) and the loaded state-store providers
+    * (StateStore restarts lazily on the next streaming query). Harness
+    * hygiene between independent query evaluations — never needed
+    * inside one.
+    */
+  def releaseReplayState(spark: SparkSession): Unit = {
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("st_sink_"))
+      .foreach(t => spark.catalog.dropTempView(t.name))
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+  }
+
   /** Start (but don't finish) a memory-sink query, for multi-batch
     * driving in specs.
     */
