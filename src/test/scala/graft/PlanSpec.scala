@@ -191,6 +191,63 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("qan_topn_others ranks only the collapsed aggregate, never raw events") {
+    val plan = executedPlan("qan_topn_others")
+    // the single-partition window is fine ONLY above the dimension
+    // aggregate: the first HashAggregate must appear BEFORE (below)
+    // any Window in the plan string read bottom-up — i.e. the Window
+    // node's position is above some aggregate
+    val win = plan.indexOf("Window")
+    assert(win >= 0, plan)
+    assert(plan.indexOf("HashAggregate", win) >= 0,
+      s"no aggregate below the ranking window:\n$plan")
+  }
+
+  test("qan_funnel is aggregates + key joins, no window over raw events") {
+    val plan = executedPlan("qan_funnel")
+    assert(!plan.contains("Window"), s"funnel must not window raw events:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  /** AQE prints "== Final Plan ==" followed by "== Initial Plan ==";
+    * node-count assertions must scope to the final section only.
+    */
+  private def finalSection(plan: String): String = {
+    val cut = plan.indexOf("== Initial Plan ==")
+    if (cut < 0) plan else plan.substring(0, cut)
+  }
+
+  test("qan_gapfill joins its spine as an equi-join and windows once per key") {
+    val plan = finalSection(executedPlan("qan_gapfill"))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"spine join must be an equi-join:\n$plan")
+    assert(plan.split("Window \\[").length - 1 === 1,
+      s"expected exactly one LOCF window:\n$plan")
+  }
+
+  test("q23_pivot compiles to one conditional-aggregate pass, no values-discovery job") {
+    val df = SparkEntry.queries("q23_pivot")(spark, sf)
+    df.collect()
+    val plan = finalSection(df.queryExecution.executedPlan.toString)
+    assert(!plan.contains("Expand"), s"explicit-values pivot must not Expand:\n$plan")
+    // one partial + one final aggregate pair over a single scan
+    assert(plan.split("Scan parquet").length - 1 === 1,
+      s"pivot must read orders exactly once:\n$plan")
+  }
+
+  test("doc_segment_dedup never windows the corpus; the per-doc re-aggregate is a hash agg") {
+    val plan = executedPlan("doc_segment_dedup")
+    assert(!plan.contains("Window"), s"segment dedup must not window:\n$plan")
+    assert(plan.contains("SortAggregate") || plan.contains("HashAggregate") ||
+      plan.contains("ObjectHashAggregate"), plan)
+  }
+
+  test("doc_mixture_plan folds its plan on a broadcast, reading documents once per side") {
+    val plan = executedPlan("doc_mixture_plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the one-row fold must broadcast:\n$plan")
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     // the "*(n)" prefix marks codegen spans; the fingerprint/simhash
     // projections must carry it (no CodegenFallback breaking the span)
