@@ -8,8 +8,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -64,20 +64,42 @@ class OtelLogTable(path: String) extends Table with SupportsRead {
 }
 
 class OtelLogScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = OtelLogTable.WireSchema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark hands the pruned subset in table-schema order; empty means
     // a count-style scan — keep zero fields, emit empty rows
     required = requiredSchema
-  override def build(): Scan = new OtelLogScan(path, required)
+
+  /** String equality and IsNotNull are evaluated during the parse —
+    * a record failing them never materializes a row, so a
+    * one-db_system rollup deserializes only that system's records.
+    * Everything else stays a residual for Spark to evaluate above.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def stringField(a: String) = OtelLogTable.WireSchema.fields
+      .exists(f => f.name == a && f.dataType == StringType)
+    val (accepted, residual) = filters.partition {
+      case EqualTo(a, _: String) => stringField(a)
+      case IsNotNull(a) => stringField(a)
+      case _ => false
+    }
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new OtelLogScan(path, required, pushed)
 }
 
-class OtelLogScan(path: String, required: StructType) extends Scan with Batch {
+class OtelLogScan(path: String, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-otel $path, ReadSchema: ${required.simpleString}"
+    s"graft-otel $path, ReadSchema: ${required.simpleString}, " +
+      s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
   override def planInputPartitions(): Array[InputPartition] = {
     val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.startsWith("part-"))
@@ -85,16 +107,16 @@ class OtelLogScan(path: String, required: StructType) extends Scan with Batch {
     files.map(f => OtelLogPartition(f): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new OtelLogReaderFactory(required)
+    new OtelLogReaderFactory(required, pushed)
 }
 
 case class OtelLogPartition(file: String) extends InputPartition
 
-class OtelLogReaderFactory(required: StructType)
+class OtelLogReaderFactory(required: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new OtelLogPartitionReader(
-      partition.asInstanceOf[OtelLogPartition].file, required)
+      partition.asInstanceOf[OtelLogPartition].file, required, pushed)
 }
 
 /** One JSON-lines file → InternalRows of the pruned schema. Parsing
@@ -102,8 +124,8 @@ class OtelLogReaderFactory(required: StructType)
   * it); only the REQUIRED fields are converted, the rest of the
   * record is skipped after the parse.
   */
-class OtelLogPartitionReader(file: String, required: StructType)
-    extends PartitionReader[InternalRow] {
+class OtelLogPartitionReader(file: String, required: StructType,
+    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
   import org.json4s._
   import org.json4s.jackson.JsonMethods
 
@@ -112,6 +134,18 @@ class OtelLogPartitionReader(file: String, required: StructType)
   private val source = scala.io.Source.fromFile(file, "UTF-8")
   private val lines = source.getLines().filter(_.nonEmpty)
   private var row: InternalRow = _
+
+  private def passes(obj: JValue): Boolean = pushed.forall {
+    case EqualTo(a, v: String) => obj \ a match {
+      case JString(s) => s == v
+      case _ => false
+    }
+    case IsNotNull(a) => obj \ a match {
+      case JNothing | JNull => false
+      case _ => true
+    }
+    case _ => true // pushFilters only accepts the two shapes above
+  }
 
   private def field(obj: JValue, f: StructField): Any = obj \ f.name match {
     case JNothing | JNull => null
@@ -133,13 +167,16 @@ class OtelLogPartitionReader(file: String, required: StructType)
     }
   }
 
-  override def next(): Boolean =
+  @scala.annotation.tailrec
+  final override def next(): Boolean =
     if (!lines.hasNext) false
     else {
       val obj = JsonMethods.parse(lines.next())
-      row = new GenericInternalRow(
-        required.fields.map(f => field(obj, f)).asInstanceOf[Array[Any]])
-      true
+      if (passes(obj)) {
+        row = new GenericInternalRow(
+          required.fields.map(f => field(obj, f)).asInstanceOf[Array[Any]])
+        true
+      } else next()
     }
 
   override def get(): InternalRow = row

@@ -108,6 +108,16 @@ class SourcesSpec extends SparkSpec {
       assert(scans.head.output.map(_.name).toSet === Set("delta_value", "db_system"),
         s"scan not pruned: ${scans.head.output.map(_.name)}")
       assert(pruned.collect().length === 2)
+      // string-equality filters are pushed into the reader (visible in
+      // the scan description) and still produce the correct rows
+      val filtered = df.filter(col("db_system") === "postgresql")
+        .select(col("db_statement_digest"))
+      val fScan = filtered.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head
+      assert(fScan.scan.description().contains("EqualTo(db_system,postgresql)"),
+        s"filter not pushed: ${fScan.scan.description()}")
+      assert(filtered.collect().map(_.getString(0)).toSeq == Seq("digest_a"))
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
