@@ -287,7 +287,100 @@ object Timeseries {
     FROM cells JOIN sizes USING (cohort_day)
     ORDER BY cohort_day, day_k"""
 
+  // ------------------------------------------------------ qan_sla_burn
+  // SRE error-budget burn: per instance, the trailing-7-day error
+  // rate against a 5% budget, evaluated every day — the SLO alert a
+  // monitoring stack derives from the QAN stream. Composition of the
+  // gapfill spine (day buckets made contiguous per instance, so a
+  // trailing ROWS window IS a trailing time window — no RANGE frame
+  // needed) with a rolling conditional aggregate. Counts are integers,
+  // the rate is one double division at the end: no accumulation drift.
+  //
+  // 100 TB shape: one hash aggregate to (instance, day), a per-key
+  // spine bounded by retention, one rolling window per key — the
+  // same single-shuffle-per-stage shape as qan_gapfill.
+  private val qanSlaBurn: Q = (s, d) => {
+    val base = events(s, d)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+    val spine = base.groupBy(col("user_id"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("bucket"))
+    val w7 = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+      .rowsBetween(-6, Window.currentRow)
+    spine.join(base, Seq("user_id", "bucket"), "left")
+      .select(col("user_id"), col("bucket"),
+        coalesce(col("n_total"), lit(0L)).as("n_total"),
+        coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+      .withColumn("w7_total", sum(col("n_total")).over(w7))
+      .withColumn("w7_errors", sum(col("n_errors")).over(w7))
+      .withColumn("burn_rate",
+        when(col("w7_total") > 0,
+          round(col("w7_errors").cast(DoubleType) / col("w7_total").cast(DoubleType), 6)))
+      .withColumn("violation", coalesce(col("burn_rate") > 0.05, lit(false)))
+      .orderBy(col("user_id"), col("bucket"))
+  }
+
+  private val qanSlaBurnSql = """
+    WITH base AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        COUNT(*) AS n_total,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+      FROM events GROUP BY 1, 2),
+    spine AS (
+      SELECT user_id,
+        unnest(generate_series(MIN(bucket), MAX(bucket), INTERVAL 1 DAY)) AS bucket
+      FROM base GROUP BY 1),
+    j AS (
+      SELECT s.user_id, s.bucket,
+        COALESCE(b.n_total, 0) AS n_total, COALESCE(b.n_errors, 0) AS n_errors
+      FROM spine s LEFT JOIN base b USING (user_id, bucket)),
+    rolled AS (
+      SELECT *,
+        CAST(SUM(n_total) OVER w7 AS BIGINT) AS w7_total,
+        CAST(SUM(n_errors) OVER w7 AS BIGINT) AS w7_errors
+      FROM j
+      WINDOW w7 AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT user_id, bucket, n_total, n_errors, w7_total, w7_errors,
+      CASE WHEN w7_total > 0
+        THEN ROUND(CAST(w7_errors AS DOUBLE) / CAST(w7_total AS DOUBLE), 6)
+      END AS burn_rate,
+      COALESCE(CASE WHEN w7_total > 0
+        THEN ROUND(CAST(w7_errors AS DOUBLE) / CAST(w7_total AS DOUBLE), 6)
+      END > 0.05, false) AS violation
+    FROM rolled
+    ORDER BY user_id, bucket"""
+
+  // ------------------------------------------------ qan_value_histogram
+  // Fixed-width value histogram per digest (the Druid histogram
+  // aggregator class): bin counts plus in-bin min/max, the
+  // latency-distribution panel every QAN UI draws. One hash aggregate
+  // on (digest, bin) — bins are scan-level arithmetic, cardinality is
+  // digests × occupied bins, map-side combined.
+  private val qanValueHistogram: Q = (s, d) =>
+    events(s, d)
+      .withColumn("bin", floor(col("value") / 5.0).cast("long"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("bin_min"),
+        max(col("value")).as("bin_max"))
+      .withColumn("bin_lo", col("bin") * 5.0)
+      .orderBy(col("event_type"), col("bin"))
+
+  private val qanValueHistogramSql = """
+    SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin,
+      COUNT(*) AS n, MIN(value) AS bin_min, MAX(value) AS bin_max,
+      CAST(CAST(floor(value / 5.0) AS BIGINT) * 5.0 AS DOUBLE) AS bin_lo
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2"""
+
   val entries: Map[String, Q] = Map(
+    "qan_sla_burn" -> qanSlaBurn,
+    "qan_value_histogram" -> qanValueHistogram,
     "qan_gapfill" -> qanGapfill,
     "qan_topn_others" -> qanTopnOthers,
     "qan_percent_change" -> qanPercentChange,
@@ -295,6 +388,8 @@ object Timeseries {
     "qan_retention" -> qanRetention)
 
   val oracles: Map[String, String] = Map(
+    "qan_sla_burn" -> qanSlaBurnSql,
+    "qan_value_histogram" -> qanValueHistogramSql,
     "qan_gapfill" -> qanGapfillSql,
     "qan_topn_others" -> qanTopnOthersSql,
     "qan_percent_change" -> qanPercentChangeSql,

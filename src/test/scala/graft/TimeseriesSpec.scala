@@ -67,6 +67,34 @@ class TimeseriesSpec extends SparkSpec {
     assert(out.exists(r => !r.isNullAt(6)), "no comparable periods at this sf")
   }
 
+  test("qan_sla_burn: rolling sums match a driver recount, violation rule exact") {
+    val out = SparkEntry.queries("qan_sla_burn")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byUser = out.groupBy(_.getLong(0))
+    byUser.take(5).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getTimestamp(1).getTime)
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val window = sorted.slice(math.max(0, i - 6), i + 1)
+        assert(r.getLong(4) === window.map(_.getLong(2)).sum, "w7_total recount")
+        assert(r.getLong(5) === window.map(_.getLong(3)).sum, "w7_errors recount")
+        if (r.getLong(4) > 0) {
+          val rate = r.getDouble(6)
+          assert(r.getBoolean(7) === (rate > 0.05))
+        } else assert(r.isNullAt(6) && !r.getBoolean(7))
+      }
+    }
+  }
+
+  test("qan_value_histogram: bins cover their range, counts conserve the table") {
+    val out = SparkEntry.queries("qan_value_histogram")(spark, sf).collect()
+    assert(out.map(_.getLong(2)).sum === Tables.events(spark, sf).count())
+    out.foreach { r =>
+      val (lo, mn, mx) = (r.getDouble(5), r.getDouble(3), r.getDouble(4))
+      assert(mn >= lo && mx < lo + 5.0 && mn <= mx,
+        s"bin ${r.getLong(1)}: [$mn,$mx] outside [$lo,${lo + 5.0})")
+    }
+  }
+
   test("qan_funnel: stage timestamps strictly ordered, stages monotonically shrink") {
     val out = SparkEntry.queries("qan_funnel")(spark, sf).collect()
     assert(out.nonEmpty)
