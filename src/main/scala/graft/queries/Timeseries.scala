@@ -378,7 +378,55 @@ object Timeseries {
     GROUP BY 1, 2
     ORDER BY 1, 2"""
 
+  // ------------------------------------------- qan_time_weighted_avg
+  // Time-weighted average (TimescaleDB's time_weight, LOCF weighting):
+  // per (instance, digest) the integral of the last-observed value
+  // over each inter-event interval divided by the observed span —
+  // the honest mean of an irregularly-sampled gauge, where the
+  // arithmetic mean over-weights busy periods. The integral is
+  // DECIMAL(value) × BIGINT(µs) products summed exactly, so the only
+  // double is the final division: order-independent across engines
+  // and partitionings. One lag window per key, one hash aggregate.
+  private val qanTimeWeightedAvg: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
+      .withColumn("dt_us", col("next_us") - unix_micros(col("ts")))
+      .filter(col("dt_us").isNotNull)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("value").cast(DecimalType(18, 6))
+          * col("dt_us").cast(DecimalType(20, 0))).as("num"),
+        sum(col("dt_us")).as("den_us"))
+      .select(col("user_id"), col("event_type"), col("n_segments"),
+        round(col("den_us").cast(DoubleType) / 1000000.0, 6).as("span_secs"),
+        round(col("num").cast(DoubleType) / col("den_us").cast(DoubleType), 6)
+          .as("twa"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  private val qanTimeWeightedAvgSql = """
+    WITH seg AS (
+      SELECT user_id, event_type, value,
+        LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id, event_type
+          ORDER BY ts, event_id) - epoch_us(ts) AS dt_us
+      FROM events),
+    agg AS (
+      SELECT user_id, event_type, COUNT(*) AS n_segments,
+        SUM(CAST(value AS DECIMAL(18,6)) * CAST(dt_us AS DECIMAL(20,0))) AS num,
+        CAST(SUM(dt_us) AS BIGINT) AS den_us
+      FROM seg
+      WHERE dt_us IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT user_id, event_type, n_segments,
+      ROUND(CAST(den_us AS DOUBLE) / 1000000.0, 6) AS span_secs,
+      ROUND(CAST(num AS DOUBLE) / CAST(den_us AS DOUBLE), 6) AS twa
+    FROM agg
+    ORDER BY user_id, event_type"""
+
   val entries: Map[String, Q] = Map(
+    "qan_time_weighted_avg" -> qanTimeWeightedAvg,
     "qan_sla_burn" -> qanSlaBurn,
     "qan_value_histogram" -> qanValueHistogram,
     "qan_gapfill" -> qanGapfill,
@@ -388,6 +436,7 @@ object Timeseries {
     "qan_retention" -> qanRetention)
 
   val oracles: Map[String, String] = Map(
+    "qan_time_weighted_avg" -> qanTimeWeightedAvgSql,
     "qan_sla_burn" -> qanSlaBurnSql,
     "qan_value_histogram" -> qanValueHistogramSql,
     "qan_gapfill" -> qanGapfillSql,

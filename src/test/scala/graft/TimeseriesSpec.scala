@@ -67,6 +67,29 @@ class TimeseriesSpec extends SparkSpec {
     assert(out.exists(r => !r.isNullAt(6)), "no comparable periods at this sf")
   }
 
+  test("qan_time_weighted_avg: matches a driver-side LOCF integral recompute") {
+    val out = SparkEntry.queries("qan_time_weighted_avg")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"), col("value"), col("event_id"))
+      .collect()
+      .groupBy(r => (r.getLong(0), r.getString(1)))
+    out.take(10).foreach { r =>
+      val key = (r.getLong(0), r.getString(1))
+      val evs = raw(key).sortBy(e => (e.getTimestamp(2).getTime,
+        e.getTimestamp(2).getNanos, e.getLong(4)))
+      val segs = evs.zip(evs.tail).map { case (a, b) =>
+        def us(t: java.sql.Timestamp) = t.getTime / 1000 * 1000000 + t.getNanos / 1000
+        (a.getDouble(3), us(b.getTimestamp(2)) - us(a.getTimestamp(2)))
+      }
+      val num = segs.map { case (v, dt) => BigDecimal(v) * BigDecimal(dt) }.sum
+      val den = segs.map(_._2).sum
+      assert(r.getLong(2) === segs.length, s"$key n_segments")
+      assert(math.abs(r.getDouble(4) - (num / den).toDouble) < 1e-5,
+        s"$key twa ${r.getDouble(4)} vs ${(num / den).toDouble}")
+    }
+  }
+
   test("qan_sla_burn: rolling sums match a driver recount, violation rule exact") {
     val out = SparkEntry.queries("qan_sla_burn")(spark, sf).collect()
     assert(out.nonEmpty)
