@@ -422,19 +422,27 @@ object Qan {
     * exit (shutdown hook), and dirs orphaned by killed JVMs are swept
     * on the next invocation once they are clearly stale.
     */
-  private def otelWireDir(s: SparkSession, d: String): String = {
+  private def otelRecords(s: SparkSession, d: String): DataFrame = {
     val deltas = QanOps.snapshotDelta(snapshots(s, d),
         keys = Seq("user_id", "event_type"),
         ord = Seq(col("ts"), col("event_id")),
         counter = col("counter"), out = "delta")
       .withColumn("delta_value", col("delta").cast(DoubleType))
-    val records = graft.sources.OtelLogs.toLogRecords(deltas)
+    graft.sources.OtelLogs.toLogRecords(deltas)
+  }
+
+  private def allocWireDir(): String = {
     val tmp = System.getProperty("java.io.tmpdir", "/tmp")
     sweepStaleWireDirs(new java.io.File(tmp))
     val path = s"$tmp/graft_otel_roundtrip_" +
       java.util.UUID.randomUUID.toString.take(8)
     deleteAtExit(new java.io.File(path))
-    graft.sources.OtelLogs.writeJson(records, path)
+    path
+  }
+
+  private def otelWireDir(s: SparkSession, d: String): String = {
+    val path = allocWireDir()
+    graft.sources.OtelLogs.writeJson(otelRecords(s, d), path)
     path
   }
 
@@ -456,13 +464,16 @@ object Qan {
       graft.sources.v2.OtelLogTable.WireSchema))
   }
 
-  // The same export→import→rollup, but consumed through the custom
-  // DataSourceV2 reader (format "graft-otel"): pinned contract schema,
-  // per-file partitions, column pruning at the reader — the plan's
-  // BatchScan carries only the five rollup fields. Shares the
-  // roundtrip oracle: any wire-format or reader defect breaks the hash.
+  // The same export→import→rollup, but BOTH directions through the
+  // custom DataSourceV2 connector (format "graft-otel"): the export
+  // writes per-task part files against the pinned contract schema,
+  // the import reads per-file partitions with column pruning at the
+  // reader — the plan's BatchScan carries only the five rollup
+  // fields. Shares the roundtrip oracle: any wire-format, writer or
+  // reader defect breaks the hash.
   private val qanOtelDsv2: Q = (s, d) => {
-    val path = otelWireDir(s, d)
+    val path = allocWireDir()
+    otelRecords(s, d).write.format("graft-otel").mode("overwrite").save(path)
     otelImportRollup(s.read.format("graft-otel").load(path))
   }
 

@@ -6,9 +6,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -53,14 +54,17 @@ object OtelLogTable {
     StructField("delta_value", DoubleType)))
 }
 
-class OtelLogTable(path: String) extends Table with SupportsRead {
-  require(path != null, "graft-otel: .load(path) is required")
+class OtelLogTable(path: String) extends Table with SupportsRead with SupportsWrite {
+  require(path != null, "graft-otel: .load(path)/.save(path) is required")
   override def name(): String = s"graft-otel:$path"
   override def schema(): StructType = OtelLogTable.WireSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new OtelLogScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new OtelLogWriteBuilder(path, info.schema())
 }
 
 class OtelLogScanBuilder(path: String)
@@ -117,6 +121,95 @@ class OtelLogReaderFactory(required: StructType, pushed: Array[Filter])
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new OtelLogPartitionReader(
       partition.asInstanceOf[OtelLogPartition].file, required, pushed)
+}
+
+/** Write side: the same contract, symmetric with the reader. Rows
+  * must arrive in the wire schema (the collector's emission shape —
+  * a different schema is a caller bug, failed loudly at plan time).
+  * Each task writes its own part file under a run-unique commit id;
+  * commit is rename-free (files are written directly, abort deletes
+  * the task's file) — the simple protocol a single-writer wire dir
+  * needs. Truncate (SaveMode.Overwrite) clears previous part files
+  * driver-side before tasks launch.
+  */
+class OtelLogWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = {
+    require(schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      OtelLogTable.WireSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"graft-otel: write schema must be the wire contract " +
+        s"${OtelLogTable.WireSchema.simpleString}, got ${schema.simpleString}")
+    new Write {
+      override def toBatch: BatchWrite = new OtelLogBatchWrite(path, doTruncate)
+    }
+  }
+}
+
+class OtelLogBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    if (truncate)
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .foreach(f => f.delete(): Unit)
+    new OtelLogWriterFactory(path)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class OtelLogWriterFactory(path: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new OtelLogDataWriter(
+      new java.io.File(path, f"part-$partitionId%05d-$taskId.json"))
+}
+
+case class OtelLogCommit(file: String, rows: Long) extends WriterCommitMessage
+
+class OtelLogDataWriter(file: java.io.File) extends DataWriter[InternalRow] {
+  private val TsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    .withZone(java.time.ZoneOffset.UTC)
+  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    new java.io.FileOutputStream(file), "UTF-8"))
+  private var rows = 0L
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  override def write(row: InternalRow): Unit = {
+    val fields = OtelLogTable.WireSchema.fields.zipWithIndex.flatMap {
+      case (f, i) if row.isNullAt(i) => None
+      case (f, i) =>
+        val v = f.dataType match {
+          case TimestampType =>
+            jstr(TsFmt.format(java.time.Instant.ofEpochSecond(
+              Math.floorDiv(row.getLong(i), 1000000L),
+              Math.floorMod(row.getLong(i), 1000000L) * 1000L)))
+          case StringType => jstr(row.getUTF8String(i).toString)
+          case DoubleType => row.getDouble(i).toString
+          case other => throw new IllegalArgumentException(
+            s"graft-otel: unsupported field type $other")
+        }
+        Some(s"${jstr(f.name)}:$v")
+    }
+    out.write(fields.mkString("{", ",", "}"))
+    out.write("\n")
+    rows += 1
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close(); OtelLogCommit(file.getAbsolutePath, rows)
+  }
+  override def abort(): Unit = { out.close(); file.delete(): Unit }
+  override def close(): Unit = ()
 }
 
 /** One JSON-lines file → InternalRows of the pruned schema. Parsing
