@@ -425,7 +425,34 @@ object Timeseries {
     FROM agg
     ORDER BY user_id, event_type"""
 
+  // -------------------------------------------------------- qan_heatmap
+  // Hour-of-day × day-of-week load matrix — the weekly-rhythm heatmap
+  // every monitoring UI draws (when does load land; when do errors
+  // cluster). One hash aggregate on 168 scan-derived keys, map-side
+  // combined; Spark's dayofweek is Sunday=1, shifted to DuckDB's
+  // Sunday=0 convention.
+  private val qanHeatmap: Q = (s, d) =>
+    events(s, d)
+      .groupBy((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("calls"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"),
+        countDistinct(col("event_type")).as("n_digests"))
+      .orderBy(col("dow"), col("hod"))
+
+  private val qanHeatmapSql = """
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, CAST(hour(ts) AS BIGINT) AS hod,
+      COUNT(*) AS calls,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+      CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+      COUNT(DISTINCT event_type) AS n_digests
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2"""
+
   val entries: Map[String, Q] = Map(
+    "qan_heatmap" -> qanHeatmap,
     "qan_time_weighted_avg" -> qanTimeWeightedAvg,
     "qan_sla_burn" -> qanSlaBurn,
     "qan_value_histogram" -> qanValueHistogram,
@@ -436,6 +463,7 @@ object Timeseries {
     "qan_retention" -> qanRetention)
 
   val oracles: Map[String, String] = Map(
+    "qan_heatmap" -> qanHeatmapSql,
     "qan_time_weighted_avg" -> qanTimeWeightedAvgSql,
     "qan_sla_burn" -> qanSlaBurnSql,
     "qan_value_histogram" -> qanValueHistogramSql,
