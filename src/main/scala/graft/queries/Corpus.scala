@@ -390,7 +390,91 @@ object Corpus {
     FROM top
     ORDER BY rank"""
 
+  // --------------------------------------------------- doc_mixture_apply
+  // The execution half of doc_mixture_plan, closing the loop in ONE
+  // job: the per-language keep rates are DERIVED from the corpus (the
+  // plan's integer permyriad arithmetic), broadcast back, and applied
+  // as the salted-hash membership rule per document — no precomputed
+  // constants, yet membership stays a scan-level decision (contrast
+  // doc_stratified_sample's configured rates). Output is the per-
+  // stratum audit: realized kept tokens land on the plan's budget up
+  // to per-doc granularity.
+  //
+  // 100 TB shape: scan → |languages|-row aggregate (the plan) →
+  // broadcast join-back → scan-level keep decision → audit aggregate.
+  // Two corpus scans total (rates cannot exist before the first), and
+  // the corpus never shuffles.
+  private val docMixtureApply: Q = (s, d) => {
+    val weight = mixtureWeights.foldLeft(lit(0L)) { case (e, (l, w)) =>
+      when(col("lang") === l, w).otherwise(e)
+    }
+    val toks = documents(s, d)
+      .withColumn("n_toks", size(split(trim(col("text")), "\\s+")).cast("long"))
+    val plan = toks.groupBy(col("lang"))
+      .agg(sum(col("n_toks")).as("tokens"))
+      .withColumn("target_pmy", weight)
+      .withColumn("feasible",
+        when(col("target_pmy") > 0, expr("tokens * 10000L div target_pmy")))
+    val fold = plan.agg(min(col("feasible")).as("n_star"))
+    val rates = plan.crossJoin(broadcast(fold))
+      .withColumn("kept_budget",
+        when(col("target_pmy") > 0, expr("target_pmy * n_star div 10000L"))
+          .otherwise(0L))
+      .withColumn("rate_pmy", expr("kept_budget * 10000L div tokens"))
+      .select(col("lang"), col("tokens"), col("kept_budget"), col("rate_pmy"))
+    toks.join(broadcast(rates), Seq("lang"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit("|graft-mixture-v1"))), 1, 8), 16, 10)
+          .cast("long") % 10000)
+      .withColumn("kept", col("bucket") < col("rate_pmy"))
+      .groupBy(col("lang"), col("tokens"), col("kept_budget"), col("rate_pmy"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept_docs"),
+        sum(when(col("kept"), col("n_toks")).otherwise(0L)).as("kept_tokens"))
+      .withColumn("realized_frac",
+        round(col("kept_tokens").cast(DoubleType) / col("tokens").cast(DoubleType), 6))
+      .orderBy(col("lang"))
+  }
+
+  private val docMixtureApplySql: String = {
+    val weightCase = mixtureWeights.map { case (l, w) =>
+      s"WHEN lang = '$l' THEN $w"
+    }.mkString("CASE ", " ", " ELSE 0 END")
+    s"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks
+      FROM documents),
+    plan AS (
+      SELECT lang, CAST(SUM(n_toks) AS BIGINT) AS tokens,
+        $weightCase AS target_pmy
+      FROM toks GROUP BY 1),
+    f AS (
+      SELECT *, CASE WHEN target_pmy > 0 THEN tokens * 10000 // target_pmy END AS feasible
+      FROM plan),
+    fold AS (SELECT MIN(feasible) AS n_star FROM f),
+    rates AS (
+      SELECT lang, tokens,
+        CAST(CASE WHEN target_pmy > 0 THEN target_pmy * n_star // 10000 ELSE 0 END AS BIGINT) AS kept_budget,
+        CAST((CASE WHEN target_pmy > 0 THEN target_pmy * n_star // 10000 ELSE 0 END) * 10000 // tokens AS BIGINT) AS rate_pmy
+      FROM f, fold),
+    dec AS (
+      SELECT t.lang, t.n_toks, r.tokens, r.kept_budget, r.rate_pmy,
+        CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR) || '|graft-mixture-v1'), 1, 8)) AS BIGINT) % 10000
+          < r.rate_pmy AS kept
+      FROM toks t JOIN rates r USING (lang))
+    SELECT lang, tokens, kept_budget, rate_pmy,
+      COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_docs,
+      CAST(SUM(CASE WHEN kept THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens,
+      ROUND(CAST(SUM(CASE WHEN kept THEN n_toks ELSE 0 END) AS DOUBLE) / CAST(tokens AS DOUBLE), 6) AS realized_frac
+    FROM dec
+    GROUP BY 1, 2, 3, 4
+    ORDER BY 1"""
+  }
+
   val entries: Map[String, Q] = Map(
+    "doc_mixture_apply" -> docMixtureApply,
     "doc_bpe_pairs" -> docBpePairs,
     "doc_source_reputation" -> docSourceReputation,
     "doc_tfidf_topk" -> docTfidfTopk,
@@ -399,6 +483,7 @@ object Corpus {
     "doc_mixture_plan" -> docMixturePlan)
 
   val oracles: Map[String, String] = Map(
+    "doc_mixture_apply" -> docMixtureApplySql,
     "doc_bpe_pairs" -> docBpePairsSql,
     "doc_source_reputation" -> docSourceReputationSql,
     "doc_tfidf_topk" -> docTfidfTopkSql,

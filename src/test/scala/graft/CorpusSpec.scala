@@ -126,6 +126,28 @@ class CorpusSpec extends SparkSpec {
     assert(out(4L).getString(3) === md5hex("x1 x2 x3"))
   }
 
+  test("mixture apply: realized sample lands on the plan's budget, hash rule reproducible") {
+    val out = SparkEntry.queries("doc_mixture_apply")(spark, sf).collect()
+    out.foreach { r =>
+      val (tokens, budget, ratePmy) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (nDocs, nKept, keptTokens) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(ratePmy >= 0 && ratePmy <= 10000)
+      assert(nKept <= nDocs && keptTokens <= tokens)
+      // the salted-hash rule realizes the budget up to sampling noise:
+      // the EXPECTED kept fraction is rate_pmy/10⁴; allow generous
+      // slack for a small-corpus binomial (but catch off-by-10× bugs)
+      val expected = ratePmy.toDouble / 10000.0
+      assert(math.abs(r.getDouble(7) - expected) < 0.12,
+        s"${r.getString(0)}: realized ${r.getDouble(7)} vs expected $expected")
+      // budget itself is within one plan-arithmetic floor of tokens*rate
+      assert(budget <= tokens)
+    }
+    // determinism: a second run produces identical rows
+    val again = SparkEntry.queries("doc_mixture_apply")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(again == out.map(_.toString).toSeq)
+  }
+
   test("mixture plan: integer-exact plan hits the target proportions with one binding stratum") {
     val out = SparkEntry.queries("doc_mixture_plan")(spark, sf).collect()
     assert(math.abs(out.map(_.getDouble(4)).sum - 1.0) < 1e-9, "target shares must sum to 1")
