@@ -399,6 +399,10 @@ object Timeseries {
         sum(col("value").cast(DecimalType(18, 6))
           * col("dt_us").cast(DecimalType(20, 0))).as("num"),
         sum(col("dt_us")).as("den_us"))
+      // a key whose whole observed span is zero (all events at one
+      // timestamp) has no time axis to weight over — drop it rather
+      // than divide by zero (EdgeEventsSpec's identical-ts pair)
+      .filter(col("den_us") > 0)
       .select(col("user_id"), col("event_type"), col("n_segments"),
         round(col("den_us").cast(DoubleType) / 1000000.0, 6).as("span_secs"),
         round(col("num").cast(DoubleType) / col("den_us").cast(DoubleType), 6)
@@ -418,7 +422,8 @@ object Timeseries {
         CAST(SUM(dt_us) AS BIGINT) AS den_us
       FROM seg
       WHERE dt_us IS NOT NULL
-      GROUP BY 1, 2)
+      GROUP BY 1, 2
+      HAVING SUM(dt_us) > 0)
     SELECT user_id, event_type, n_segments,
       ROUND(CAST(den_us AS DOUBLE) / 1000000.0, 6) AS span_secs,
       ROUND(CAST(num AS DOUBLE) / CAST(den_us AS DOUBLE), 6) AS twa
