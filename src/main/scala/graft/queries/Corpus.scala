@@ -275,63 +275,83 @@ object Corpus {
     // target permyriad share of the final mix per language
     "en" -> 5000L, "zh" -> 2000L, "de" -> 1000L, "fr" -> 1000L, "es" -> 1000L)
 
-  private val docMixturePlan: Q = (s, d) => {
+  /** Per-doc token counts — the input frame of the permyriad rule. */
+  private def perDocTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d).withColumn("n_toks",
+      size(split(trim(col("text")), "\\s+")).cast("long"))
+
+  /** THE permyriad rule, single source for both the plan query and
+    * its execution (doc_mixture_apply): per language the token
+    * aggregate, target weight, feasibility bound, the binding N*
+    * fold, and the kept-token budget. All integer arithmetic.
+    */
+  private def mixturePlanFrame(perDoc: DataFrame): DataFrame = {
     val weight = mixtureWeights.foldLeft(lit(0L)) { case (e, (l, w)) =>
       when(col("lang") === l, w).otherwise(e)
     }
-    val perLang = documents(s, d)
+    val perLang = perDoc
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens"))
       .withColumn("target_pmy", weight)
       .withColumn("feasible",
         when(col("target_pmy") > 0, expr("tokens * 10000L div target_pmy")))
     val fold = perLang.agg(min(col("feasible")).as("n_star"),
       sum(col("tokens")).as("total_tokens"))
     perLang.crossJoin(broadcast(fold))
-      .withColumn("kept_tokens",
+      .withColumn("kept_budget",
         when(col("target_pmy") > 0, expr("target_pmy * n_star div 10000L"))
           .otherwise(0L))
+  }
+
+  /** The SQL mirror of [[mixturePlanFrame]] — shared CTE block ending
+    * in `budget` with the same columns. */
+  private lazy val mixturePlanCtes: String = {
+    val weightCase = mixtureWeights.map { case (l, w) =>
+      s"WHEN lang = '$l' THEN $w"
+    }.mkString("CASE ", " ", " ELSE 0 END")
+    s"""toks AS (
+      SELECT doc_id, lang,
+        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks
+      FROM documents),
+    per_lang AS (
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS tokens,
+        $weightCase AS target_pmy
+      FROM toks GROUP BY 1),
+    f AS (
+      SELECT *, CASE WHEN target_pmy > 0 THEN tokens * 10000 // target_pmy END AS feasible
+      FROM per_lang),
+    fold AS (
+      SELECT MIN(feasible) AS n_star, CAST(SUM(tokens) AS BIGINT) AS total_tokens
+      FROM f),
+    budget AS (
+      SELECT f.*, fold.n_star, fold.total_tokens,
+        CAST(CASE WHEN target_pmy > 0 THEN target_pmy * n_star // 10000 ELSE 0 END AS BIGINT)
+          AS kept_budget
+      FROM f, fold)"""
+  }
+
+  private val docMixturePlan: Q = (s, d) =>
+    mixturePlanFrame(perDocTokens(s, d))
       .select(col("lang"), col("n_docs"), col("tokens"),
         round(col("tokens").cast(DoubleType) / col("total_tokens").cast(DoubleType), 6)
           .as("current_share"),
         round(col("target_pmy").cast(DoubleType) / 10000.0, 4).as("target_share"),
-        col("kept_tokens"),
-        round(col("kept_tokens").cast(DoubleType) / col("tokens").cast(DoubleType), 6)
+        col("kept_budget").as("kept_tokens"),
+        round(col("kept_budget").cast(DoubleType) / col("tokens").cast(DoubleType), 6)
           .as("keep_rate"),
         (col("feasible") === col("n_star")).as("binding"))
       .orderBy(col("lang"))
-  }
 
-  private val docMixturePlanSql: String = {
-    val weightCase = mixtureWeights.map { case (l, w) =>
-      s"WHEN lang = '$l' THEN $w"
-    }.mkString("CASE ", " ", " ELSE 0 END")
-    s"""
-    WITH per_lang AS (
-      SELECT lang, COUNT(*) AS n_docs,
-        CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS tokens,
-        $weightCase AS target_pmy
-      FROM documents
-      GROUP BY 1),
-    f AS (
-      SELECT lang, n_docs, tokens, target_pmy,
-        CASE WHEN target_pmy > 0 THEN tokens * 10000 // target_pmy END AS feasible
-      FROM per_lang),
-    fold AS (
-      SELECT MIN(feasible) AS n_star, CAST(SUM(tokens) AS BIGINT) AS total_tokens
-      FROM f)
+  private lazy val docMixturePlanSql: String = s"""
+    WITH $mixturePlanCtes
     SELECT lang, n_docs, tokens,
       ROUND(CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6) AS current_share,
       ROUND(CAST(target_pmy AS DOUBLE) / 10000.0, 4) AS target_share,
-      CAST(CASE WHEN target_pmy > 0 THEN target_pmy * n_star // 10000 ELSE 0 END AS BIGINT)
-        AS kept_tokens,
-      ROUND(CAST(CASE WHEN target_pmy > 0 THEN target_pmy * n_star // 10000 ELSE 0 END AS DOUBLE)
-        / CAST(tokens AS DOUBLE), 6) AS keep_rate,
+      kept_budget AS kept_tokens,
+      ROUND(CAST(kept_budget AS DOUBLE) / CAST(tokens AS DOUBLE), 6) AS keep_rate,
       feasible = n_star AS binding
-    FROM f, fold
+    FROM budget
     ORDER BY lang"""
-  }
 
   // --------------------------------------------------- doc_bpe_pairs
   // The tokenizer-training primitive: one BPE merge round's pair
@@ -405,21 +425,10 @@ object Corpus {
   // Two corpus scans total (rates cannot exist before the first), and
   // the corpus never shuffles.
   private val docMixtureApply: Q = (s, d) => {
-    val weight = mixtureWeights.foldLeft(lit(0L)) { case (e, (l, w)) =>
-      when(col("lang") === l, w).otherwise(e)
-    }
-    val toks = documents(s, d)
-      .withColumn("n_toks", size(split(trim(col("text")), "\\s+")).cast("long"))
-    val plan = toks.groupBy(col("lang"))
-      .agg(sum(col("n_toks")).as("tokens"))
-      .withColumn("target_pmy", weight)
-      .withColumn("feasible",
-        when(col("target_pmy") > 0, expr("tokens * 10000L div target_pmy")))
-    val fold = plan.agg(min(col("feasible")).as("n_star"))
-    val rates = plan.crossJoin(broadcast(fold))
-      .withColumn("kept_budget",
-        when(col("target_pmy") > 0, expr("target_pmy * n_star div 10000L"))
-          .otherwise(0L))
+    val toks = perDocTokens(s, d)
+    // the SAME rule frame the plan query publishes — any change to
+    // the permyriad arithmetic reaches both halves by construction
+    val rates = mixturePlanFrame(toks)
       .withColumn("rate_pmy", expr("kept_budget * 10000L div tokens"))
       .select(col("lang"), col("tokens"), col("kept_budget"), col("rate_pmy"))
     toks.join(broadcast(rates), Seq("lang"))
@@ -436,28 +445,12 @@ object Corpus {
       .orderBy(col("lang"))
   }
 
-  private val docMixtureApplySql: String = {
-    val weightCase = mixtureWeights.map { case (l, w) =>
-      s"WHEN lang = '$l' THEN $w"
-    }.mkString("CASE ", " ", " ELSE 0 END")
-    s"""
-    WITH toks AS (
-      SELECT doc_id, lang,
-        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks
-      FROM documents),
-    plan AS (
-      SELECT lang, CAST(SUM(n_toks) AS BIGINT) AS tokens,
-        $weightCase AS target_pmy
-      FROM toks GROUP BY 1),
-    f AS (
-      SELECT *, CASE WHEN target_pmy > 0 THEN tokens * 10000 // target_pmy END AS feasible
-      FROM plan),
-    fold AS (SELECT MIN(feasible) AS n_star FROM f),
+  private lazy val docMixtureApplySql: String = s"""
+    WITH $mixturePlanCtes,
     rates AS (
-      SELECT lang, tokens,
-        CAST(CASE WHEN target_pmy > 0 THEN target_pmy * n_star // 10000 ELSE 0 END AS BIGINT) AS kept_budget,
-        CAST((CASE WHEN target_pmy > 0 THEN target_pmy * n_star // 10000 ELSE 0 END) * 10000 // tokens AS BIGINT) AS rate_pmy
-      FROM f, fold),
+      SELECT lang, tokens, kept_budget,
+        CAST(kept_budget * 10000 // tokens AS BIGINT) AS rate_pmy
+      FROM budget),
     dec AS (
       SELECT t.lang, t.n_toks, r.tokens, r.kept_budget, r.rate_pmy,
         CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR) || '|graft-mixture-v1'), 1, 8)) AS BIGINT) % 10000
@@ -471,7 +464,6 @@ object Corpus {
     FROM dec
     GROUP BY 1, 2, 3, 4
     ORDER BY 1"""
-  }
 
   val entries: Map[String, Q] = Map(
     "doc_mixture_apply" -> docMixtureApply,

@@ -336,14 +336,20 @@ object Extended {
   // conditional aggregates (no values-discovery pre-query, no extra
   // pass): same single-shuffle plan as any groupBy at 100 TB. Totals
   // go through DECIMAL(18,2) so each cell is an exact cents sum.
-  private val q23Pivot: Q = (s, d) =>
-    orders(s, d)
+  private val q23Pivot: Q = (s, d) => {
+    val pivoted = orders(s, d)
       .groupBy(col("o_orderpriority"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(count(lit(1)).as("cnt"),
         round(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType), 2)
           .as("total"))
-      .orderBy(col("o_orderpriority"))
+    // an empty cell pivots to NULL, but an empty COUNT is 0 — align
+    // the count cells (totals stay NULL: no orders, no sum) so the
+    // result doesn't depend on every cell being populated
+    Seq("F", "O", "P").foldLeft(pivoted) { (df, v) =>
+      df.withColumn(s"${v}_cnt", coalesce(col(s"${v}_cnt"), lit(0L)))
+    }.orderBy(col("o_orderpriority"))
+  }
 
   private val q23PivotSql = {
     val cells = Seq("F", "O", "P").map { v =>

@@ -414,14 +414,8 @@ object Qan {
   // driver involvement); the oracle aggregates the same deltas
   // directly, so any loss in the wire format (timestamps, doubles,
   // encodings) breaks the hash.
-  /** Export this sf's deltas as an OTel JSON-lines wire dir and return
-    * its path. Run-unique dir: a fixed hash-derived path races when two
-    * harnesses (Verify + Bench, parallel specs) evaluate concurrently —
-    * one run's delete/overwrite corrupts the other's read. The read is
-    * lazy, so the dir must outlive this call — it is removed at JVM
-    * exit (shutdown hook), and dirs orphaned by killed JVMs are swept
-    * on the next invocation once they are clearly stale.
-    */
+  /** This sf's deltas flattened to OTel log records (no filesystem
+    * side effects — the wire dir lives in [[allocWireDir]]). */
   private def otelRecords(s: SparkSession, d: String): DataFrame = {
     val deltas = QanOps.snapshotDelta(snapshots(s, d),
         keys = Seq("user_id", "event_type"),
@@ -431,6 +425,14 @@ object Qan {
     graft.sources.OtelLogs.toLogRecords(deltas)
   }
 
+  /** Allocate a run-unique OTel wire dir: a fixed hash-derived path
+    * races when two harnesses (Verify + Bench, parallel specs)
+    * evaluate concurrently — one run's delete/overwrite corrupts the
+    * other's read. The read is lazy, so the dir must outlive the
+    * query call — it is removed at JVM exit (shutdown hook), and dirs
+    * orphaned by killed JVMs are swept on the next invocation once
+    * they are clearly stale.
+    */
   private def allocWireDir(): String = {
     val tmp = System.getProperty("java.io.tmpdir", "/tmp")
     sweepStaleWireDirs(new java.io.File(tmp))

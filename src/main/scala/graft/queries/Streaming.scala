@@ -221,6 +221,10 @@ object Streaming {
 
   // Streaming funnel: the per-user stage state machine (O(1) per key)
   // over the raw file-source stream; shares qan_funnel's oracle.
+  // Append mode re-emits a user's CURRENT cumulative row each batch,
+  // so the consumer keeps the furthest row per user (stage is
+  // monotone) — correct under any batching, not just the gate's
+  // single-batch replay.
   private val stFunnel: Q = (s, d) => {
     import s.implicits._
     val feed = QanStream.eventsStream(s, d)
@@ -229,11 +233,15 @@ object Streaming {
         unix_micros(col("ts")).as("ts_us"))
       .as[QanStream.FunnelEvent]
     QanStream.runToMemory(QanStream.funnelStream(feed).toDF(), OutputMode.Append())
+      .groupBy(col("user_id"))
+      .agg(expr(
+        "max_by(struct(view_us, click_us, purch_us, stage_reached), stage_reached)")
+        .as("f"))
       .select(col("user_id"),
-        timestamp_micros(col("view_us")).as("ts_view"),
-        timestamp_micros(col("click_us")).as("ts_click"),
-        timestamp_micros(col("purch_us")).as("ts_purchase"),
-        col("stage_reached"))
+        timestamp_micros(col("f.view_us")).as("ts_view"),
+        timestamp_micros(col("f.click_us")).as("ts_click"),
+        timestamp_micros(col("f.purch_us")).as("ts_purchase"),
+        col("f.stage_reached").as("stage_reached"))
       .orderBy(col("user_id"))
   }
 

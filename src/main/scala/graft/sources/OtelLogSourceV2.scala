@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** DataSourceV2 reader for the OTel-log JSON-lines wire format
+/** DataSourceV2 connector for the OTel-log JSON-lines wire format
   * ([[graft.sources.OtelLogs]] — the reference's deltaToLogs emission,
   * otel-collector/extension/qanprocessor/mysql/collector.go:208).
   *
@@ -25,12 +25,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * nor read bytes it will not use. This source serves the pinned
   * schema from metadata and implements column pruning at the reader —
   * a rollup touching (digest, delta) parses two fields per record and
-  * never materializes the rest. Files map 1:1 to input partitions, so
-  * a 1000-file wire directory fans out across the cluster exactly like
-  * any file-based source.
+  * never materializes the rest. Files map 1:1 to input partitions.
+  *
+  * All file access goes through the Hadoop FileSystem API, so the
+  * wire directory may live on any shared filesystem (file:// here,
+  * HDFS/S3A on a cluster — the path's scheme picks the FS). Writes
+  * are crash-safe: tasks write a hidden temp file and COMMIT renames
+  * it to its final per-partition name, so a died task leaves only an
+  * ignored temp and speculative attempts collapse to one file.
   *
   * Registered as `graft-otel` (META-INF services), usable as
-  * `spark.read.format("graft-otel").load(dir)`.
+  * `spark.read.format("graft-otel").load(dir)` /
+  * `.write.format("graft-otel").save(dir)`.
   */
 class OtelLogTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-otel"
@@ -42,6 +48,22 @@ class OtelLogTableProvider extends TableProvider with DataSourceRegister {
 }
 
 object OtelLogTable {
+  /** Hadoop FS for a wire path (scheme-addressed; default = local). */
+  def fs(path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(
+      new org.apache.hadoop.conf.Configuration())
+
+  /** Committed wire part files under a dir (temp files excluded). */
+  def partFiles(path: String): Array[org.apache.hadoop.fs.Path] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val f = fs(path)
+    if (!f.exists(dir)) Array.empty
+    else f.listStatus(dir)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getPath)
+      .sortBy(_.getName)
+  }
+
   /** The collector's log-record contract (OtelLogs.toLogRecords). */
   val WireSchema: StructType = StructType(Seq(
     StructField("timestamp", TimestampType),
@@ -104,12 +126,9 @@ class OtelLogScan(path: String, required: StructType, pushed: Array[Filter])
   override def description(): String =
     s"graft-otel $path, ReadSchema: ${required.simpleString}, " +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
-  override def planInputPartitions(): Array[InputPartition] = {
-    val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith("part-"))
-      .map(_.getAbsolutePath).sorted
-    files.map(f => OtelLogPartition(f): InputPartition)
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    OtelLogTable.partFiles(path)
+      .map(p => OtelLogPartition(p.toString): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
     new OtelLogReaderFactory(required, pushed)
 }
@@ -149,32 +168,45 @@ class OtelLogWriteBuilder(path: String, schema: StructType)
 
 class OtelLogBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val dir = new java.io.File(path)
-    dir.mkdirs()
+    val fs = OtelLogTable.fs(path)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path)): Unit
     if (truncate)
-      Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.startsWith("part-"))
-        .foreach(f => f.delete(): Unit)
+      OtelLogTable.partFiles(path).foreach(p => fs.delete(p, false): Unit)
     new OtelLogWriterFactory(path)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    // job abort: drop any files committed by finished tasks, and any
+    // temps a slow task may still be writing
+    messages.collect { case OtelLogCommit(f, _) =>
+      OtelLogTable.fs(path).delete(new org.apache.hadoop.fs.Path(f), false): Unit
+    }: Unit
 }
 
 class OtelLogWriterFactory(path: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new OtelLogDataWriter(
-      new java.io.File(path, f"part-$partitionId%05d-$taskId.json"))
+    new OtelLogDataWriter(path, partitionId, taskId)
 }
 
 case class OtelLogCommit(file: String, rows: Long) extends WriterCommitMessage
 
-class OtelLogDataWriter(file: java.io.File) extends DataWriter[InternalRow] {
+/** Crash-safe task writer: rows stream to a hidden temp file; task
+  * COMMIT renames it to the final per-partition name (one atomic FS
+  * op). A task that dies leaves only the ignored temp; speculative
+  * attempts both produce the same deterministic content and the
+  * rename collapses them to one committed file per partition.
+  */
+class OtelLogDataWriter(dir: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  import org.apache.hadoop.fs.Path
+  private val fs = OtelLogTable.fs(dir)
+  private val tmp = new Path(dir, f".part-$partitionId%05d-$taskId.json.inprogress")
+  private val dest = new Path(dir, f"part-$partitionId%05d.json")
   private val TsFmt = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
     .withZone(java.time.ZoneOffset.UTC)
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-    new java.io.FileOutputStream(file), "UTF-8"))
+    fs.create(tmp, true), "UTF-8"))
   private var rows = 0L
 
   private def jstr(s: String): String =
@@ -206,9 +238,14 @@ class OtelLogDataWriter(file: java.io.File) extends DataWriter[InternalRow] {
     rows += 1
   }
   override def commit(): WriterCommitMessage = {
-    out.close(); OtelLogCommit(file.getAbsolutePath, rows)
+    out.close()
+    // last-rename-wins across speculative attempts: both attempts
+    // carry identical deterministic content, so either file is correct
+    if (fs.exists(dest)) fs.delete(dest, false): Unit
+    require(fs.rename(tmp, dest), s"graft-otel: commit rename failed for $dest")
+    OtelLogCommit(dest.toString, rows)
   }
-  override def abort(): Unit = { out.close(); file.delete(): Unit }
+  override def abort(): Unit = { out.close(); fs.delete(tmp, false): Unit }
   override def close(): Unit = ()
 }
 
@@ -224,8 +261,10 @@ class OtelLogPartitionReader(file: String, required: StructType,
 
   private val TsFmt = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
-  private val source = scala.io.Source.fromFile(file, "UTF-8")
-  private val lines = source.getLines().filter(_.nonEmpty)
+  private val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+    OtelLogTable.fs(file).open(new org.apache.hadoop.fs.Path(file)), "UTF-8"))
+  private val lines = Iterator.continually(reader.readLine())
+    .takeWhile(_ != null).filter(_.nonEmpty)
   private var row: InternalRow = _
 
   private def passes(obj: JValue): Boolean = pushed.forall {
@@ -273,5 +312,5 @@ class OtelLogPartitionReader(file: String, required: StructType,
     }
 
   override def get(): InternalRow = row
-  override def close(): Unit = source.close()
+  override def close(): Unit = reader.close()
 }
