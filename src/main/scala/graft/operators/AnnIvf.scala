@@ -57,7 +57,11 @@ object AnnIvf {
     val assigned = corpus.withColumn("cell",
       GraftFunctions.nearestCell(col("v"), cents, Array.tabulate(cells)(identity)))
     val sums = (0 until dim).map(i =>
-      sum(element_at(col("v"), i + 1).cast(DecimalType(18, 6))).as(s"__s$i"))
+      // try_element_at: a degenerate (empty/short) vector contributes
+      // NULL to dims it lacks — exactly DuckDB's out-of-range list
+      // index, so the oracle replay is unchanged and one bad vector
+      // cannot kill the job (EdgeCaseSpec embeddings sweep)
+      sum(try_element_at(col("v"), lit(i + 1)).cast(DecimalType(18, 6))).as(s"__s$i"))
     assigned
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("__n"), sums: _*)

@@ -49,7 +49,7 @@ object AnnPq {
       .withColumn("subv", expr(s"slice(v, sub * $dsub + 1, $dsub)"))
       .withColumn("cell0", GraftFunctions.nearestCell(col("subv"), c0, ids))
     val sums = (0 until dsub).map(i =>
-      sum(element_at(col("subv"), i + 1).cast(DecimalType(18, 6))).as(s"__s$i"))
+      sum(try_element_at(col("subv"), lit(i + 1)).cast(DecimalType(18, 6))).as(s"__s$i"))
     subs
       .groupBy(col("sub"), col("cell0"))
       .agg(count(lit(1)).as("__n"), sums: _*)

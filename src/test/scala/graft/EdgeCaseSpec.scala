@@ -52,6 +52,33 @@ class EdgeCaseSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("every embeddings-table query survives zero, NaN and empty vectors") {
+    val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_edge_emb_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    val base = Tables.embeddings(spark, sf)
+    def vec(f: Int => Float): java.util.List[java.lang.Float] = {
+      val l = new java.util.ArrayList[java.lang.Float](64)
+      (0 until 64).foreach(i => l.add(f(i)): Unit)
+      l
+    }
+    val extra = spark.createDataFrame(java.util.List.of(
+        // zero vector: zero norm → cosine 0/0 hazards
+        org.apache.spark.sql.Row(900001L, vec(_ => 0.0f), 0),
+        // NaN coordinates: every distance/dot is NaN
+        org.apache.spark.sql.Row(900002L, vec(_ => Float.NaN), 0),
+        // empty array: no coordinates at all
+        org.apache.spark.sql.Row(900003L, new java.util.ArrayList[java.lang.Float](), 0)),
+      base.schema)
+    base.unionByName(extra).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val embQueries = SparkEntry.queries.keys.filter(_.startsWith("emb_")).toSeq.sorted
+    val failures = embQueries.flatMap { name =>
+      try { SparkEntry.queries(name)(spark, dir).collect(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.toString.take(200)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("nearest-cell kernels rank NaN vectors deterministically, no crash") {
     import graft.functions.expressions.GraftFunctions
     val cents = Array(Array(0.0, 0.0), Array(1.0, 1.0), Array(2.0, 2.0))
