@@ -456,7 +456,37 @@ object Timeseries {
     GROUP BY 1, 2
     ORDER BY 1, 2"""
 
+  // --------------------------------------------------------- qan_apdex
+  // Apdex satisfaction score per digest and hour (the standard SLA
+  // index: T=5, satisfied ≤ T, tolerating ≤ 4T, apdex = (satisfied +
+  // tolerating/2) / total). Integer counts, one rounded division —
+  // a single map-side-combined hash aggregate at any scale.
+  private val qanApdex: Q = (s, d) =>
+    events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") <= 5.0, 1L).otherwise(0L)).as("satisfied"),
+        sum(when(col("value") > 5.0 && col("value") <= 20.0, 1L).otherwise(0L))
+          .as("tolerating"))
+      .withColumn("apdex",
+        round((col("satisfied").cast(DoubleType)
+          + col("tolerating").cast(DoubleType) / 2.0) / col("n").cast(DoubleType), 6))
+      .orderBy(col("event_type"), col("bucket"))
+
+  private val qanApdexSql = """
+    SELECT event_type, date_trunc('hour', ts) AS bucket,
+      COUNT(*) AS n,
+      CAST(SUM(CASE WHEN value <= 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS satisfied,
+      CAST(SUM(CASE WHEN value > 5.0 AND value <= 20.0 THEN 1 ELSE 0 END) AS BIGINT) AS tolerating,
+      ROUND((CAST(SUM(CASE WHEN value <= 5.0 THEN 1 ELSE 0 END) AS DOUBLE)
+        + CAST(SUM(CASE WHEN value > 5.0 AND value <= 20.0 THEN 1 ELSE 0 END) AS DOUBLE) / 2.0)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS apdex
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2"""
+
   val entries: Map[String, Q] = Map(
+    "qan_apdex" -> qanApdex,
     "qan_heatmap" -> qanHeatmap,
     "qan_time_weighted_avg" -> qanTimeWeightedAvg,
     "qan_sla_burn" -> qanSlaBurn,
@@ -468,6 +498,7 @@ object Timeseries {
     "qan_retention" -> qanRetention)
 
   val oracles: Map[String, String] = Map(
+    "qan_apdex" -> qanApdexSql,
     "qan_heatmap" -> qanHeatmapSql,
     "qan_time_weighted_avg" -> qanTimeWeightedAvgSql,
     "qan_sla_burn" -> qanSlaBurnSql,
