@@ -67,7 +67,12 @@ object AnnIvf {
       .agg(count(lit(1)).as("__n"), sums: _*)
       .select(col("cell"),
         array((0 until dim).map(i =>
-          col(s"__s$i").cast(DoubleType) / col("__n")): _*).as("centroid"))
+          // coalesce: a cell whose every member lacks dim i means an
+          // all-NULL sum; pin the element to 0.0 on BOTH engines
+          // (collectCentroids would silently unbox NULL to 0.0 here,
+          // while DuckDB's replay would keep NULL — a parity trap)
+          coalesce(col(s"__s$i"), lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 6)))
+            .cast(DoubleType) / col("__n")): _*).as("centroid"))
   }
 
   /** Driver-side materialization of the refined centroids, ascending

@@ -55,7 +55,9 @@ object AnnPq {
       .agg(count(lit(1)).as("__n"), sums: _*)
       .select(col("sub"), col("cell0"),
         array((0 until dsub).map(i =>
-          col(s"__s$i").cast(DoubleType) / col("__n")): _*).as("centroid"))
+          // same NULL-sum pinning as AnnIvf.refinedCentroids
+          coalesce(col(s"__s$i"), lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 6)))
+            .cast(DoubleType) / col("__n")): _*).as("centroid"))
   }
 
   /** Driver-side codebook materialization: per subspace, centroids

@@ -617,7 +617,7 @@ object ScaleOps {
     cent1 AS (
       SELECT cell, list(m ORDER BY i) AS c FROM (
         SELECT a.cell, i,
-          CAST(SUM(CAST(a.v[CAST(i AS INT)] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
+          CAST(COALESCE(SUM(CAST(a.v[CAST(i AS INT)] AS DECIMAL(18,6))), 0) AS DOUBLE) / COUNT(*) AS m
         FROM assign0 a CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i)
         GROUP BY a.cell, i)
       GROUP BY cell),

@@ -282,7 +282,7 @@ object Vectors {
     cb1 AS (
       SELECT sub, cell, list(mn ORDER BY i) AS c FROM (
         SELECT a.sub, a.cell, i,
-          CAST(SUM(CAST(a.subv[CAST(i AS INT)] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mn
+          CAST(COALESCE(SUM(CAST(a.subv[CAST(i AS INT)] AS DECIMAL(18,6))), 0) AS DOUBLE) / COUNT(*) AS mn
         FROM assign0 a CROSS JOIN (SELECT unnest(range(1, ${pqDsub + 1})) AS i)
         GROUP BY a.sub, a.cell, i)
       GROUP BY sub, cell),

@@ -48,15 +48,28 @@ class OtelLogTableProvider extends TableProvider with DataSourceRegister {
 }
 
 object OtelLogTable {
-  /** Hadoop FS for a wire path (scheme-addressed; default = local). */
-  def fs(path: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(path).getFileSystem(
-      new org.apache.hadoop.conf.Configuration())
+  /** The active session's Hadoop configuration as a serializable map,
+    * captured on the DRIVER when the scan/write is planned — executors
+    * then build the SAME FileSystem (S3A credentials, fs.defaultFS,
+    * hdfs tuning set via spark.hadoop.*) instead of a bare classpath
+    * Configuration.
+    */
+  def hadoopConfMap(): Map[String, String] =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(org.apache.spark.sql.graft.Bridge.hadoopConfMap)
+      .getOrElse(Map.empty)
+
+  /** Hadoop FS for a wire path (the path's scheme picks the FS). */
+  def fs(path: String, conf: Map[String, String]): org.apache.hadoop.fs.FileSystem = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    conf.foreach { case (k, v) => c.set(k, v) }
+    new org.apache.hadoop.fs.Path(path).getFileSystem(c)
+  }
 
   /** Committed wire part files under a dir (temp files excluded). */
-  def partFiles(path: String): Array[org.apache.hadoop.fs.Path] = {
+  def partFiles(path: String, conf: Map[String, String]): Array[org.apache.hadoop.fs.Path] = {
     val dir = new org.apache.hadoop.fs.Path(path)
-    val f = fs(path)
+    val f = fs(path, conf)
     if (!f.exists(dir)) Array.empty
     else f.listStatus(dir)
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
@@ -116,40 +129,44 @@ class OtelLogScanBuilder(path: String)
     residual
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new OtelLogScan(path, required, pushed)
+  override def build(): Scan =
+    new OtelLogScan(path, required, pushed, OtelLogTable.hadoopConfMap())
 }
 
-class OtelLogScan(path: String, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+class OtelLogScan(path: String, required: StructType, pushed: Array[Filter],
+    conf: Map[String, String]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-otel $path, ReadSchema: ${required.simpleString}, " +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
   override def planInputPartitions(): Array[InputPartition] =
-    OtelLogTable.partFiles(path)
+    OtelLogTable.partFiles(path, conf)
       .map(p => OtelLogPartition(p.toString): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
-    new OtelLogReaderFactory(required, pushed)
+    new OtelLogReaderFactory(required, pushed, conf)
 }
 
 case class OtelLogPartition(file: String) extends InputPartition
 
-class OtelLogReaderFactory(required: StructType, pushed: Array[Filter])
-    extends PartitionReaderFactory {
+class OtelLogReaderFactory(required: StructType, pushed: Array[Filter],
+    conf: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new OtelLogPartitionReader(
-      partition.asInstanceOf[OtelLogPartition].file, required, pushed)
+      partition.asInstanceOf[OtelLogPartition].file, required, pushed, conf)
 }
 
 /** Write side: the same contract, symmetric with the reader. Rows
   * must arrive in the wire schema (the collector's emission shape —
   * a different schema is a caller bug, failed loudly at plan time).
-  * Each task writes its own part file under a run-unique commit id;
-  * commit is rename-free (files are written directly, abort deletes
-  * the task's file) — the simple protocol a single-writer wire dir
-  * needs. Truncate (SaveMode.Overwrite) clears previous part files
-  * driver-side before tasks launch.
+  * Commit protocol: each task streams to a hidden temp and COMMIT
+  * renames it to `part-<runId>-<partitionId>.json` — run-unique, so
+  * a non-truncate write APPENDS alongside earlier jobs' files
+  * instead of clobbering them. Rename is atomic on local/HDFS
+  * filesystems; object stores without atomic rename (raw S3) need a
+  * proper committer and are out of scope here. Truncate
+  * (SaveMode.Overwrite) clears previous part files driver-side
+  * before tasks launch.
   */
 class OtelLogWriteBuilder(path: String, schema: StructType)
     extends WriteBuilder with SupportsTruncate {
@@ -161,47 +178,58 @@ class OtelLogWriteBuilder(path: String, schema: StructType)
       s"graft-otel: write schema must be the wire contract " +
         s"${OtelLogTable.WireSchema.simpleString}, got ${schema.simpleString}")
     new Write {
-      override def toBatch: BatchWrite = new OtelLogBatchWrite(path, doTruncate)
+      override def toBatch: BatchWrite = new OtelLogBatchWrite(path, doTruncate,
+        java.util.UUID.randomUUID.toString.take(8), OtelLogTable.hadoopConfMap())
     }
   }
 }
 
-class OtelLogBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
+class OtelLogBatchWrite(path: String, truncate: Boolean, runId: String,
+    conf: Map[String, String]) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val fs = OtelLogTable.fs(path)
+    val fs = OtelLogTable.fs(path, conf)
     fs.mkdirs(new org.apache.hadoop.fs.Path(path)): Unit
     if (truncate)
-      OtelLogTable.partFiles(path).foreach(p => fs.delete(p, false): Unit)
-    new OtelLogWriterFactory(path)
+      OtelLogTable.partFiles(path, conf).foreach(p => fs.delete(p, false): Unit)
+    new OtelLogWriterFactory(path, runId, conf)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
-    // job abort: drop any files committed by finished tasks, and any
-    // temps a slow task may still be writing
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // job abort: drop files committed by finished tasks AND this run's
+    // orphaned temps (a crashed executor's task abort never ran)
+    val fs = OtelLogTable.fs(path, conf)
     messages.collect { case OtelLogCommit(f, _) =>
-      OtelLogTable.fs(path).delete(new org.apache.hadoop.fs.Path(f), false): Unit
-    }: Unit
+      fs.delete(new org.apache.hadoop.fs.Path(f), false): Unit
+    }
+    val dir = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(dir))
+      fs.listStatus(dir)
+        .filter(_.getPath.getName.startsWith(s".part-$runId-"))
+        .foreach(st => fs.delete(st.getPath, false): Unit)
+  }
 }
 
-class OtelLogWriterFactory(path: String) extends DataWriterFactory {
+class OtelLogWriterFactory(path: String, runId: String,
+    conf: Map[String, String]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new OtelLogDataWriter(path, partitionId, taskId)
+    new OtelLogDataWriter(path, runId, partitionId, taskId, conf)
 }
 
 case class OtelLogCommit(file: String, rows: Long) extends WriterCommitMessage
 
 /** Crash-safe task writer: rows stream to a hidden temp file; task
-  * COMMIT renames it to the final per-partition name (one atomic FS
-  * op). A task that dies leaves only the ignored temp; speculative
-  * attempts both produce the same deterministic content and the
-  * rename collapses them to one committed file per partition.
+  * COMMIT renames it to the final `part-<runId>-<partitionId>` name
+  * (atomic on rename-atomic filesystems). A task that dies leaves
+  * only the ignored temp (swept by job abort); speculative attempts
+  * of one run produce the same deterministic content and collapse to
+  * one committed file per partition via last-rename-wins.
   */
-class OtelLogDataWriter(dir: String, partitionId: Int, taskId: Long)
-    extends DataWriter[InternalRow] {
+class OtelLogDataWriter(dir: String, runId: String, partitionId: Int,
+    taskId: Long, conf: Map[String, String]) extends DataWriter[InternalRow] {
   import org.apache.hadoop.fs.Path
-  private val fs = OtelLogTable.fs(dir)
-  private val tmp = new Path(dir, f".part-$partitionId%05d-$taskId.json.inprogress")
-  private val dest = new Path(dir, f"part-$partitionId%05d.json")
+  private val fs = OtelLogTable.fs(dir, conf)
+  private val tmp = new Path(dir, f".part-$runId-$partitionId%05d-$taskId.json.inprogress")
+  private val dest = new Path(dir, f"part-$runId-$partitionId%05d.json")
   private val TsFmt = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
     .withZone(java.time.ZoneOffset.UTC)
@@ -255,14 +283,15 @@ class OtelLogDataWriter(dir: String, partitionId: Int, taskId: Long)
   * record is skipped after the parse.
   */
 class OtelLogPartitionReader(file: String, required: StructType,
-    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+    pushed: Array[Filter], conf: Map[String, String])
+    extends PartitionReader[InternalRow] {
   import org.json4s._
   import org.json4s.jackson.JsonMethods
 
   private val TsFmt = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
   private val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
-    OtelLogTable.fs(file).open(new org.apache.hadoop.fs.Path(file)), "UTF-8"))
+    OtelLogTable.fs(file, conf).open(new org.apache.hadoop.fs.Path(file)), "UTF-8"))
   private val lines = Iterator.continually(reader.readLine())
     .takeWhile(_ != null).filter(_.nonEmpty)
   private var row: InternalRow = _

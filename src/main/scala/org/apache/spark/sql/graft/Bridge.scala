@@ -21,6 +21,18 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** The session's effective Hadoop configuration (core-site +
+    * spark.hadoop.* overrides) as a plain serializable map — for
+    * connectors whose executor-side tasks must build the same
+    * FileSystem the driver planned against (sessionState is
+    * private[sql], hence the bridge).
+    */
+  def hadoopConfMap(spark: SparkSession): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    spark.sessionState.newHadoopConf().iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+  }
+
   /** Register a SQL-callable function backed by a Catalyst expression
     * builder, e.g. `registerFunction(spark, "simhash64", es => SimHash64(es.head))`.
     */
