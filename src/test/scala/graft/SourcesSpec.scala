@@ -130,6 +130,11 @@ class SourcesSpec extends SparkSpec {
       df.limit(1).write.format("graft-otel").mode("overwrite").save(dir2)
       assert(spark.read.format("graft-otel").load(dir2).count() === 1,
         "overwrite must truncate previous part files")
+      // run-unique part names: a second non-truncate write lands
+      // ALONGSIDE the first run's files, never over them
+      df.write.format("graft-otel").mode("append").save(dir2)
+      assert(spark.read.format("graft-otel").load(dir2).count() === 3,
+        "append must preserve earlier runs' files")
       rm2(new java.io.File(dir2))
     } finally rm2(new java.io.File(dir))
   }
