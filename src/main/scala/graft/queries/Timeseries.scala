@@ -485,7 +485,88 @@ object Timeseries {
     GROUP BY 1, 2
     ORDER BY 1, 2"""
 
+  // --------------------------------------------------- q27_range_window
+  // Time-RANGE window frames — the complement of q14's ROW frames: a
+  // trailing 1-hour moving count/sum per instance, where the frame is
+  // defined by event-time distance, not row position (irregular
+  // sampling makes ROWS frames wrong here). One hash shuffle on the
+  // key + per-key ordered frame scan; sums stay DECIMAL inside the
+  // frame so the moving aggregate is order-independent.
+  private val q27RangeWindow: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    events(s, d)
+      .withColumn("t_us", unix_micros(col("ts")))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h",
+        round(sum(col("value").cast(DecimalType(18, 6))).over(w).cast(DoubleType), 4))
+      .select(col("event_id"), col("user_id"), col("ts"), col("n_1h"), col("sum_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q27RangeWindowSql = """
+    SELECT event_id, user_id, ts,
+      COUNT(*) OVER w AS n_1h,
+      ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 4) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id"""
+
+  // ---------------------------------------------------- qan_concurrency
+  // Interval-overlap concurrency — "how many statements were in
+  // flight at once": each event becomes an interval [ts, ts+value s]
+  // (value plays execution time), swept as +1/−1 boundary points with
+  // a per-instance running sum. The tie rule (ends sort before starts
+  // at the same instant, then event id) is pinned in the ORDER BY so
+  // both engines walk the boundaries identically. One union + one
+  // window per key — the sweep line never leaves its instance
+  // partition, so the plan is a single hash shuffle at any scale.
+  private val qanConcurrency: Q = (s, d) => {
+    val iv = events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) +
+          (col("value").cast(DecimalType(18, 6)) * 1000000).cast("long")).as("e_us"))
+    val pts = iv.select(col("user_id"), col("event_id"), col("s_us").as("t"),
+        lit(1L).as("delta"))
+      .unionByName(iv.select(col("user_id"), col("event_id"),
+        col("e_us").as("t"), lit(-1L).as("delta")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("delta"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts
+      .withColumn("conc", sum(col("delta")).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("conc")).as("max_concurrency"),
+        (count(lit(1)) / 2).cast("long").as("n_intervals"))
+      .orderBy(col("user_id"))
+  }
+
+  private val qanConcurrencySql = """
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s_us,
+        epoch_us(ts) + CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS e_us
+      FROM events),
+    pts AS (
+      SELECT user_id, event_id, s_us AS t, CAST(1 AS BIGINT) AS delta FROM iv
+      UNION ALL
+      SELECT user_id, event_id, e_us AS t, CAST(-1 AS BIGINT) AS delta FROM iv),
+    swept AS (
+      SELECT user_id,
+        CAST(SUM(delta) OVER (PARTITION BY user_id
+          ORDER BY t, delta, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+      FROM pts)
+    SELECT user_id, MAX(conc) AS max_concurrency,
+      CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+    FROM swept
+    GROUP BY 1
+    ORDER BY 1"""
+
   val entries: Map[String, Q] = Map(
+    "q27_range_window" -> q27RangeWindow,
+    "qan_concurrency" -> qanConcurrency,
     "qan_apdex" -> qanApdex,
     "qan_heatmap" -> qanHeatmap,
     "qan_time_weighted_avg" -> qanTimeWeightedAvg,
@@ -498,6 +579,8 @@ object Timeseries {
     "qan_retention" -> qanRetention)
 
   val oracles: Map[String, String] = Map(
+    "q27_range_window" -> q27RangeWindowSql,
+    "qan_concurrency" -> qanConcurrencySql,
     "qan_apdex" -> qanApdexSql,
     "qan_heatmap" -> qanHeatmapSql,
     "qan_time_weighted_avg" -> qanTimeWeightedAvgSql,

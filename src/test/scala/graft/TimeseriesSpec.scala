@@ -67,6 +67,41 @@ class TimeseriesSpec extends SparkSpec {
     assert(out.exists(r => !r.isNullAt(6)), "no comparable periods at this sf")
   }
 
+  test("q27_range_window: trailing 1h frame matches a driver recount") {
+    val out = SparkEntry.queries("q27_range_window")(spark, sf).collect()
+    val byUser = out.groupBy(_.getLong(1))
+    byUser.take(3).foreach { case (_, rows) =>
+      def us(t: java.sql.Timestamp) = t.getTime / 1000 * 1000000 + t.getNanos / 1000
+      val times = rows.map(r => us(r.getTimestamp(2))).sorted
+      rows.foreach { r =>
+        val t = us(r.getTimestamp(2))
+        val expected = times.count(x => x >= t - 3600000000L && x <= t)
+        assert(r.getLong(3) === expected, s"frame count at $t")
+      }
+    }
+  }
+
+  test("qan_concurrency: max overlap matches a brute-force interval recount") {
+    val out = SparkEntry.queries("qan_concurrency")(spark, sf).collect()
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("value")).collect()
+      .groupBy(_.getLong(0))
+    out.take(5).foreach { r =>
+      val ivs = raw(r.getLong(0)).map { e =>
+        def us(t: java.sql.Timestamp) = t.getTime / 1000 * 1000000 + t.getNanos / 1000
+        val s = us(e.getTimestamp(1))
+        (s, s + (BigDecimal(e.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          * 1000000).toLong)
+      }
+      // overlap count evaluated at every interval start (ends exclusive)
+      val brute = ivs.map { case (s, _) =>
+        ivs.count { case (s2, e2) => s2 <= s && s < e2 }
+      }.max
+      assert(r.getLong(1) === brute, s"user ${r.getLong(0)} max concurrency")
+      assert(r.getLong(2) === ivs.length)
+    }
+  }
+
   test("qan_time_weighted_avg: matches a driver-side LOCF integral recompute") {
     val out = SparkEntry.queries("qan_time_weighted_avg")(spark, sf).collect()
     assert(out.nonEmpty)
