@@ -292,6 +292,79 @@ object ExprKernels {
     dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
+    * the MOSS local fingerprinting scheme): hash every character
+    * k-gram, slide a window of `w` consecutive gram hashes, and keep
+    * each window's minimum. The guarantee: any shared substring of
+    * length ≥ w + k − 1 yields at least one shared fingerprint, while
+    * only ~2/(w+1) of all grams are kept — position-robust sampling
+    * that fixed-stride sampling cannot give.
+    *
+    * Determinism contract (the oracle replays it exactly): gram hash
+    * is the base-31 polynomial of the gram's UTF-16 code units mod
+    * 2⁴⁰; ties inside a window break to the LEFTMOST occurrence by
+    * minimizing the combined key `hash·2²⁰ + position` (positions are
+    * 0-based and < 2²⁰); a document shorter than w grams contributes
+    * its single all-grams window. Output: the SORTED DISTINCT selected
+    * hashes — position is the tiebreak, not part of the identity, so
+    * cross-document matching joins on hash alone.
+    *
+    * One monotonic-deque pass per document: O(grams), compiled —
+    * never a per-window rescan.
+    */
+  def winnowFingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val nGrams = s.length - k + 1
+    if (nGrams < 1) return new GenericArrayData(Array.emptyLongArray)
+    val mask40 = (1L << 40) - 1
+    val comb = new Array[Long](nGrams)
+    // rolling base-31 polynomial over a k-char window: subtract the
+    // outgoing char's 31^(k-1) term, shift, add the incoming char
+    var top = 1L // 31^(k-1) mod 2^40
+    var j = 1
+    while (j < k) { top = (top * 31) & mask40; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < k) { h = ((h * 31) + s.charAt(i)) & mask40; i += 1 }
+    comb(0) = (h << 20) | 0L
+    i = 1
+    while (i < nGrams) {
+      h = ((h - ((top * s.charAt(i - 1)) & mask40) & mask40) * 31 + s.charAt(i + k - 1)) & mask40
+      // positions ride in the low 20 bits as the tiebreak; docs past
+      // 2^20 grams wrap (both engines apply the same mod, so the
+      // selection stays deterministic and replayable)
+      comb(i) = (h << 20) | (i & 0xFFFFF).toLong
+      i += 1
+    }
+    val win = math.min(w, nGrams)
+    // monotonic deque of indices whose comb values increase; the head
+    // is the current window's minimum (combined key ⇒ leftmost tie)
+    val deque = new Array[Int](nGrams)
+    var head = 0; var tail = 0 // [head, tail) holds candidate indices
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var last = -1L
+    i = 0
+    while (i < nGrams) {
+      while (tail > head && comb(deque(tail - 1)) > comb(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - win) head += 1
+      if (i >= win - 1) {
+        val m = comb(deque(head))
+        if (m != last) { selected += m >>> 20; last = m }
+      }
+      i += 1
+    }
+    val out = selected.toArray
+    java.util.Arrays.sort(out)
+    var n = 0
+    i = 0
+    while (i < out.length) {
+      if (n == 0 || out(i) != out(n - 1)) { out(n) = out(i); n += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, n))
+  }
+
   /** L1 (sum-of-absolute-differences) distance — the reconstruction-
     * error kernel of the quantization ops. Sequential index-order
     * fold, same order as DuckDB's `list_reduce`, so the value is
@@ -630,6 +703,27 @@ case class GramHashes(child: Expression)
   override def prettyName: String = "gram_hashes"
 }
 
+/** Winnowing fingerprints (MOSS): sorted distinct selected k-gram
+  * hashes of a document under the w-window minimum rule — see
+  * ExprKernels.winnowFingerprints for the determinism contract. One
+  * compiled monotonic-deque pass per row; k and w parameterize the
+  * generated code.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  require(k >= 2 && w >= 1, s"winnow_fingerprints needs k>=2, w>=1 (got k=$k, w=$w)")
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.winnowFingerprints(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.ExprKernels.winnowFingerprints($c, $k, $w);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "winnow_fingerprints"
+}
+
 /** Intersection size of two SORTED long arrays (merge walk) — exact
   * set intersection at ~600 long compares per pair instead of a
   * per-pair hash set of strings.
@@ -770,6 +864,8 @@ object GraftFunctions {
   def polyFingerprint(c: Column): Column = column(PolyFingerprint(expression(c)))
   def chunkFingerprints(c: Column, w: Int = 8, mask: Long = 31L): Column =
     column(ChunkFingerprints(expression(c), w, mask))
+  def winnowFingerprints(c: Column, k: Int = 8, w: Int = 16): Column =
+    column(WinnowFingerprints(expression(c), k, w))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def hyperplaneCode(v: Column, planes: Array[Array[Double]]): Column =
     column(HyperplaneCode(expression(v), planes.toSeq.map(_.toSeq)))

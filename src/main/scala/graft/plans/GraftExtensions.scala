@@ -67,6 +67,11 @@ object GraftExtensions {
       if (es.length == 1) ChunkFingerprints(es.head, 8, 31L)
       else ChunkFingerprints(es(0), intLit(es(1), "window"), longLit(es(2), "mask"))
     }),
+    "winnow_fingerprints" -> (es => {
+      arity("winnow_fingerprints", es, 1, 3)
+      if (es.length == 1) WinnowFingerprints(es.head, 8, 16)
+      else WinnowFingerprints(es(0), intLit(es(1), "k"), intLit(es(2), "w"))
+    }),
     // Spark's internal bloom pair, surfaced as SQL (the analyzer wraps
     // the bare AggregateFunction returned here into an AggregateExpression)
     "bloom_agg" -> (es => {

@@ -465,7 +465,94 @@ object Corpus {
     GROUP BY 1, 2, 3, 4
     ORDER BY 1"""
 
+  // --------------------------------------------------- doc_winnowing
+  // Winnowing fingerprint matching (Schleimer/Wilkerson/Aiken 2003 —
+  // the MOSS scheme): every char-8-gram is hashed, a 16-hash window
+  // slides over each document, and each window's minimum is kept.
+  // Any shared substring of ≥ w+k−1 = 23 chars is GUARANTEED to yield
+  // a shared fingerprint while only ~2/(w+1) ≈ 12% of grams survive —
+  // position-robust local sampling, the third member of the near-dup
+  // family next to MinHash (whole-doc Jaccard) and chunk dedup
+  // (shift-resistant passages). Pairs sharing ≥ 3 rare fingerprints
+  // are reported with an overlap score against the smaller side.
+  //
+  // 100 TB shape: selection is ONE compiled monotonic-deque pass per
+  // document at the scan (WinnowFingerprints — O(grams), never a
+  // per-window rescan); matching explodes only the ~12% selected
+  // hashes and equi-joins on hash, with fingerprints occurring in
+  // more than 10 documents dropped first (MOSS's "ignore very
+  // common" rule = the same bucket-occupancy guard every LSH stage
+  // here applies), so boilerplate can't go quadratic.
+  private val winK = 8; private val winW = 16
+  private val winCap = 10L; private val winMinShared = 3L
+
+  private val docWinnowing: Q = (s, d) => {
+    val fp = documents(s, d)
+      .select(col("doc_id"),
+        explode(GraftFunctions.winnowFingerprints(col("text"), winK, winW)).as("h"))
+    val rare = fp.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") <= winCap)
+    val kept = fp.join(rare.select(col("h")), Seq("h"))
+    val counts = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val pairs = kept.select(col("doc_id").as("a_id"), col("h"))
+      .join(kept.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= winMinShared)
+    pairs
+      .join(counts.select(col("doc_id").as("a_id"), col("n_fp").as("a_fp")), Seq("a_id"))
+      .join(counts.select(col("doc_id").as("b_id"), col("n_fp").as("b_fp")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("n_shared"), col("a_fp"), col("b_fp"),
+        round(col("n_shared").cast(DoubleType)
+          / least(col("a_fp"), col("b_fp")).cast(DoubleType), 6).as("overlap"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** DuckDB replay of the full winnowing contract: base-31 polynomial
+    * gram hashes mod 2⁴⁰ (list_reduce in index order = the kernel's
+    * rolling recurrence), combined hash·2²⁰+pos tiebreak keys, the
+    * w-window list_min selection with the short-document single
+    * window, hash recovery by integer division, and the same
+    * cap/threshold constants.
+    */
+  private val docWinnowingSql = s"""
+    WITH g AS (
+      SELECT doc_id, text, greatest(length(text) - $winK + 1, 0) AS ng
+      FROM documents),
+    comb AS (
+      SELECT doc_id, ng,
+        list_transform(generate_series(1, ng), i ->
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(0, $winK),
+                j -> CAST(ascii(substr(text, CAST(i + j AS INT), 1)) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % 1099511627776) * 1048576
+          + ((i - 1) % 1048576)) AS cs
+      FROM g),
+    sel AS (
+      SELECT doc_id,
+        list_sort(list_distinct(list_transform(
+          generate_series(1, CASE WHEN ng < 1 THEN 0 ELSE greatest(ng - $winW + 1, 1) END),
+          t -> list_min(cs[t : least(t + $winW - 1, ng)]) // 1048576))) AS hashes
+      FROM comb),
+    fp AS (SELECT doc_id, unnest(hashes) AS h FROM sel),
+    rare AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= $winCap),
+    kept AS (SELECT f.doc_id, f.h FROM fp f JOIN rare r USING (h)),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_fp FROM kept GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+      FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= $winMinShared)
+    SELECT a_id, b_id, n_shared, ca.n_fp AS a_fp, cb.n_fp AS b_fp,
+      ROUND(CAST(n_shared AS DOUBLE) / CAST(least(ca.n_fp, cb.n_fp) AS DOUBLE), 6) AS overlap
+    FROM pairs
+    JOIN cnt ca ON ca.doc_id = a_id
+    JOIN cnt cb ON cb.doc_id = b_id
+    ORDER BY a_id, b_id"""
+
   val entries: Map[String, Q] = Map(
+    "doc_winnowing" -> docWinnowing,
     "doc_mixture_apply" -> docMixtureApply,
     "doc_bpe_pairs" -> docBpePairs,
     "doc_source_reputation" -> docSourceReputation,
@@ -475,6 +562,7 @@ object Corpus {
     "doc_mixture_plan" -> docMixturePlan)
 
   val oracles: Map[String, String] = Map(
+    "doc_winnowing" -> docWinnowingSql,
     "doc_mixture_apply" -> docMixtureApplySql,
     "doc_bpe_pairs" -> docBpePairsSql,
     "doc_source_reputation" -> docSourceReputationSql,

@@ -564,7 +564,144 @@ object Timeseries {
     GROUP BY 1
     ORDER BY 1"""
 
+  // --------------------------------------- qan_digest_cooccurrence
+  // Digest co-occurrence ("which statements run together"): two
+  // digests co-occur when both appear on the same instance in the
+  // same hour. Reported per pair: co-occurrence count, each side's
+  // bucket count, LIFT (observed co-occurrence over the independence
+  // expectation) and Jaccard — the market-basket view of a query
+  // workload, which surfaces app-level transaction groupings no
+  // per-digest rollup can.
+  //
+  // 100 TB shape: the corpus collapses to DISTINCT (instance, hour,
+  // digest) in one hash aggregate first; the pair join runs on that
+  // collapsed set keyed by (instance, hour), so each bucket
+  // contributes at most |digests-in-bucket|² pairs — bounded by
+  // per-instance digest cardinality, never by event count. Marginals
+  // and the grand total are tiny aggregates broadcast back.
+  private val qanDigestCooccurrence: Q = (s, d) => {
+    val b = events(s, d)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("bucket"),
+        col("event_type"))
+      .distinct()
+    val tot = b.select(col("user_id"), col("bucket")).distinct()
+      .agg(count(lit(1)).as("n_buckets"))
+    val single = b.groupBy(col("event_type")).agg(count(lit(1)).as("n_b"))
+    val pairs = b.select(col("user_id"), col("bucket"), col("event_type").as("a_type"))
+      .join(b.select(col("user_id"), col("bucket"), col("event_type").as("b_type")),
+        Seq("user_id", "bucket"))
+      .filter(col("a_type") < col("b_type"))
+      .groupBy(col("a_type"), col("b_type"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(single.select(col("event_type").as("a_type"), col("n_b").as("n_a"))),
+        Seq("a_type"))
+      .join(broadcast(single.select(col("event_type").as("b_type"), col("n_b").as("n_bb"))),
+        Seq("b_type"))
+      .crossJoin(broadcast(tot))
+      .select(col("a_type"), col("b_type"), col("n_ab"),
+        col("n_a"), col("n_bb").as("n_b"),
+        round(col("n_ab").cast(DoubleType) * col("n_buckets").cast(DoubleType)
+          / (col("n_a").cast(DoubleType) * col("n_bb").cast(DoubleType)), 6).as("lift"),
+        round(col("n_ab").cast(DoubleType)
+          / (col("n_a") + col("n_bb") - col("n_ab")).cast(DoubleType), 6).as("jaccard"))
+      .orderBy(col("a_type"), col("b_type"))
+  }
+
+  private val qanDigestCooccurrenceSql = """
+    WITH b AS (
+      SELECT DISTINCT user_id, date_trunc('hour', ts) AS bucket, event_type
+      FROM events),
+    tot AS (
+      SELECT COUNT(*) AS n_buckets FROM (SELECT DISTINCT user_id, bucket FROM b)),
+    single AS (
+      SELECT event_type, COUNT(*) AS n_b FROM b GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS a_type, bb.event_type AS b_type, COUNT(*) AS n_ab
+      FROM b a JOIN b bb ON a.user_id = bb.user_id AND a.bucket = bb.bucket
+        AND a.event_type < bb.event_type
+      GROUP BY 1, 2)
+    SELECT a_type, b_type, n_ab, sa.n_b AS n_a, sb.n_b AS n_b,
+      ROUND(CAST(n_ab AS DOUBLE) * CAST(n_buckets AS DOUBLE)
+        / (CAST(sa.n_b AS DOUBLE) * CAST(sb.n_b AS DOUBLE)), 6) AS lift,
+      ROUND(CAST(n_ab AS DOUBLE)
+        / CAST(sa.n_b + sb.n_b - n_ab AS DOUBLE), 6) AS jaccard
+    FROM pairs
+    JOIN single sa ON sa.event_type = a_type
+    JOIN single sb ON sb.event_type = b_type
+    CROSS JOIN tot
+    ORDER BY a_type, b_type"""
+
+  // ---------------------------------------------------- qan_rank_movers
+  // Day-over-day rank movement: every (instance, digest) ranked by
+  // its day total on the latest observed day and on the day before,
+  // with the rank delta — the "what newly became expensive" leaderboard
+  // (a regression can hide inside a stable percent change if the whole
+  // fleet moved; rank movement is the relative alarm).
+  //
+  // 100 TB shape: the corpus collapses to (entity, day) totals in one
+  // hash aggregate; the two-day restriction and both rankings run on
+  // that collapsed table. The per-day ranking window partitions on
+  // the day (2 partitions over |entities| rows — at fleet scale that
+  // is ~10⁵ digest rows per day, a single-task sort each, never raw
+  // events). Day totals are exact DECIMAL so ranks cannot flap
+  // across engines; ties pin to (user_id, event_type).
+  private val qanRankMovers: Q = (s, d) => {
+    val day = events(s, d)
+      .groupBy(col("user_id"), col("event_type"),
+        date_trunc("day", col("ts")).as("bucket"))
+      .agg(sum(col("value").cast(DecimalType(18, 6))).as("dv"))
+    val lastTwo = day.select(col("bucket")).distinct()
+      .withColumn("which", row_number().over(Window.orderBy(col("bucket").desc)))
+      .filter(col("which") <= 2)
+    val ranked = day.join(broadcast(lastTwo), Seq("bucket"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("which"))
+          .orderBy(col("dv").desc, col("user_id"), col("event_type"))))
+    val now = ranked.filter(col("which") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("rnk").as("rank_now"), col("dv").as("dv_now"))
+    val prev = ranked.filter(col("which") === 2)
+      .select(col("user_id"), col("event_type"),
+        col("rnk").as("rank_prev"), col("dv").as("dv_prev"))
+    now.join(prev, Seq("user_id", "event_type"), "left")
+      .select(col("user_id"), col("event_type"),
+        col("rank_now"), col("rank_prev"),
+        (col("rank_prev") - col("rank_now")).as("moved_up"),
+        round(col("dv_now").cast(DoubleType), 4).as("value_now"),
+        round(col("dv_prev").cast(DoubleType), 4).as("value_prev"),
+        col("rank_prev").isNull.as("new_entry"))
+      .orderBy(col("rank_now"), col("user_id"), col("event_type"))
+  }
+
+  private val qanRankMoversSql = """
+    WITH day AS (
+      SELECT user_id, event_type, date_trunc('day', ts) AS bucket,
+        SUM(CAST(value AS DECIMAL(18,6))) AS dv
+      FROM events GROUP BY 1, 2, 3),
+    last_two AS (
+      SELECT bucket, ROW_NUMBER() OVER (ORDER BY bucket DESC) AS which
+      FROM (SELECT DISTINCT bucket FROM day)
+      QUALIFY which <= 2),
+    ranked AS (
+      SELECT d.*, lt.which,
+        ROW_NUMBER() OVER (PARTITION BY lt.which
+          ORDER BY d.dv DESC, d.user_id, d.event_type) AS rnk
+      FROM day d JOIN last_two lt USING (bucket))
+    SELECT n.user_id, n.event_type,
+      n.rnk AS rank_now, p.rnk AS rank_prev,
+      p.rnk - n.rnk AS moved_up,
+      ROUND(CAST(n.dv AS DOUBLE), 4) AS value_now,
+      ROUND(CAST(p.dv AS DOUBLE), 4) AS value_prev,
+      p.rnk IS NULL AS new_entry
+    FROM (SELECT * FROM ranked WHERE which = 1) n
+    LEFT JOIN (SELECT * FROM ranked WHERE which = 2) p
+      ON p.user_id = n.user_id AND p.event_type = n.event_type
+    ORDER BY rank_now, n.user_id, n.event_type"""
+
   val entries: Map[String, Q] = Map(
+    "qan_digest_cooccurrence" -> qanDigestCooccurrence,
+    "qan_rank_movers" -> qanRankMovers,
     "q27_range_window" -> q27RangeWindow,
     "qan_concurrency" -> qanConcurrency,
     "qan_apdex" -> qanApdex,
@@ -579,6 +716,8 @@ object Timeseries {
     "qan_retention" -> qanRetention)
 
   val oracles: Map[String, String] = Map(
+    "qan_digest_cooccurrence" -> qanDigestCooccurrenceSql,
+    "qan_rank_movers" -> qanRankMoversSql,
     "q27_range_window" -> q27RangeWindowSql,
     "qan_concurrency" -> qanConcurrencySql,
     "qan_apdex" -> qanApdexSql,

@@ -359,7 +359,68 @@ object Vectors {
     WHERE rank <= 10
     ORDER BY query_id, rank"""
 
+  // --------------------------------------------- emb_matryoshka_recall
+  // Truncated-dimension retrieval audit (the Matryoshka-representation
+  // question): how much top-k quality survives if the index stores
+  // only the first 96 of 384 dimensions (4× smaller, 4× less
+  // bandwidth)? Exact top-10 under the full vectors vs exact top-10
+  // under the 96-dim prefix, per query: overlap, recall@10, and where
+  // the full-precision top-1 lands in the truncated ranking. The
+  // measurement that decides whether a prefix index is safe BEFORE
+  // rebuilding a 100 TB store.
+  //
+  // 100 TB shape: an audit op — the query set is fixed and tiny, so
+  // the corpus is scanned once with both similarities computed
+  // side-by-side in one compiled projection (slice is scan-level;
+  // CosineSimilarity is the compiled kernel); both rankings come out
+  // of the same single hash shuffle on query_id.
+  private val embMatryoshkaRecall: Q = (s, d) => {
+    val e = vecs(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        slice(col("v"), 1, 96).as("qt"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+      slice(col("v"), 1, 96).as("ct"))
+    val ranked = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_full", GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
+      .withColumn("cos_trunc", GraftFunctions.cosineSimilarity(col("qt"), col("ct")))
+      .withColumn("rank_full", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos_full").desc, col("neighbor_id"))))
+      .withColumn("rank_trunc", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos_trunc").desc, col("neighbor_id"))))
+    ranked.groupBy(col("query_id"))
+      .agg(
+        sum(when(col("rank_full") <= 10 && col("rank_trunc") <= 10, 1L).otherwise(0L))
+          .as("n_overlap"),
+        max(when(col("rank_full") === 1, col("rank_trunc"))).cast("long")
+          .as("trunc_rank_of_top1"))
+      .withColumn("recall_at_10", round(col("n_overlap").cast(DoubleType) / 10.0, 4))
+      .orderBy(col("query_id"))
+  }
+
+  private val embMatryoshkaRecallSql = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        list_cosine_similarity(q.v, c.v) AS cf,
+        list_cosine_similarity(q.v[1:96], c.v[1:96]) AS ct
+      FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+    r AS (
+      SELECT query_id, neighbor_id,
+        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cf DESC, neighbor_id) AS rank_full,
+        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ct DESC, neighbor_id) AS rank_trunc
+      FROM p)
+    SELECT query_id,
+      CAST(SUM(CASE WHEN rank_full <= 10 AND rank_trunc <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+      CAST(MAX(CASE WHEN rank_full = 1 THEN rank_trunc END) AS BIGINT) AS trunc_rank_of_top1,
+      ROUND(CAST(SUM(CASE WHEN rank_full <= 10 AND rank_trunc <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10.0, 4) AS recall_at_10
+    FROM r
+    GROUP BY 1
+    ORDER BY 1"""
+
   val entries: Map[String, Q] = Map(
+    "emb_matryoshka_recall" -> embMatryoshkaRecall,
     "emb_pq_codes" -> embPqCodes,
     "emb_pq_topk" -> embPqTopk,
     "emb_cosine_topk" -> embCosineTopk,
@@ -369,6 +430,7 @@ object Vectors {
     "emb_dedup_clusters" -> embDedupClusters)
 
   val oracles: Map[String, String] = Map(
+    "emb_matryoshka_recall" -> embMatryoshkaRecallSql,
     "emb_pq_codes" -> embPqCodesSql,
     "emb_pq_topk" -> embPqTopkSql,
     "emb_cosine_topk" -> embCosineTopkSql,

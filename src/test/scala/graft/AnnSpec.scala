@@ -145,6 +145,17 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("matryoshka audit: overlap bounded, top-1 rank present, recall consistent") {
+    val out = SparkEntry.queries("emb_matryoshka_recall")(spark, sf).collect()
+    assert(out.length === 5, "one row per fixed query")
+    out.foreach { r =>
+      val overlap = r.getLong(1)
+      assert(overlap >= 0 && overlap <= 10)
+      assert(r.getLong(2) >= 1, "the full-precision top-1 has SOME truncated rank")
+      assert(math.abs(r.getDouble(3) - overlap / 10.0) < 1e-9)
+    }
+  }
+
   test("multimodal stub: features deterministic and shaped") {
     val out = SparkEntry.queries("mm_feature_stub")(spark, sf).collect()
     assert(out.length == Tables.documents(spark, sf).count())

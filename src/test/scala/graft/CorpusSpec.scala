@@ -164,4 +164,38 @@ class CorpusSpec extends SparkSpec {
         s"${r.getString(0)} realized share off target")
     }
   }
+
+  test("winnowing: planted shared passage detected, unrelated docs are not") {
+    import spark.implicits._
+    val passage = "for the quarter ended june soybean futures settled higher on " +
+      "strong export demand while traders awaited the weekly crop report"
+    val docs = Seq(
+      (1L, s"alpha preamble text one. $passage trailing notes alpha."),
+      (2L, s"totally different beta opening here! $passage other tail."),
+      (3L, "no shared content at all: zebras graze quietly beside the museum " +
+        "fountain while jugglers rehearse a completely original routine."))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        GraftFunctions.winnowFingerprints(col("text"), 8, 16).as("fps"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(docs(1).intersect(docs(2)).size >= 3,
+      "a 120-char shared passage must yield several shared fingerprints")
+    assert(docs(1).intersect(docs(3)).isEmpty && docs(2).intersect(docs(3)).isEmpty,
+      "unrelated docs must not collide")
+  }
+
+  test("doc_winnowing: pair invariants — ordering, bounds, overlap formula") {
+    val out = SparkEntry.queries("doc_winnowing")(spark, sf).collect()
+    assert(out.nonEmpty, "fixture corpus has near-dups to find")
+    out.foreach { r =>
+      val (a, b, shared, fa, fb, ov) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(a < b, "pairs are ordered")
+      assert(shared >= 3 && shared <= math.min(fa, fb),
+        "shared fingerprints bounded by the smaller side")
+      assert(math.abs(ov - shared.toDouble / math.min(fa, fb)) < 1e-6)
+      assert(ov > 0 && ov <= 1.0)
+    }
+  }
 }

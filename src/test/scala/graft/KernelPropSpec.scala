@@ -137,6 +137,57 @@ class KernelPropSpec extends AnyFunSuite {
     })
   }
 
+  // Naive re-derivation of the winnowing contract: direct polynomial
+  // hash per gram (no rolling recurrence), explicit window minima.
+  private def refWinnow(s: String, k: Int, w: Int): Set[Long] = {
+    val n = s.length - k + 1
+    if (n < 1) return Set.empty
+    val mask = (1L << 40) - 1
+    val comb = Array.tabulate(n) { i =>
+      var h = 0L
+      (0 until k).foreach(j => h = (h * 31 + s.charAt(i + j)) & mask)
+      (h << 20) | (i & 0xFFFFF).toLong
+    }
+    val win = math.min(w, n)
+    (0 to n - win).map(t => comb.slice(t, t + win).min >>> 20).toSet
+  }
+
+  private val smallTextGen: Gen[String] = Gen.chooseNum(0, 300).flatMap(n =>
+    Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString))
+
+  test("winnow fingerprints: deque kernel == naive window-min reference") {
+    check(Prop.forAll(smallTextGen, Gen.choose(2, 9), Gen.choose(1, 20)) { (s, k, w) =>
+      val got = ExprKernels.winnowFingerprints(UTF8String.fromString(s), k, w).toLongArray()
+      got.toSet == refWinnow(s, k, w) &&
+        got.sameElements(got.distinct.sorted)
+    })
+  }
+
+  test("winnowing guarantee: shared substrings of length >= w+k-1 share a fingerprint") {
+    val k = 8; val w = 16
+    val padGen = Gen.chooseNum(0, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('x', 'y', 'z')).map(_.mkString))
+    val sharedGen = Gen.listOfN(w + k - 1, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    check(Prop.forAll(padGen, padGen, padGen, padGen, sharedGen) { (p1, p2, p3, p4, shared) =>
+      val fa = ExprKernels.winnowFingerprints(
+        UTF8String.fromString(p1 + shared + p2), k, w).toLongArray().toSet
+      val fb = ExprKernels.winnowFingerprints(
+        UTF8String.fromString(p3 + shared + p4), k, w).toLongArray().toSet
+      fa.intersect(fb).nonEmpty
+    })
+  }
+
+  test("winnowing density: roughly 2/(w+1) of grams selected on random text") {
+    val rnd = new scala.util.Random(7)
+    val s = Array.fill(20000)(('a' + rnd.nextInt(26)).toChar).mkString
+    val k = 8; val w = 16
+    val n = s.length - k + 1
+    val got = ExprKernels.winnowFingerprints(UTF8String.fromString(s), k, w).numElements()
+    val expected = 2.0 / (w + 1) * n
+    assert(got > expected * 0.7 && got < expected * 1.3,
+      s"selected $got of $n grams, expected ~${expected.toInt}")
+  }
+
   test("polynomial fingerprint: Math.multiplyHigh mulMod matches a BigInt reference fold") {
     val textGen = Gen.chooseNum(0, 200).flatMap(n =>
       Gen.listOfN(n, Gen.choose(32.toChar, 126.toChar)).map(_.mkString))

@@ -184,4 +184,39 @@ class TimeseriesSpec extends SparkSpec {
     val users = Tables.events(spark, sf).select(col("user_id")).distinct.count()
     assert(day0.map(_.getLong(3)).sum === users, "cohort sizes must partition users")
   }
+
+  test("qan_digest_cooccurrence: lift/jaccard formulas hold against recomputed marginals") {
+    val out = SparkEntry.queries("qan_digest_cooccurrence")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val buckets = Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("hour", col("ts"))).distinct.count()
+    out.foreach { r =>
+      val (a, b, nab, na, nb) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(a < b, "pairs are ordered by dimension value")
+      assert(nab <= math.min(na, nb), "co-occurrence bounded by each marginal")
+      assert(math.abs(r.getDouble(5) -
+        BigDecimal(nab.toDouble * buckets / (na.toDouble * nb.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, "lift formula")
+      assert(math.abs(r.getDouble(6) -
+        BigDecimal(nab.toDouble / (na + nb - nab).toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, "jaccard formula")
+    }
+    // each unordered pair appears once
+    assert(out.map(r => (r.getString(0), r.getString(1))).distinct.length === out.length)
+  }
+
+  test("qan_rank_movers: dense unique ranks, movement arithmetic, new entries flagged") {
+    val out = SparkEntry.queries("qan_rank_movers")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val nowRanks = out.map(_.getInt(2)).sorted.toSeq
+    assert(nowRanks === (1 to out.length), "rank_now must be a dense permutation")
+    out.foreach { r =>
+      val prevNull = r.isNullAt(3)
+      assert(r.getBoolean(7) === prevNull, "new_entry iff no previous-day rank")
+      if (!prevNull)
+        assert(r.getInt(3) - r.getInt(2) === r.getInt(4), "moved_up = rank_prev - rank_now")
+      else assert(r.isNullAt(4))
+    }
+  }
 }
