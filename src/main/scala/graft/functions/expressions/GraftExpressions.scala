@@ -292,6 +292,35 @@ object ExprKernels {
     dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
+  /** Shannon character entropy in bits — the gibberish/repetition
+    * quality signal (low entropy = repeated boilerplate, high =
+    * random noise; natural text sits ~3.5–4.5 bits/char).
+    *
+    * Determinism contract: H = (ln n − Σ cᵢ·ln cᵢ / n) / ln 2 with the
+    * Σ folded in ASCENDING CHARACTER-CODE order — the oracle replays
+    * the identical fold order (list_reduce over counts ordered by
+    * char), so the only cross-engine slack is libm ln ulps, absorbed
+    * by the 4dp rounding every comparison applies. Empty input → 0.
+    */
+  def charEntropyBits(text: UTF8String): Double = {
+    val s = text.toString
+    val n = s.length
+    if (n == 0) return 0.0
+    val counts = new java.util.TreeMap[Character, Int]()
+    var i = 0
+    while (i < n) {
+      counts.merge(s.charAt(i), 1, (a, b) => a + b)
+      i += 1
+    }
+    var sum = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val k = it.next().toDouble
+      sum += k * math.log(k)
+    }
+    (math.log(n.toDouble) - sum / n) / math.log(2.0)
+  }
+
   /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
     * the MOSS local fingerprinting scheme): hash every character
     * k-gram, slide a window of `w` consecutive gram hashes, and keep
@@ -703,6 +732,23 @@ case class GramHashes(child: Expression)
   override def prettyName: String = "gram_hashes"
 }
 
+/** Shannon character entropy (bits/char) of a string — one compiled
+  * counting pass per row (see ExprKernels.charEntropyBits for the
+  * cross-engine fold-order contract).
+  */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.charEntropyBits(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.ExprKernels.charEntropyBits($c);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "char_entropy"
+}
+
 /** Winnowing fingerprints (MOSS): sorted distinct selected k-gram
   * hashes of a document under the w-window minimum rule — see
   * ExprKernels.winnowFingerprints for the determinism contract. One
@@ -866,6 +912,7 @@ object GraftFunctions {
     column(ChunkFingerprints(expression(c), w, mask))
   def winnowFingerprints(c: Column, k: Int = 8, w: Int = 16): Column =
     column(WinnowFingerprints(expression(c), k, w))
+  def charEntropy(c: Column): Column = column(CharEntropy(expression(c)))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def hyperplaneCode(v: Column, planes: Array[Array[Double]]): Column =
     column(HyperplaneCode(expression(v), planes.toSeq.map(_.toSeq)))

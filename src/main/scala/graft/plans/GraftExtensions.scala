@@ -72,6 +72,7 @@ object GraftExtensions {
       if (es.length == 1) WinnowFingerprints(es.head, 8, 16)
       else WinnowFingerprints(es(0), intLit(es(1), "k"), intLit(es(2), "w"))
     }),
+    "char_entropy" -> (es => { arity("char_entropy", es, 1); CharEntropy(es.head) }),
     // Spark's internal bloom pair, surfaced as SQL (the analyzer wraps
     // the bare AggregateFunction returned here into an AggregateExpression)
     "bloom_agg" -> (es => {

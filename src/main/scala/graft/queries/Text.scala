@@ -913,7 +913,56 @@ object Text {
     FROM agg
     ORDER BY doc_id"""
 
+  // ------------------------------------------------------- doc_entropy
+  // Shannon character entropy per document — the gibberish detector of
+  // the quality family: repeated boilerplate collapses toward 0 bits,
+  // key-mash/noise runs high, natural prose sits ~3.5–4.5 bits/char.
+  // Flags are decided on the ROUNDED value so they cannot flap across
+  // engines; the entropy itself follows the pinned fold-order contract
+  // in ExprKernels.charEntropyBits (ascending char code, 4dp).
+  //
+  // 100 TB shape: one compiled counting pass per document at the scan
+  // (CharEntropy expression — no explode of characters, no UDF); the
+  // output is a pure projection, so the plan is scan → project.
+  private val docEntropy: Q = (s, d) => {
+    import graft.functions.expressions.GraftFunctions
+    documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        round(GraftFunctions.charEntropy(col("text")), 4).as("entropy_bits"))
+      .withColumn("low_entropy", col("entropy_bits") < 3.0)
+      .withColumn("high_entropy", col("entropy_bits") > 5.2)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay: per-char counts via unnest(split), the same
+    * Σ c·ln(c) fold in ascending char order (list_reduce over counts
+    * ordered by the char's binary collation = code order), same
+    * H = (ln n − Σ/n)/ln 2 shape, same 4dp rounding before flags.
+    */
+  private val docEntropySql = """
+    WITH ch AS (
+      SELECT doc_id, unnest(split(text, '')) AS c
+      FROM documents WHERE length(text) > 0),
+    cnt AS (
+      SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k
+      FROM ch GROUP BY 1, 2),
+    ent AS (
+      SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n,
+        list_reduce(
+          list_prepend(CAST(0 AS DOUBLE),
+            list_transform(list(k ORDER BY c), x -> CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE)))),
+          (a, b) -> a + b) AS s
+      FROM cnt GROUP BY 1)
+    SELECT doc_id, n AS n_chars,
+      ROUND((ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE)) / ln(2.0), 4) AS entropy_bits,
+      ROUND((ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE)) / ln(2.0), 4) < 3.0 AS low_entropy,
+      ROUND((ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE)) / ln(2.0), 4) > 5.2 AS high_entropy
+    FROM ent
+    ORDER BY doc_id"""
+
   val entries: Map[String, Q] = Map(
+    "doc_entropy" -> docEntropy,
     "doc_unigram_logprob" -> docUnigramLogprob,
     "doc_bloom_prefilter" -> docBloomPrefilter,
     "doc_exact_dedup" -> docExactDedup,
@@ -936,6 +985,7 @@ object Text {
     "mm_binary_meta" -> mmBinaryMeta)
 
   val oracles: Map[String, String] = Map(
+    "doc_entropy" -> docEntropySql,
     "doc_unigram_logprob" -> docUnigramLogprobSql,
     // the bloom prefilter provably returns doc_contamination's exact
     // result — it shares that oracle verbatim

@@ -699,7 +699,97 @@ object Timeseries {
       ON p.user_id = n.user_id AND p.event_type = n.event_type
     ORDER BY rank_now, n.user_id, n.event_type"""
 
+  // ---------------------------------------------- qan_metric_correlation
+  // Pearson correlation between digest pairs' hourly load series —
+  // "which statements move together": regressions that co-occur point
+  // at a shared cause (one plan change, one noisy neighbor), which no
+  // per-digest view can see. Series are aligned on the full hour
+  // spine (missing hours = 0 — silence IS signal for correlation).
+  //
+  // Determinism: all five moments (Σx, Σy, Σxy, Σx², Σy²) accumulate
+  // as exact DECIMALs — order-independent across engines and
+  // partitionings — and Pearson is formed from them in ONE pinned
+  // double expression (products/differences of exactly-converted
+  // moments), so the 6dp-rounded r cannot flap.
+  //
+  // 100 TB shape: the corpus collapses to (digest, hour) totals in
+  // one hash aggregate; the spine is |hours|×|digests| (bounded by
+  // retention × fleet digest count); the pair join is keyed on the
+  // hour bucket, so each hour contributes |digests|² pair rows at
+  // most — never event-count work; the moments aggregate is map-side
+  // combined.
+  private val qanMetricCorrelation: Q = (s, d) => {
+    val hourly = events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(18, 6)).as("dv"))
+    val spine = hourly.select(col("bucket")).distinct()
+      .crossJoin(hourly.select(col("event_type")).distinct())
+    val series = spine.join(hourly, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("dv"), lit(0).cast(DecimalType(18, 6))).as("dv"))
+    val moments = series.select(col("bucket"), col("event_type").as("a_type"), col("dv").as("av"))
+      .join(series.select(col("bucket"), col("event_type").as("b_type"), col("dv").as("bv")),
+        Seq("bucket"))
+      .filter(col("a_type") < col("b_type"))
+      .groupBy(col("a_type"), col("b_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("av")).as("sx"), sum(col("bv")).as("sy"),
+        sum(col("av") * col("bv")).as("sxy"),
+        sum(col("av") * col("av")).as("sxx"),
+        sum(col("bv") * col("bv")).as("syy"))
+    val nD = col("n").cast(DoubleType)
+    val num = nD * col("sxy").cast(DoubleType) - col("sx").cast(DoubleType) * col("sy").cast(DoubleType)
+    val denx = nD * col("sxx").cast(DoubleType) - col("sx").cast(DoubleType) * col("sx").cast(DoubleType)
+    val deny = nD * col("syy").cast(DoubleType) - col("sy").cast(DoubleType) * col("sy").cast(DoubleType)
+    moments
+      .withColumn("r", when(denx > 0 && deny > 0, round(num / sqrt(denx * deny), 6)))
+      .select(col("a_type"), col("b_type"), col("n").as("n_hours"), col("r"),
+        coalesce(abs(col("r")) > 0.5, lit(false)).as("co_moving"))
+      .orderBy(col("a_type"), col("b_type"))
+  }
+
+  private val qanMetricCorrelationSql = """
+    WITH hourly AS (
+      -- width 19 forces DuckDB's HUGEINT decimal path: an (18,6)
+      -- operand pair multiplies in int64 internals and overflows at
+      -- sf0.1 hourly magnitudes; 19+19 = 38 still fits the cap
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(19,6)) AS dv
+      FROM events GROUP BY 1, 2),
+    spine AS (
+      SELECT b.bucket, t.event_type
+      FROM (SELECT DISTINCT bucket FROM hourly) b
+      CROSS JOIN (SELECT DISTINCT event_type FROM hourly) t),
+    series AS (
+      SELECT s.event_type, s.bucket,
+        COALESCE(h.dv, CAST(0 AS DECIMAL(19,6))) AS dv
+      FROM spine s LEFT JOIN hourly h USING (event_type, bucket)),
+    moments AS (
+      SELECT a.event_type AS a_type, b.event_type AS b_type,
+        COUNT(*) AS n,
+        SUM(a.dv) AS sx, SUM(b.dv) AS sy,
+        SUM(a.dv * b.dv) AS sxy,
+        SUM(a.dv * a.dv) AS sxx,
+        SUM(b.dv * b.dv) AS syy
+      FROM series a JOIN series b ON a.bucket = b.bucket
+        AND a.event_type < b.event_type
+      GROUP BY 1, 2),
+    formed AS (
+      SELECT a_type, b_type, n,
+        CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+        CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+      FROM moments)
+    SELECT a_type, b_type, n AS n_hours,
+      CASE WHEN denx > 0 AND deny > 0
+        THEN ROUND(num / sqrt(denx * deny), 6) END AS r,
+      COALESCE(abs(CASE WHEN denx > 0 AND deny > 0
+        THEN ROUND(num / sqrt(denx * deny), 6) END) > 0.5, false) AS co_moving
+    FROM formed
+    ORDER BY a_type, b_type"""
+
   val entries: Map[String, Q] = Map(
+    "qan_metric_correlation" -> qanMetricCorrelation,
     "qan_digest_cooccurrence" -> qanDigestCooccurrence,
     "qan_rank_movers" -> qanRankMovers,
     "q27_range_window" -> q27RangeWindow,
@@ -716,6 +806,7 @@ object Timeseries {
     "qan_retention" -> qanRetention)
 
   val oracles: Map[String, String] = Map(
+    "qan_metric_correlation" -> qanMetricCorrelationSql,
     "qan_digest_cooccurrence" -> qanDigestCooccurrenceSql,
     "qan_rank_movers" -> qanRankMoversSql,
     "q27_range_window" -> q27RangeWindowSql,

@@ -374,32 +374,30 @@ object Vectors {
   // side-by-side in one compiled projection (slice is scan-level;
   // CosineSimilarity is the compiled kernel); both rankings come out
   // of the same single hash shuffle on query_id.
-  private val embMatryoshkaRecall: Q = (s, d) => {
+  /** Every (query, neighbor) pair carrying BOTH exact rankings — under
+    * the full vectors and under the 96-dim prefix — out of one corpus
+    * scan and one hash shuffle on query_id. Shared by the Matryoshka
+    * audit and the RRF fusion.
+    */
+  private def fullTruncRanked(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         slice(col("v"), 1, 96).as("qt"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
       slice(col("v"), 1, 96).as("ct"))
-    val ranked = q.join(c, col("query_id") =!= col("neighbor_id"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_full", GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
       .withColumn("cos_trunc", GraftFunctions.cosineSimilarity(col("qt"), col("ct")))
       .withColumn("rank_full", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cos_full").desc, col("neighbor_id"))))
       .withColumn("rank_trunc", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cos_trunc").desc, col("neighbor_id"))))
-    ranked.groupBy(col("query_id"))
-      .agg(
-        sum(when(col("rank_full") <= 10 && col("rank_trunc") <= 10, 1L).otherwise(0L))
-          .as("n_overlap"),
-        max(when(col("rank_full") === 1, col("rank_trunc"))).cast("long")
-          .as("trunc_rank_of_top1"))
-      .withColumn("recall_at_10", round(col("n_overlap").cast(DoubleType) / 10.0, 4))
-      .orderBy(col("query_id"))
   }
 
-  private val embMatryoshkaRecallSql = """
-    WITH e AS (
+  /** Ranking CTEs shared by the matryoshka and RRF oracles. */
+  private val fullTruncRankedCtes = """
+    e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     p AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -410,7 +408,20 @@ object Vectors {
       SELECT query_id, neighbor_id,
         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cf DESC, neighbor_id) AS rank_full,
         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ct DESC, neighbor_id) AS rank_trunc
-      FROM p)
+      FROM p)"""
+
+  private val embMatryoshkaRecall: Q = (s, d) =>
+    fullTruncRanked(s, d).groupBy(col("query_id"))
+      .agg(
+        sum(when(col("rank_full") <= 10 && col("rank_trunc") <= 10, 1L).otherwise(0L))
+          .as("n_overlap"),
+        max(when(col("rank_full") === 1, col("rank_trunc"))).cast("long")
+          .as("trunc_rank_of_top1"))
+      .withColumn("recall_at_10", round(col("n_overlap").cast(DoubleType) / 10.0, 4))
+      .orderBy(col("query_id"))
+
+  private val embMatryoshkaRecallSql = s"""
+    WITH $fullTruncRankedCtes
     SELECT query_id,
       CAST(SUM(CASE WHEN rank_full <= 10 AND rank_trunc <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
       CAST(MAX(CASE WHEN rank_full = 1 THEN rank_trunc END) AS BIGINT) AS trunc_rank_of_top1,
@@ -419,7 +430,52 @@ object Vectors {
     GROUP BY 1
     ORDER BY 1"""
 
+  // ------------------------------------------------- emb_rrf_fusion
+  // Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of two
+  // retrievers — the standard hybrid-search combiner (vector + lexical
+  // in production; here the full-precision and 96-dim-prefix rankings,
+  // which need no extra scan): score = Σ 1/(60 + rankᵢ), re-ranked.
+  // RRF needs only RANKS, never score calibration across retrievers —
+  // why it is the default fusion everywhere from Elasticsearch to
+  // Vespa.
+  //
+  // 100 TB shape: piggybacks on the same one-scan/one-shuffle ranked
+  // set as the Matryoshka audit; the fusion itself is a projection on
+  // integer ranks (deterministic doubles — same two divisions and one
+  // add in both engines) plus one more window over the bounded
+  // query-id partitions.
+  private val embRrfFusion: Q = (s, d) =>
+    fullTruncRanked(s, d)
+      .withColumn("rrf_score",
+        round(lit(1.0) / (lit(60.0) + col("rank_full"))
+          + lit(1.0) / (lit(60.0) + col("rank_trunc")), 6))
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_score").desc, col("neighbor_id"))))
+      .filter(col("fused_rank") <= 10)
+      .select(col("query_id"), col("fused_rank"), col("neighbor_id"),
+        col("rrf_score"), col("rank_full"), col("rank_trunc"))
+      .orderBy(col("query_id"), col("fused_rank"))
+
+  private val embRrfFusionSql = s"""
+    WITH $fullTruncRankedCtes,
+    scored AS (
+      SELECT query_id, neighbor_id,
+        ROUND(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank_full)
+            + CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank_trunc), 6) AS rrf_score,
+        rank_full, rank_trunc
+      FROM r),
+    fused AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id) AS fused_rank
+      FROM scored)
+    SELECT query_id, fused_rank, neighbor_id, rrf_score, rank_full, rank_trunc
+    FROM fused
+    WHERE fused_rank <= 10
+    ORDER BY query_id, fused_rank"""
+
   val entries: Map[String, Q] = Map(
+    "emb_rrf_fusion" -> embRrfFusion,
     "emb_matryoshka_recall" -> embMatryoshkaRecall,
     "emb_pq_codes" -> embPqCodes,
     "emb_pq_topk" -> embPqTopk,
@@ -430,6 +486,7 @@ object Vectors {
     "emb_dedup_clusters" -> embDedupClusters)
 
   val oracles: Map[String, String] = Map(
+    "emb_rrf_fusion" -> embRrfFusionSql,
     "emb_matryoshka_recall" -> embMatryoshkaRecallSql,
     "emb_pq_codes" -> embPqCodesSql,
     "emb_pq_topk" -> embPqTopkSql,

@@ -156,6 +156,23 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("rrf fusion: dense fused ranks, score recomputed from the two input ranks") {
+    val out = SparkEntry.queries("emb_rrf_fusion")(spark, sf).collect()
+    val byQuery = out.groupBy(_.getLong(0))
+    assert(byQuery.size === 5)
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to 10), "fused top-10 is dense")
+    }
+    out.foreach { r =>
+      val want = BigDecimal(1.0 / (60.0 + r.getInt(4)) + 1.0 / (60.0 + r.getInt(5)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - want) < 1e-9, "rrf score formula")
+    }
+    // fusion respects dominance: a neighbor ranked 1st by BOTH retrievers must fuse 1st
+    out.filter(r => r.getInt(4) == 1 && r.getInt(5) == 1)
+      .foreach(r => assert(r.getInt(1) === 1))
+  }
+
   test("multimodal stub: features deterministic and shaped") {
     val out = SparkEntry.queries("mm_feature_stub")(spark, sf).collect()
     assert(out.length == Tables.documents(spark, sf).count())

@@ -58,4 +58,39 @@ class QualitySpec extends SparkSpec {
     assert(out.length.toDouble / total < 0.15,
       s"${out.length} of $total events flagged — threshold not selective")
   }
+
+  test("char entropy: information-theoretic bounds, flags follow the rounded value") {
+    val out = SparkEntry.queries("doc_entropy")(spark, sf).collect()
+    val nonEmpty = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")) > 0).count()
+    assert(out.length === nonEmpty, "every non-empty doc is scored")
+    out.foreach { r =>
+      val (n, h) = (r.getLong(1), r.getDouble(2))
+      assert(h >= 0.0, "entropy is non-negative")
+      // H <= log2(n): cannot exceed one symbol per character
+      assert(h <= math.log(n.toDouble) / math.log(2.0) + 1e-9)
+      assert(r.getBoolean(3) === (h < 3.0))
+      assert(r.getBoolean(4) === (h > 5.2))
+    }
+    // natural prose sits in the 3–5 bit band on this corpus
+    val mean = out.map(_.getDouble(2)).sum / out.length
+    assert(mean > 3.0 && mean < 5.0, s"mean entropy $mean outside prose band")
+  }
+
+  test("char entropy kernel: uniform and constant strings hit closed forms") {
+    import graft.functions.expressions.ExprKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(ExprKernels.charEntropyBits(UTF8String.fromString("aaaaaaa")) === 0.0)
+    // 16 distinct chars, once each: exactly 4 bits
+    val uniform = ('a' to 'p').mkString
+    assert(math.abs(ExprKernels.charEntropyBits(UTF8String.fromString(uniform)) - 4.0) < 1e-12)
+    assert(ExprKernels.charEntropyBits(UTF8String.fromString("")) === 0.0)
+    // reference cross-check on arbitrary text
+    val s = "the quick brown fox jumps over the lazy dog"
+    val counts = s.groupBy(identity).view.mapValues(_.length)
+    val n = s.length.toDouble
+    val want = counts.values.map(k => -(k / n) * (math.log(k / n) / math.log(2.0))).sum
+    assert(math.abs(ExprKernels.charEntropyBits(UTF8String.fromString(s)) - want) < 1e-9)
+  }
 }

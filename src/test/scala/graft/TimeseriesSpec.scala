@@ -206,6 +206,23 @@ class TimeseriesSpec extends SparkSpec {
     assert(out.map(r => (r.getString(0), r.getString(1))).distinct.length === out.length)
   }
 
+  test("qan_metric_correlation: |r| <= 1, full spine alignment, co-moving flag from rounded r") {
+    val out = SparkEntry.queries("qan_metric_correlation")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val nHours = Tables.events(spark, sf)
+      .select(date_trunc("hour", col("ts"))).distinct.count()
+    out.foreach { r =>
+      assert(r.getLong(2) === nHours, "every pair aligns on the full hour spine")
+      if (!r.isNullAt(3)) {
+        val corr = r.getDouble(3)
+        assert(corr >= -1.0 - 1e-9 && corr <= 1.0 + 1e-9, s"r out of range: $corr")
+        assert(r.getBoolean(4) === (math.abs(corr) > 0.5))
+      } else assert(!r.getBoolean(4))
+    }
+    val nTypes = Tables.events(spark, sf).select(col("event_type")).distinct.count()
+    assert(out.length === nTypes * (nTypes - 1) / 2, "one row per unordered digest pair")
+  }
+
   test("qan_rank_movers: dense unique ranks, movement arithmetic, new entries flagged") {
     val out = SparkEntry.queries("qan_rank_movers")(spark, sf).collect()
     assert(out.nonEmpty)
