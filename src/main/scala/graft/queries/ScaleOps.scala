@@ -41,6 +41,38 @@ object ScaleOps {
       .orderBy(col("representative_id"))
   }
 
+  // Dedup observability: cluster-size histogram + the character cost
+  // of duplication — the "what does dedup buy us" report every corpus
+  // pipeline publishes before committing to a drop pass (dup share
+  // decides whether near-dup dedup is worth its compute at all).
+  //
+  // 100 TB shape: same bounded pipeline as doc_dedup_clusters (reps
+  // only through banding, CC on the rep graph), then two tiny hash
+  // aggregates — clusters, then sizes — with the one-row corpus total
+  // broadcast back.
+  private val docDupClusterStats: Q = (s, d) => {
+    val docs = documents(s, d)
+    val (repPairs, mem) = Dedup.minhashNearDupRepPairs(docs, "doc_id", "text")
+    val labels = Dedup.clusterLabelsFromReps(repPairs, mem)
+      .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+    val clusters = labels.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sum(when(col("id") =!= col("cluster"), col("n_chars")).otherwise(0L))
+          .as("chars_dup"))
+    val hist = clusters.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"),
+        (sum(col("cluster_size")) - count(lit(1))).as("dup_docs"),
+        sum(col("chars_dup")).as("dup_chars"))
+    val tot = docs.agg(sum(col("n_chars")).as("corpus_chars"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        col("dup_docs"), col("dup_chars"),
+        round(col("dup_chars").cast(DoubleType) / col("corpus_chars").cast(DoubleType), 6)
+          .as("dup_char_share"))
+      .orderBy(col("cluster_size"))
+  }
+
   // SimHash fingerprint per document plus its banding chunks.
   private val docSimhash: Q = (s, d) =>
     documents(s, d)
@@ -355,6 +387,7 @@ object ScaleOps {
     "emb_ivf_quality" -> embIvfQuality,
     "doc_minhash_lsh" -> docMinhashLsh,
     "doc_dedup_clusters" -> docDedupClusters,
+    "doc_dup_cluster_stats" -> docDupClusterStats,
     "doc_simhash" -> docSimhash,
     "doc_fingerprint" -> docFingerprint,
     "emb_ann_lsh" -> embAnnLsh,
@@ -517,9 +550,12 @@ object ScaleOps {
     * pair list — reach(x) accumulates every smaller id that can reach
     * x; MIN per node is the component minimum (the representative).
     */
-  private val docDedupClustersSql: String =
-    s"""
-    WITH RECURSIVE $minhashCtes,
+  /** Recursive-CTE chain ending in `labels(id, cluster)` — the doc-
+    * level connected-component labels over the replayed near-dup
+    * pairs. Shared by the cluster oracle and the dup-stats oracle.
+    */
+  private val clusterLabelCtes: String =
+    s"""$minhashCtes,
     edges AS (
       SELECT a_id AS src, b_id AS dst FROM pairs
       UNION ALL
@@ -531,11 +567,41 @@ object ScaleOps {
       FROM reach r JOIN edges e ON e.src = r.id
       WHERE r.lbl < e.dst),
     labels AS (
-      SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id)
+      SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id)"""
+
+  private val docDedupClustersSql: String =
+    s"""
+    WITH RECURSIVE $clusterLabelCtes
     SELECT cluster AS representative_id, COUNT(*) AS cluster_size
     FROM labels
     GROUP BY 1
     ORDER BY 1"""
+
+  /** Dedup observability: what would dropping non-representatives
+    * save — the histogram is over the SAME labels as the cluster
+    * oracle, joined back to each doc's size.
+    */
+  private val docDupClusterStatsSql: String =
+    s"""
+    WITH RECURSIVE $clusterLabelCtes,
+    lab2 AS (
+      SELECT l.id, l.cluster, d.n_chars
+      FROM labels l JOIN documents d ON d.doc_id = l.id),
+    clusters AS (
+      SELECT cluster, COUNT(*) AS cluster_size,
+        CAST(SUM(CASE WHEN id <> cluster THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dup
+      FROM lab2 GROUP BY 1),
+    hist AS (
+      SELECT cluster_size, COUNT(*) AS n_clusters,
+        CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+        CAST(SUM(cluster_size) - COUNT(*) AS BIGINT) AS dup_docs,
+        CAST(SUM(chars_dup) AS BIGINT) AS dup_chars
+      FROM clusters GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS corpus_chars FROM documents)
+    SELECT cluster_size, n_clusters, n_docs, dup_docs, dup_chars,
+      ROUND(CAST(dup_chars AS DOUBLE) / CAST(corpus_chars AS DOUBLE), 6) AS dup_char_share
+    FROM hist CROSS JOIN tot
+    ORDER BY cluster_size"""
 
   /** DuckDB replay of the random-hyperplane ANN: the "random" planes
     * are a seeded xorshift, so their exact double values are inlined
@@ -714,6 +780,7 @@ object ScaleOps {
     "doc_simhash" -> docSimhashSql,
     "doc_minhash_lsh" -> docMinhashLshSql,
     "doc_dedup_clusters" -> docDedupClustersSql,
+    "doc_dup_cluster_stats" -> docDupClusterStatsSql,
     "mm_feature_stub" -> mmFeatureStubSql,
     "mm_frame_sample" -> mmFrameSampleSql)
 }

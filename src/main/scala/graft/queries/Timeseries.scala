@@ -788,7 +788,55 @@ object Timeseries {
     FROM formed
     ORDER BY a_type, b_type"""
 
+  // ------------------------------------------- qan_markov_transitions
+  // First-order workload transition model: P(next digest | current
+  // digest), estimated from each instance's time-ordered statement
+  // stream — the Markov view of a workload (app transaction shapes,
+  // prefetch/plan-cache hints, anomaly baselines for "statement B
+  // suddenly stopped following A"). Probabilities are exact rationals
+  // of transition counts; successor ranks break ties on the digest.
+  //
+  // 100 TB shape: one lead() window per instance partition (the same
+  // single-shuffle shape as qan_snapshot_delta) collapses the stream
+  // to (cur, next) pairs; counts are one map-side-combined hash
+  // aggregate over |digests|² keys at most; row totals are a tiny
+  // broadcast join-back.
+  private val qanMarkovTransitions: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = events(s, d)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("next_type").as("nxt"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("cur")).agg(sum(col("n")).as("n_cur"))
+    trans.join(broadcast(totals), Seq("cur"))
+      .withColumn("p", round(col("n").cast(DoubleType) / col("n_cur").cast(DoubleType), 6))
+      .withColumn("successor_rank", row_number().over(
+        Window.partitionBy(col("cur")).orderBy(col("n").desc, col("nxt"))))
+      .select(col("cur"), col("nxt"), col("n"), col("n_cur"), col("p"),
+        col("successor_rank"))
+      .orderBy(col("cur"), col("successor_rank"))
+  }
+
+  private val qanMarkovTransitionsSql = """
+    WITH nx AS (
+      SELECT event_type AS cur,
+        LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events),
+    trans AS (
+      SELECT cur, nxt, COUNT(*) AS n
+      FROM nx WHERE nxt IS NOT NULL
+      GROUP BY 1, 2),
+    totals AS (
+      SELECT cur, CAST(SUM(n) AS BIGINT) AS n_cur FROM trans GROUP BY 1)
+    SELECT cur, nxt, n, n_cur,
+      ROUND(CAST(n AS DOUBLE) / CAST(n_cur AS DOUBLE), 6) AS p,
+      ROW_NUMBER() OVER (PARTITION BY cur ORDER BY n DESC, nxt) AS successor_rank
+    FROM trans JOIN totals USING (cur)
+    ORDER BY cur, successor_rank"""
+
   val entries: Map[String, Q] = Map(
+    "qan_markov_transitions" -> qanMarkovTransitions,
     "qan_metric_correlation" -> qanMetricCorrelation,
     "qan_digest_cooccurrence" -> qanDigestCooccurrence,
     "qan_rank_movers" -> qanRankMovers,
@@ -806,6 +854,7 @@ object Timeseries {
     "qan_retention" -> qanRetention)
 
   val oracles: Map[String, String] = Map(
+    "qan_markov_transitions" -> qanMarkovTransitionsSql,
     "qan_metric_correlation" -> qanMetricCorrelationSql,
     "qan_digest_cooccurrence" -> qanDigestCooccurrenceSql,
     "qan_rank_movers" -> qanRankMoversSql,

@@ -178,4 +178,24 @@ class DedupSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf).count()
     assert(total == docs, "every doc must be accounted for exactly once")
   }
+
+  test("dup-cluster stats agree with the cluster table and partition the corpus") {
+    val stats = SparkEntry.queries("doc_dup_cluster_stats")(spark, sf).collect()
+    val clusters = SparkEntry.queries("doc_dedup_clusters")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    // histogram covers every doc exactly once
+    assert(stats.map(_.getLong(2)).sum === docs)
+    assert(stats.map(r => r.getLong(2) - r.getLong(3)).sum === clusters.length,
+      "clusters = docs - dups")
+    // per-size cluster counts match a recount of the cluster table
+    val recount = clusters.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    stats.foreach { r =>
+      assert(recount(r.getLong(0)) === r.getLong(1),
+        s"size ${r.getLong(0)} cluster count mismatch")
+      assert(r.getLong(3) === r.getLong(2) - r.getLong(1), "dup_docs = docs - clusters")
+      if (r.getLong(0) == 1)
+        assert(r.getLong(4) === 0L, "singletons carry no duplicated chars")
+      else assert(r.getLong(4) > 0L)
+    }
+  }
 }

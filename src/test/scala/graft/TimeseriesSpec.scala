@@ -223,6 +223,21 @@ class TimeseriesSpec extends SparkSpec {
     assert(out.length === nTypes * (nTypes - 1) / 2, "one row per unordered digest pair")
   }
 
+  test("qan_markov_transitions: rows are a stochastic matrix, counts conserve transitions") {
+    val out = SparkEntry.queries("qan_markov_transitions")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // per-cur probabilities sum to ~1 and counts sum to the row total
+    out.groupBy(_.getString(0)).foreach { case (cur, rows) =>
+      assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-3, s"$cur rows don't sum to 1")
+      assert(rows.map(_.getLong(2)).sum === rows.head.getLong(3), s"$cur counts vs total")
+      assert(rows.map(_.getInt(5)).sorted.toSeq === (1 to rows.length), s"$cur ranks dense")
+    }
+    // total transitions = events - one per instance (the last has no successor)
+    val events = Tables.events(spark, sf).count()
+    val instances = Tables.events(spark, sf).select(col("user_id")).distinct.count()
+    assert(out.map(_.getLong(2)).sum === events - instances)
+  }
+
   test("qan_rank_movers: dense unique ranks, movement arithmetic, new entries flagged") {
     val out = SparkEntry.queries("qan_rank_movers")(spark, sf).collect()
     assert(out.nonEmpty)
