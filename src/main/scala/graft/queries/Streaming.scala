@@ -152,6 +152,55 @@ object Streaming {
       .orderBy(col("bucket"), col("event_type"))
   }
 
+  // Streaming period-over-period regression alert: per (instance,
+  // digest) the group state holds the open day's running total and
+  // the last closed day's total; a later-day event closes the day and
+  // fires the alert row exactly once (QanStream.percentChangeStream).
+  // Oracle = batch qan_percent_change restricted to each key's
+  // non-final days (a day only provably closes when a later event
+  // arrives) — the same eviction-rule oracle shape as
+  // st_session_append.
+  private val stPercentChange: Q = (s, d) => {
+    import s.implicits._
+    val feed = QanStream.eventsStream(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(date_trunc("day", col("ts"))).as("day_us"),
+        col("value").cast(DecimalType(18, 6)).as("v"))
+      .as[QanStream.PcEvent]
+    QanStream.runToMemory(QanStream.percentChangeStream(feed).toDF(), OutputMode.Append())
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("bucket_us")).as("bucket"), col("n_calls"),
+        col("day_value"), col("prev_value"), col("pct_change"), col("alert"))
+      .orderBy(col("user_id"), col("event_type"), col("bucket"))
+  }
+
+  private val stPercentChangeSql = """
+    WITH base AS (
+      SELECT user_id, event_type,
+        CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        SUM(CAST(value AS DECIMAL(18,6))) AS dv,
+        COUNT(*) AS n_calls
+      FROM events GROUP BY 1, 2, 3),
+    lagged AS (
+      SELECT *, LAG(dv, 1) OVER w AS prev,
+        MAX(bucket) OVER (PARTITION BY user_id, event_type) AS last_bucket
+      FROM base
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY bucket)),
+    pc AS (
+      SELECT *, CASE WHEN prev IS NOT NULL AND prev <> 0
+        THEN ROUND(CAST(dv - prev AS DOUBLE) / CAST(prev AS DOUBLE), 6)
+        END AS pct_change
+      FROM lagged)
+    SELECT user_id, event_type, bucket, n_calls,
+      ROUND(CAST(dv AS DOUBLE), 4) AS day_value,
+      ROUND(CAST(prev AS DOUBLE), 4) AS prev_value,
+      pct_change,
+      COALESCE(abs(pct_change) > 0.5, false) AS alert
+    FROM pc
+    WHERE bucket < last_bucket
+    ORDER BY user_id, event_type, bucket"""
+
   private val stRollupAppendSql = """
     WITH wm AS (
       SELECT (MAX(epoch_us(ts)) // 1000 - 3600000) * 1000 AS wm_us FROM events)
@@ -255,7 +304,8 @@ object Streaming {
     "st_governor_stream" -> stGovernor,
     "st_session_stream" -> stSession,
     "st_session_append" -> stSessionAppend,
-    "st_rollup_append" -> stRollupAppend)
+    "st_rollup_append" -> stRollupAppend,
+    "st_percent_change" -> stPercentChange)
 
   /** The streaming ops reproduce the batch semantics exactly, so they
     * share the batch oracles.
@@ -270,5 +320,6 @@ object Streaming {
     "st_rollup_stream" -> Qan.oracles("qan_rollup_minute"),
     "st_governor_stream" -> Qan.oracles("qan_ewma"),
     "st_session_append" -> stSessionAppendSql,
-    "st_rollup_append" -> stRollupAppendSql)
+    "st_rollup_append" -> stRollupAppendSql,
+    "st_percent_change" -> stPercentChangeSql)
 }

@@ -192,6 +192,68 @@ object QanStream {
       }
   }
 
+  case class PcEvent(event_id: Long, user_id: Long, event_type: String,
+      ts_us: Long, day_us: Long, v: BigDecimal)
+  case class PcState(dayUs: Long, total: BigDecimal, nCalls: Long,
+      prevTotal: BigDecimal, hasPrev: Boolean)
+  case class PcRow(user_id: Long, event_type: String, bucket_us: Long,
+      n_calls: Long, day_value: Double, prev_value: Option[Double],
+      pct_change: Option[Double], alert: Boolean)
+
+  /** Streaming period-over-period regression alert — qan_percent_change
+    * as a stream: per (instance, digest) the state holds the OPEN
+    * day's running total/count plus the last CLOSED day's total (O(1)
+    * per key). A day closes when the first event of a later day
+    * arrives for that key; the closed day is emitted exactly once
+    * with its percent change against the previous observed day — the
+    * batch lag(1) semantics. The key's final day never closes (no
+    * later event proves it complete), so the oracle is the batch
+    * query restricted to each key's non-final days — the same
+    * eviction-rule oracle shape as st_session_append. Late events for
+    * an already-closed day are dropped (the alert for that day has
+    * already fired — a monitoring alert is never retracted).
+    *
+    * Double formation replays the batch expression exactly: exact
+    * DECIMAL day totals, difference in DECIMAL, one double division,
+    * Spark's HALF_UP rounding.
+    */
+  def percentChangeStream(events: Dataset[PcEvent]): Dataset[PcRow] = {
+    import events.sparkSession.implicits._
+    def r(v: Double, scale: Int): Double =
+      BigDecimal.decimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[PcState, PcRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((uid, et), it, state: GroupState[PcState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var st = state.getOption
+          val out = Seq.newBuilder[PcRow]
+          sorted.foreach { e =>
+            st match {
+              case None =>
+                st = Some(PcState(e.day_us, e.v, 1L, BigDecimal(0), hasPrev = false))
+              case Some(p) if e.day_us == p.dayUs =>
+                st = Some(p.copy(total = p.total + e.v, nCalls = p.nCalls + 1))
+              case Some(p) if e.day_us > p.dayUs =>
+                // close the open day: batch row shape (prev = last
+                // closed day's total, pct on exact decimals)
+                val prevD = if (p.hasPrev) Some(r(p.prevTotal.toDouble, 4)) else None
+                val pct =
+                  if (p.hasPrev && p.prevTotal != 0)
+                    Some(r((p.total - p.prevTotal).toDouble / p.prevTotal.toDouble, 6))
+                  else None
+                out += PcRow(uid, et, p.dayUs, p.nCalls, r(p.total.toDouble, 4),
+                  prevD, pct, pct.exists(x => math.abs(x) > 0.5))
+                st = Some(PcState(e.day_us, e.v, 1L, p.total, hasPrev = true))
+              case _ => // late event for a closed day — alert already fired
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   case class EmaRow(user_id: Long, n_days: Long, fast_ema: Double, slow_ema: Double)
   case class EmaState(fastEma: Double, slowEma: Double, lastDayMs: Long, nDays: Long)
 

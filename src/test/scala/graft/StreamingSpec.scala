@@ -234,4 +234,39 @@ class StreamingSpec extends SparkSpec {
       assert(last(2L) === 1, "user 2's pre-view click must not count")
     } finally out.query.stop()
   }
+
+  test("percent-change stream: day totals accumulate across batches, close once, alert fires") {
+    import graft.streaming.QanStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val day = 86400000000L
+    def ev(id: Long, dayN: Long, v: Double) =
+      QanStream.PcEvent(id, 1L, "q", dayN * day + id * 1000L, dayN * day, BigDecimal(v))
+    val ms = MemoryStream[QanStream.PcEvent]
+    val out = QanStream.runToMemoryQuery(QanStream.percentChangeStream(ms.toDS()).toDF())
+    try {
+      // batch 1: day 0 gets 2 events — day stays open, nothing emitted
+      ms.addData(ev(1, 0, 10.0), ev(2, 0, 10.0))
+      out.query.processAllAvailable()
+      assert(spark.table(out.name).count() === 0, "open day must not emit")
+      // batch 2: one more day-0 event (cross-batch accumulation), then
+      // day 1 arrives and closes day 0 (total 30, no prev → no pct)
+      ms.addData(ev(3, 0, 10.0), ev(4, 1, 50.0))
+      out.query.processAllAvailable()
+      val r1 = spark.table(out.name).collect()
+      assert(r1.length === 1)
+      assert(r1(0).getLong(3) === 3L && r1(0).getDouble(4) === 30.0)
+      assert(r1(0).isNullAt(6) && !r1(0).getBoolean(7), "first closed day has no pct")
+      // batch 3: day 2 closes day 1 — +67% vs day 0 → alert
+      ms.addData(ev(5, 2, 1.0))
+      out.query.processAllAvailable()
+      val r2 = spark.table(out.name).collect().sortBy(_.getLong(2))
+      assert(r2.length === 2)
+      val d1 = r2(1)
+      assert(d1.getDouble(4) === 50.0 && d1.getDouble(5) === 30.0)
+      assert(math.abs(d1.getDouble(6) - 0.666667) < 1e-9)
+      assert(d1.getBoolean(7), "a +67% day-over-day jump must alert")
+    } finally out.query.stop()
+  }
 }
