@@ -389,6 +389,11 @@ object Vectors {
     q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_full", GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
       .withColumn("cos_trunc", GraftFunctions.cosineSimilarity(col("qt"), col("ct")))
+      // one explicit hash partition serves BOTH ranking windows (their
+      // orders differ but their distribution is the same); without it
+      // AQE coalesces the first window's exchange and the second
+      // re-shuffles — PlanSpec pins the single-exchange shape
+      .repartition(col("query_id"))
       .withColumn("rank_full", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cos_full").desc, col("neighbor_id"))))
       .withColumn("rank_trunc", row_number().over(

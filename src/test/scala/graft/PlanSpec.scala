@@ -248,6 +248,44 @@ class PlanSpec extends SparkSpec {
       s"the one-row fold must broadcast:\n$plan")
   }
 
+  test("doc_winnowing: compiled selection at the scan, equi-join matching, no nested loop") {
+    val p = executedPlan("doc_winnowing")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"winnowing pair matching must be an equi-join:\n$p")
+    assert(p.contains("winnow_fingerprints"), p)
+    // the selection kernel runs scan-side, BEFORE the explode — the
+    // corpus text itself never reaches the join
+    val gen = p.indexOf("Generate explode")
+    assert(gen >= 0, s"no explode stage:\n$p")
+    assert(p.indexOf("winnow_fingerprints") > gen,
+      s"fingerprints must be selected below the explode (scan side):\n$p")
+  }
+
+  test("qan_markov_transitions: one window shuffle, totals broadcast back") {
+    val p = finalPlan("qan_markov_transitions")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"row totals must broadcast:\n$p")
+    // the raw stream sees exactly one hash-partition exchange (the
+    // per-instance lead window); everything after runs on aggregates
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected one raw-data exchange, got $exchanges:\n$p")
+  }
+
+  test("qan_metric_correlation: marginals broadcast, raw events aggregate before pairing") {
+    val p = finalPlan("qan_metric_correlation")
+    assert(p.contains("BroadcastHashJoin"), s"spine join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the only cross join is the tiny hours×digests spine (broadcast NL):\n$p")
+  }
+
+  test("emb_rrf_fusion / emb_matryoshka_recall: both rankings share one query_id shuffle") {
+    for (q <- Seq("emb_rrf_fusion", "emb_matryoshka_recall")) {
+      val p = finalPlan(q)
+      val exchanges = "Exchange hashpartitioning\\(query_id".r.findAllIn(p).length
+      assert(exchanges <= 1, s"$q: both windows must reuse one query_id exchange:\n$p")
+    }
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     // the "*(n)" prefix marks codegen spans; the fingerprint/simhash
     // projections must carry it (no CodegenFallback breaking the span)
