@@ -28,6 +28,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(r2.getSeq[Long](0).length == 8)
     assert(r2.getLong(1) == 1L)
     assert(r2.getSeq[Long](2).nonEmpty)
+    // round-5 additions: winnowing selection and char entropy
+    val r3 = spark.sql(
+      """SELECT winnow_fingerprints('the quick brown fox jumps over the lazy dog', 8, 16) AS wf,
+                char_entropy('aaaa') AS flat,
+                char_entropy('abcdefghabcdefgh') AS uniform""")
+      .collect()(0)
+    assert(r3.getSeq[Long](0).nonEmpty, "a 44-char doc has at least one fingerprint")
+    assert(r3.getDouble(1) === 0.0)
+    assert(math.abs(r3.getDouble(2) - 3.0) < 1e-12, "8 chars × 2 → exactly 3 bits")
   }
 
   test("withExtensions sessions get the functions and strategy declaratively") {
