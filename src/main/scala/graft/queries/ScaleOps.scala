@@ -73,6 +73,46 @@ object ScaleOps {
       .orderBy(col("cluster_size"))
   }
 
+  // LSH recall evaluation — the approximation-quality report: over a
+  // capped subset where brute force is affordable, compare the MinHash
+  // +LSH pipeline's pairs against ground-truth 3-gram Jaccard ≥ 0.8
+  // pairs, banded by similarity. This is the published S-curve made
+  // measurable on the corpus itself: recall rises with similarity
+  // (banding probability 1−(1−s^r)^b), and the per-band hit counts
+  // show exactly where the pipeline starts missing. Precision is 1 by
+  // construction (the pipeline exact-verifies candidates) — DedupSpec
+  // asserts it; this query quantifies recall.
+  //
+  // 100 TB shape: the ground-truth side is intentionally subset-capped
+  // (id < 500) — it exists to audit the scale path, not to be one; the
+  // pipeline side is the production bounded pipeline.
+  private val docLshRecall: Q = (s, d) => {
+    import graft.functions.expressions.GraftFunctions
+    val g = documents(s, d)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"),
+        GraftFunctions.gramHashes(
+          expr("transform(sequence(1, greatest(length(text)-2, 1)), i -> substring(text, i, 3))")).as("grams"))
+    val a = g.select(col("doc_id").as("a_id"), col("grams").as("a_grams"))
+    val b = g.select(col("doc_id").as("b_id"), col("grams").as("b_grams"))
+    val exact = a.join(b, col("a_id") < col("b_id"))
+      .withColumn("inter", GraftFunctions.sortedIntersectCount(col("a_grams"), col("b_grams")))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (size(col("a_grams")) + size(col("b_grams")) - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+    val lsh = Dedup.minhashNearDupPairs(documents(s, d), "doc_id", "text")
+      .filter(col("a_id") < 500 && col("b_id") < 500)
+      .select(col("a_id"), col("b_id"), lit(1L).as("hit"))
+    exact.join(lsh, Seq("a_id", "b_id"), "left")
+      .groupBy((floor(col("jaccard") * 20) / 20.0).as("sim_band"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .withColumn("recall",
+        round(col("n_found").cast(DoubleType) / col("n_exact").cast(DoubleType), 6))
+      .orderBy(col("sim_band"))
+  }
+
   // SimHash fingerprint per document plus its banding chunks.
   private val docSimhash: Q = (s, d) =>
     documents(s, d)
@@ -388,6 +428,7 @@ object ScaleOps {
     "doc_minhash_lsh" -> docMinhashLsh,
     "doc_dedup_clusters" -> docDedupClusters,
     "doc_dup_cluster_stats" -> docDupClusterStats,
+    "doc_lsh_recall" -> docLshRecall,
     "doc_simhash" -> docSimhash,
     "doc_fingerprint" -> docFingerprint,
     "emb_ann_lsh" -> embAnnLsh,
@@ -545,6 +586,38 @@ object ScaleOps {
     s"""
     WITH $minhashCtes
     SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id"""
+
+  /** Recall-eval oracle: ground truth re-derived from string 3-gram
+    * sets (hash-invariant jaccard, same as the docNgramJaccard
+    * oracle), the pipeline side replayed through the shared minhash
+    * CTEs, banded identically.
+    */
+  private val docLshRecallSql: String =
+    s"""
+    WITH $minhashCtes,
+    eg AS (
+      SELECT doc_id,
+        list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)),
+          i -> substr(text, CAST(i AS INT), 3))) AS grams
+      FROM documents WHERE doc_id < 500),
+    exact AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jaccard
+      FROM eg a JOIN eg b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.8),
+    lsh AS (SELECT a_id, b_id FROM pairs WHERE a_id < 500 AND b_id < 500),
+    joined AS (
+      SELECT e.jaccard, CASE WHEN l.a_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM exact e LEFT JOIN lsh l ON l.a_id = e.a_id AND l.b_id = e.b_id)
+    SELECT floor(jaccard * 20) / 20.0 AS sim_band,
+      COUNT(*) AS n_exact,
+      CAST(SUM(hit) AS BIGINT) AS n_found,
+      ROUND(CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+    FROM joined
+    GROUP BY 1
+    ORDER BY 1"""
 
   /** Cluster oracle: recursive label propagation over the replayed
     * pair list — reach(x) accumulates every smaller id that can reach
@@ -781,6 +854,7 @@ object ScaleOps {
     "doc_minhash_lsh" -> docMinhashLshSql,
     "doc_dedup_clusters" -> docDedupClustersSql,
     "doc_dup_cluster_stats" -> docDupClusterStatsSql,
+    "doc_lsh_recall" -> docLshRecallSql,
     "mm_feature_stub" -> mmFeatureStubSql,
     "mm_frame_sample" -> mmFrameSampleSql)
 }

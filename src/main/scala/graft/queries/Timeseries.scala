@@ -835,7 +835,59 @@ object Timeseries {
     FROM trans JOIN totals USING (cur)
     ORDER BY cur, successor_rank"""
 
+  // ---------------------------------------------- qan_m4_downsample
+  // M4 downsampling (Jugel et al., VLDB 2014): per series and pixel-
+  // column time bucket keep ONLY the first, last, lowest and highest
+  // points — the provably error-free reduction for min-max line
+  // rendering. A dashboard pulling a month of per-second QAN data
+  // renders identical pixels from ≤4 points per bucket instead of the
+  // raw stream. Role winners are struct-min/max over (key, event_id)
+  // pairs, so every tie is pinned and both engines pick identical
+  // points; a point winning several roles is emitted once.
+  //
+  // 100 TB shape: ONE map-side-combined hash aggregate over (series,
+  // bucket) computes all four winners (struct min/max — no sort, no
+  // window); the join-back to fetch the winners' rows is an equi-join
+  // on event_id against the already-bucket-pruned scan.
+  private val qanM4Downsample: Q = (s, d) => {
+    val ev = events(s, d)
+    val sel = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(
+        min(struct(col("ts"), col("event_id"))).getField("event_id").as("first_id"),
+        max(struct(col("ts"), col("event_id"))).getField("event_id").as("last_id"),
+        min(struct(col("value"), col("event_id"))).getField("event_id").as("low_id"),
+        max(struct(col("value"), col("event_id"))).getField("event_id").as("high_id"),
+        count(lit(1)).as("n_raw"))
+    val ids = sel.select(col("user_id"), col("bucket"), col("n_raw"),
+        explode(array(col("first_id"), col("last_id"), col("low_id"), col("high_id")))
+          .as("event_id"))
+      .distinct()
+    ids.join(ev.select(col("event_id"), col("ts"), col("value")), Seq("event_id"))
+      .select(col("user_id"), col("bucket"), col("event_id"), col("ts"),
+        col("value"), col("n_raw"))
+      .orderBy(col("user_id"), col("bucket"), col("event_id"))
+  }
+
+  private val qanM4DownsampleSql = """
+    WITH sel AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket,
+        (MIN(struct_pack(t := ts, id := event_id))).id AS first_id,
+        (MAX(struct_pack(t := ts, id := event_id))).id AS last_id,
+        (MIN(struct_pack(v := value, id := event_id))).id AS low_id,
+        (MAX(struct_pack(v := value, id := event_id))).id AS high_id,
+        COUNT(*) AS n_raw
+      FROM events GROUP BY 1, 2),
+    ids AS (
+      SELECT DISTINCT user_id, bucket, n_raw,
+        unnest([first_id, last_id, low_id, high_id]) AS event_id
+      FROM sel)
+    SELECT i.user_id, i.bucket, i.event_id, e.ts, e.value, i.n_raw
+    FROM ids i JOIN events e USING (event_id)
+    ORDER BY i.user_id, i.bucket, i.event_id"""
+
   val entries: Map[String, Q] = Map(
+    "qan_m4_downsample" -> qanM4Downsample,
     "qan_markov_transitions" -> qanMarkovTransitions,
     "qan_metric_correlation" -> qanMetricCorrelation,
     "qan_digest_cooccurrence" -> qanDigestCooccurrence,
@@ -854,6 +906,7 @@ object Timeseries {
     "qan_retention" -> qanRetention)
 
   val oracles: Map[String, String] = Map(
+    "qan_m4_downsample" -> qanM4DownsampleSql,
     "qan_markov_transitions" -> qanMarkovTransitionsSql,
     "qan_metric_correlation" -> qanMetricCorrelationSql,
     "qan_digest_cooccurrence" -> qanDigestCooccurrenceSql,

@@ -179,6 +179,22 @@ class DedupSpec extends SparkSpec {
     assert(total == docs, "every doc must be accounted for exactly once")
   }
 
+  test("lsh recall eval: bands cover [0.8, 1.0], recall formula holds, pipeline finds the near-dups") {
+    val out = SparkEntry.queries("doc_lsh_recall")(spark, sf).collect()
+    assert(out.nonEmpty, "the fixture corpus has ground-truth near-dup pairs under id 500")
+    out.foreach { r =>
+      val (band, nExact, nFound) = (r.getDouble(0), r.getLong(1), r.getLong(2))
+      assert(band >= 0.8 - 1e-9 && band <= 1.0 + 1e-9, s"band $band outside threshold range")
+      assert(nFound <= nExact, "can't find more than exist")
+      assert(math.abs(r.getDouble(3) - nFound.toDouble / nExact) < 1e-6)
+    }
+    // overall recall on this corpus's high-similarity pairs is high
+    // (banding probability at s>=0.8 with r=6,b=6 is >0.97)
+    val total = out.map(_.getLong(1)).sum.toDouble
+    val found = out.map(_.getLong(2)).sum.toDouble
+    assert(found / total > 0.9, s"overall recall ${found / total} too low")
+  }
+
   test("dup-cluster stats agree with the cluster table and partition the corpus") {
     val stats = SparkEntry.queries("doc_dup_cluster_stats")(spark, sf).collect()
     val clusters = SparkEntry.queries("doc_dedup_clusters")(spark, sf).collect()

@@ -223,6 +223,35 @@ class TimeseriesSpec extends SparkSpec {
     assert(out.length === nTypes * (nTypes - 1) / 2, "one row per unordered digest pair")
   }
 
+  test("qan_m4_downsample: every bucket's extremes survive, <=4 points, min-max exact") {
+    val out = SparkEntry.queries("qan_m4_downsample")(spark, sf).cache()
+    try {
+      val perBucket = out.groupBy(col("user_id"), col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"),
+          min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      assert(perBucket.filter(col("n") > 4).count() === 0, "M4 keeps at most 4 points")
+      // the reduced set preserves each bucket's true min/max value and
+      // first/last timestamp — the error-free rendering guarantee
+      val truth = Tables.events(spark, sf)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(min(col("value")).as("t_lo"), max(col("value")).as("t_hi"),
+          min(col("ts")).as("t_first"), max(col("ts")).as("t_last"))
+      val broken = perBucket.join(truth, Seq("user_id", "bucket"))
+        .filter(col("lo") =!= col("t_lo") || col("hi") =!= col("t_hi") ||
+          col("first_ts") =!= col("t_first") || col("last_ts") =!= col("t_last"))
+      assert(broken.count() === 0, "downsampled extremes must equal the raw extremes")
+      // where a bucket has more than 4 raw points, M4 strictly reduces
+      // (at tiny SFs buckets can be sparser than 4 — then it's lossless
+      // pass-through, which the extremes check above already proves)
+      val reducible = out.filter(col("n_raw") > 4)
+        .groupBy(col("user_id"), col("bucket"), col("n_raw"))
+        .agg(count(lit(1)).as("kept"))
+      assert(reducible.filter(col("kept") >= col("n_raw")).count() === 0,
+        "buckets with >4 raw points must shrink")
+      assert(out.count() <= Tables.events(spark, sf).count())
+    } finally { out.unpersist(); () }
+  }
+
   test("qan_markov_transitions: rows are a stochastic matrix, counts conserve transitions") {
     val out = SparkEntry.queries("qan_markov_transitions")(spark, sf).collect()
     assert(out.nonEmpty)
