@@ -113,6 +113,26 @@ object ScaleOps {
       .orderBy(col("sim_band"))
   }
 
+  // ANN recall audit — doc_lsh_recall's vector-side sibling: the
+  // random-hyperplane LSH top-10 measured against the exact cosine
+  // top-10, per query. AnnSpec asserts the bound; this query makes
+  // the number a first-class, oracle-verified report a user can run
+  // before trusting the index (the same role emb_ivf_quality plays
+  // for cell balance).
+  private val embAnnRecall: Q = (s, d) => {
+    val exact = graft.queries.Vectors.entries("emb_cosine_topk")(s, d)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = embAnnLsh(s, d)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .withColumn("recall",
+        round(col("n_found").cast(DoubleType) / col("n_exact").cast(DoubleType), 4))
+      .orderBy(col("query_id"))
+  }
+
   // SimHash fingerprint per document plus its banding chunks.
   private val docSimhash: Q = (s, d) =>
     documents(s, d)
@@ -429,6 +449,7 @@ object ScaleOps {
     "doc_dedup_clusters" -> docDedupClusters,
     "doc_dup_cluster_stats" -> docDupClusterStats,
     "doc_lsh_recall" -> docLshRecall,
+    "emb_ann_recall" -> embAnnRecall,
     "doc_simhash" -> docSimhash,
     "doc_fingerprint" -> docFingerprint,
     "emb_ann_lsh" -> embAnnLsh,
@@ -683,8 +704,12 @@ object ScaleOps {
     * uses the same sequential accumulation shape as the Spark
     * expressions — bit-identical signs, codes, and rankings.
     */
-  private val embAnnLshSql: String = {
-    val bits = 6; val dim = 64; val k = 10
+  /** CTE chain replaying the random-hyperplane ANN through `ranked
+    * (query_id, neighbor_id, cos_raw, rank)` — shared by the LSH
+    * oracle and the recall audit.
+    */
+  private val lshRankedCtes: String = {
+    val bits = 6; val dim = 64
     val hp = graft.operators.AnnLsh.hyperplanes(bits, dim)
     def fold(vec: String, plane: Array[Double]): String = {
       val lits = plane.map(java.lang.Double.toString).mkString("[", ", ", "]")
@@ -700,8 +725,7 @@ object ScaleOps {
     val nq = sumFold("qv[CAST(i AS INT)] * qv[CAST(i AS INT)]")
     val nc = sumFold("cv[CAST(i AS INT)] * cv[CAST(i AS INT)]")
     val probeList = ("code" +: (0 until bits).map(j => s"xor(code, ${1L << j})")).mkString("[", ", ", "]")
-    s"""
-    WITH e AS (
+    s"""e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     coded AS (
       SELECT vec_id, v, $codeExpr AS code FROM e),
@@ -716,12 +740,43 @@ object ScaleOps {
         $dot / (sqrt($nq) * sqrt($nc)) AS cos_raw,
         ROW_NUMBER() OVER (PARTITION BY query_id
           ORDER BY $dot / (sqrt($nq) * sqrt($nc)) DESC, neighbor_id) AS rank
-      FROM scored)
+      FROM scored)"""
+  }
+
+  private val embAnnLshSql: String =
+    s"""
+    WITH $lshRankedCtes
     SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 4) AS cos_sim
     FROM ranked
-    WHERE rank <= $k
+    WHERE rank <= 10
     ORDER BY query_id, rank"""
-  }
+
+  /** ANN recall audit oracle: LSH top-10 (shared ranked CTEs) against
+    * brute-force exact top-10 re-derived in-query.
+    */
+  private val embAnnRecallSql: String =
+    s"""
+    WITH $lshRankedCtes,
+    ann AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 10),
+    ex AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        list_cosine_similarity(q.v, c.v) AS cos_raw
+      FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+    exr AS (
+      SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rk
+      FROM ex),
+    ext AS (SELECT query_id, neighbor_id FROM exr WHERE rk <= 10),
+    j AS (
+      SELECT x.query_id,
+        CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM ext x LEFT JOIN ann a
+        ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id)
+    SELECT query_id, COUNT(*) AS n_exact, CAST(SUM(hit) AS BIGINT) AS n_found,
+      ROUND(CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS recall
+    FROM j
+    GROUP BY 1
+    ORDER BY 1"""
 
   /** DuckDB replay of the whole IVF pipeline: seeded centroids inlined
     * as literals; every distance, mean and cosine uses the same
@@ -855,6 +910,7 @@ object ScaleOps {
     "doc_dedup_clusters" -> docDedupClustersSql,
     "doc_dup_cluster_stats" -> docDupClusterStatsSql,
     "doc_lsh_recall" -> docLshRecallSql,
+    "emb_ann_recall" -> embAnnRecallSql,
     "mm_feature_stub" -> mmFeatureStubSql,
     "mm_frame_sample" -> mmFrameSampleSql)
 }
