@@ -886,7 +886,62 @@ object Timeseries {
     FROM ids i JOIN events e USING (event_id)
     ORDER BY i.user_id, i.bucket, i.event_id"""
 
+  // ------------------------------------------------- qan_error_ztest
+  // One-proportion z-test per instance: is THIS instance's error rate
+  // statistically above the fleet baseline, given how much traffic it
+  // serves? The raw rate misleads (a small instance with 2 errors in
+  // 10 calls looks worse than a big one with 900 in 10 000); the
+  // z-score z = (p̂ − p₀) / √(p₀(1−p₀)/n) normalizes by sample size —
+  // the standard fleet-outlier test monitoring stacks run.
+  //
+  // Determinism: inputs are integer counts; p̂, p₀ and z are formed in
+  // one pinned double expression (both engines execute the identical
+  // IEEE ops), and the flag fires on the ROUNDED z. 100 TB shape: one
+  // map-side-combined hash aggregate per instance + a one-row fleet
+  // total broadcast back — the corpus is read once.
+  private val qanErrorZtest: Q = (s, d) => {
+    val per = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("x"))
+    val fleet = per.agg(sum(col("n")).as("fn"), sum(col("x")).as("fx"))
+    val p0 = col("fx").cast(DoubleType) / col("fn").cast(DoubleType)
+    val pHat = col("x").cast(DoubleType) / col("n").cast(DoubleType)
+    val z = (pHat - p0) / sqrt(p0 * (lit(1.0) - p0) / col("n").cast(DoubleType))
+    per.crossJoin(broadcast(fleet))
+      .select(col("user_id"), col("n"), col("x"),
+        round(pHat, 6).as("error_rate"),
+        round(p0, 6).as("fleet_rate"),
+        round(z, 4).as("z_score"))
+      .withColumn("elevated", col("z_score") > 3.0)
+      .withColumn("depressed", col("z_score") < -3.0)
+      .orderBy(col("user_id"))
+  }
+
+  private val qanErrorZtestSql = """
+    WITH per AS (
+      SELECT user_id, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    fleet AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS fn, CAST(SUM(x) AS BIGINT) AS fx FROM per)
+    SELECT user_id, n, x,
+      ROUND(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS error_rate,
+      ROUND(CAST(fx AS DOUBLE) / CAST(fn AS DOUBLE), 6) AS fleet_rate,
+      ROUND((CAST(x AS DOUBLE) / CAST(n AS DOUBLE) - CAST(fx AS DOUBLE) / CAST(fn AS DOUBLE))
+        / sqrt(CAST(fx AS DOUBLE) / CAST(fn AS DOUBLE)
+          * (1.0 - CAST(fx AS DOUBLE) / CAST(fn AS DOUBLE)) / CAST(n AS DOUBLE)), 4) AS z_score,
+      ROUND((CAST(x AS DOUBLE) / CAST(n AS DOUBLE) - CAST(fx AS DOUBLE) / CAST(fn AS DOUBLE))
+        / sqrt(CAST(fx AS DOUBLE) / CAST(fn AS DOUBLE)
+          * (1.0 - CAST(fx AS DOUBLE) / CAST(fn AS DOUBLE)) / CAST(n AS DOUBLE)), 4) > 3.0 AS elevated,
+      ROUND((CAST(x AS DOUBLE) / CAST(n AS DOUBLE) - CAST(fx AS DOUBLE) / CAST(fn AS DOUBLE))
+        / sqrt(CAST(fx AS DOUBLE) / CAST(fn AS DOUBLE)
+          * (1.0 - CAST(fx AS DOUBLE) / CAST(fn AS DOUBLE)) / CAST(n AS DOUBLE)), 4) < -3.0 AS depressed
+    FROM per CROSS JOIN fleet
+    ORDER BY user_id"""
+
   val entries: Map[String, Q] = Map(
+    "qan_error_ztest" -> qanErrorZtest,
     "qan_m4_downsample" -> qanM4Downsample,
     "qan_markov_transitions" -> qanMarkovTransitions,
     "qan_metric_correlation" -> qanMetricCorrelation,
@@ -906,6 +961,7 @@ object Timeseries {
     "qan_retention" -> qanRetention)
 
   val oracles: Map[String, String] = Map(
+    "qan_error_ztest" -> qanErrorZtestSql,
     "qan_m4_downsample" -> qanM4DownsampleSql,
     "qan_markov_transitions" -> qanMarkovTransitionsSql,
     "qan_metric_correlation" -> qanMetricCorrelationSql,

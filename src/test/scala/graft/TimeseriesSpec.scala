@@ -223,6 +223,21 @@ class TimeseriesSpec extends SparkSpec {
     assert(out.length === nTypes * (nTypes - 1) / 2, "one row per unordered digest pair")
   }
 
+  test("qan_error_ztest: counts partition the fleet, z formula holds, flags on rounded z") {
+    val out = SparkEntry.queries("qan_error_ztest")(spark, sf).collect()
+    val total = Tables.events(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum === total, "per-instance counts partition the fleet")
+    val fleetRate = out.head.getDouble(4)
+    out.foreach { r =>
+      val (n, x, z) = (r.getLong(1), r.getLong(2), r.getDouble(5))
+      assert(r.getDouble(4) === fleetRate, "every row sees the same fleet baseline")
+      val p0 = out.map(_.getLong(2)).sum.toDouble / total
+      val want = (x.toDouble / n - p0) / math.sqrt(p0 * (1 - p0) / n)
+      assert(math.abs(z - want) < 1e-3, s"z $z vs recomputed $want")
+      assert(r.getBoolean(6) === (z > 3.0) && r.getBoolean(7) === (z < -3.0))
+    }
+  }
+
   test("qan_m4_downsample: every bucket's extremes survive, <=4 points, min-max exact") {
     val out = SparkEntry.queries("qan_m4_downsample")(spark, sf).cache()
     try {
