@@ -940,7 +940,76 @@ object Timeseries {
     FROM per CROSS JOIN fleet
     ORDER BY user_id"""
 
+  // ---------------------------------------------- qan_trend_forecast
+  // Per-instance least-squares load trend + next-day forecast — the
+  // capacity-planning read of the QAN stream ("is this instance's
+  // daily load growing, and what does tomorrow look like"). x is the
+  // epoch-day index, y the exact-DECIMAL day total; slope/intercept
+  // come from the five moments in one pinned double expression (the
+  // same exact-moment discipline as qan_metric_correlation), and the
+  // growing flag fires on the ROUNDED slope.
+  //
+  // 100 TB shape: one hash aggregate to (instance, day), one tiny
+  // per-instance moments aggregate — the corpus is read once, no
+  // window, no sort.
+  private val qanTrendForecast: Q = (s, d) => {
+    val day = events(s, d)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("bucket"))
+      .agg(sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(18, 6)).as("dv"))
+      .withColumn("x", datediff(col("bucket"), to_date(lit("1970-01-01"))).cast("long"))
+    val m = day.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("dv")).as("sy"),
+        sum(col("dv") * col("x").cast(DecimalType(10, 0))).as("sxy"),
+        max(col("x")).as("xmax"))
+    val nD = col("n").cast(DoubleType)
+    val den = nD * col("sxx").cast(DoubleType) - col("sx").cast(DoubleType) * col("sx").cast(DoubleType)
+    val slope = (nD * col("sxy").cast(DoubleType) - col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) / den
+    val intercept = (col("sy").cast(DoubleType) - slope * col("sx").cast(DoubleType)) / nD
+    m.filter(col("n") >= 2)
+      .select(col("user_id"), col("n").as("n_days"),
+        round(slope, 6).as("slope_per_day"),
+        round(intercept + slope * (col("xmax") + lit(1L)).cast(DoubleType), 4)
+          .as("forecast_next_day"))
+      .withColumn("growing", col("slope_per_day") > 0.0)
+      .orderBy(col("user_id"))
+  }
+
+  private val qanTrendForecastSql = """
+    WITH day AS (
+      SELECT user_id, date_trunc('day', ts) AS bucket,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS dv
+      FROM events GROUP BY 1, 2),
+    dx AS (
+      SELECT user_id, dv,
+        CAST(datediff('day', TIMESTAMP '1970-01-01', CAST(bucket AS TIMESTAMP)) AS BIGINT) AS x
+      FROM day),
+    m AS (
+      SELECT user_id, COUNT(*) AS n,
+        CAST(SUM(x) AS BIGINT) AS sx,
+        CAST(SUM(x * x) AS BIGINT) AS sxx,
+        SUM(dv) AS sy,
+        SUM(dv * CAST(x AS DECIMAL(10,0))) AS sxy,
+        CAST(MAX(x) AS BIGINT) AS xmax
+      FROM dx GROUP BY 1),
+    formed AS (
+      SELECT user_id, n, xmax,
+        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+      FROM m WHERE n >= 2)
+    SELECT user_id, n AS n_days,
+      ROUND(slope, 6) AS slope_per_day,
+      ROUND((syd - slope * sxd) / CAST(n AS DOUBLE) + slope * CAST(xmax + 1 AS DOUBLE), 4)
+        AS forecast_next_day,
+      ROUND(slope, 6) > 0.0 AS growing
+    FROM formed
+    ORDER BY user_id"""
+
   val entries: Map[String, Q] = Map(
+    "qan_trend_forecast" -> qanTrendForecast,
     "qan_error_ztest" -> qanErrorZtest,
     "qan_m4_downsample" -> qanM4Downsample,
     "qan_markov_transitions" -> qanMarkovTransitions,
@@ -961,6 +1030,7 @@ object Timeseries {
     "qan_retention" -> qanRetention)
 
   val oracles: Map[String, String] = Map(
+    "qan_trend_forecast" -> qanTrendForecastSql,
     "qan_error_ztest" -> qanErrorZtestSql,
     "qan_m4_downsample" -> qanM4DownsampleSql,
     "qan_markov_transitions" -> qanMarkovTransitionsSql,

@@ -223,6 +223,29 @@ class TimeseriesSpec extends SparkSpec {
     assert(out.length === nTypes * (nTypes - 1) / 2, "one row per unordered digest pair")
   }
 
+  test("qan_trend_forecast: slope matches a driver-side least squares, forecast extrapolates") {
+    val out = SparkEntry.queries("qan_trend_forecast")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // recompute one instance's fit from raw day totals
+    val uid = out.head.getLong(0)
+    val days = Tables.events(spark, sf)
+      .filter(col("user_id") === uid)
+      .groupBy(date_trunc("day", col("ts")).as("b"))
+      .agg(sum(col("value")).as("y"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime / 86400000L.toDouble, r.getDouble(1)))
+    val n = days.length.toDouble
+    val sx = days.map(_._1).sum; val sy = days.map(_._2).sum
+    val sxy = days.map(t => t._1 * t._2).sum; val sxx = days.map(t => t._1 * t._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(out.head.getDouble(2) - slope) < 1e-2,
+      s"slope ${out.head.getDouble(2)} vs recomputed $slope")
+    out.foreach { r =>
+      assert(r.getLong(1) >= 2, "single-day instances are dropped (no trend from one point)")
+      assert(r.getBoolean(4) === (r.getDouble(2) > 0.0))
+    }
+  }
+
   test("qan_error_ztest: counts partition the fleet, z formula holds, flags on rounded z") {
     val out = SparkEntry.queries("qan_error_ztest")(spark, sf).collect()
     val total = Tables.events(spark, sf).count()
