@@ -304,13 +304,19 @@ object ExprKernels {
     */
   def charEntropyBits(text: UTF8String): Double = {
     val s = text.toString
-    val n = s.length
-    if (n == 0) return 0.0
-    val counts = new java.util.TreeMap[Character, Int]()
+    if (s.isEmpty) return 0.0
+    // iterate CODE POINTS, not UTF-16 units: Spark's length() and the
+    // oracle's per-character split are both code-point based, so a
+    // surrogate pair must count as ONE symbol or H can exceed
+    // log2(n_chars) and the replay diverges on astral characters
+    val counts = new java.util.TreeMap[Integer, Int]()
+    var n = 0
     var i = 0
-    while (i < n) {
-      counts.merge(s.charAt(i), 1, (a, b) => a + b)
-      i += 1
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1, (a, b) => a + b)
+      n += 1
+      i += Character.charCount(cp)
     }
     var sum = 0.0
     val it = counts.values().iterator()
@@ -330,7 +336,7 @@ object ExprKernels {
     * that fixed-stride sampling cannot give.
     *
     * Determinism contract (the oracle replays it exactly): gram hash
-    * is the base-31 polynomial of the gram's UTF-16 code units mod
+    * is the base-31 polynomial of the gram's Unicode CODE POINTS mod
     * 2⁴⁰; ties inside a window break to the LEFTMOST occurrence by
     * minimizing the combined key `hash·2²⁰ + position` (positions are
     * 0-based and < 2²⁰); a document shorter than w grams contributes
@@ -342,23 +348,35 @@ object ExprKernels {
     * never a per-window rescan.
     */
   def winnowFingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+    // decode to CODE POINTS first: the oracle's substr/ascii walk is
+    // code-point based, so a surrogate pair must be ONE gram symbol
+    // (with its full > 0xFFFF value) for the replay to hold on
+    // non-BMP text
     val s = text.toString
-    val nGrams = s.length - k + 1
+    val cps = new Array[Int](s.codePointCount(0, s.length))
+    var ci = 0
+    var si = 0
+    while (si < s.length) {
+      val cp = s.codePointAt(si)
+      cps(ci) = cp; ci += 1
+      si += Character.charCount(cp)
+    }
+    val nGrams = cps.length - k + 1
     if (nGrams < 1) return new GenericArrayData(Array.emptyLongArray)
     val mask40 = (1L << 40) - 1
     val comb = new Array[Long](nGrams)
-    // rolling base-31 polynomial over a k-char window: subtract the
-    // outgoing char's 31^(k-1) term, shift, add the incoming char
+    // rolling base-31 polynomial over a k-symbol window: subtract the
+    // outgoing symbol's 31^(k-1) term, shift, add the incoming symbol
     var top = 1L // 31^(k-1) mod 2^40
     var j = 1
     while (j < k) { top = (top * 31) & mask40; j += 1 }
     var h = 0L
     var i = 0
-    while (i < k) { h = ((h * 31) + s.charAt(i)) & mask40; i += 1 }
+    while (i < k) { h = ((h * 31) + cps(i)) & mask40; i += 1 }
     comb(0) = (h << 20) | 0L
     i = 1
     while (i < nGrams) {
-      h = ((h - ((top * s.charAt(i - 1)) & mask40) & mask40) * 31 + s.charAt(i + k - 1)) & mask40
+      h = ((h - ((top * cps(i - 1)) & mask40) & mask40) * 31 + cps(i + k - 1)) & mask40
       // positions ride in the low 20 bits as the tiebreak; docs past
       // 2^20 grams wrap (both engines apply the same mod, so the
       // selection stays deterministic and replayable)

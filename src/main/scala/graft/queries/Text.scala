@@ -953,12 +953,14 @@ object Text {
           list_prepend(CAST(0 AS DOUBLE),
             list_transform(list(k ORDER BY c), x -> CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE)))),
           (a, b) -> a + b) AS s
-      FROM cnt GROUP BY 1)
-    SELECT doc_id, n AS n_chars,
-      ROUND((ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE)) / ln(2.0), 4) AS entropy_bits,
-      ROUND((ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE)) / ln(2.0), 4) < 3.0 AS low_entropy,
-      ROUND((ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE)) / ln(2.0), 4) > 5.2 AS high_entropy
-    FROM ent
+      FROM cnt GROUP BY 1),
+    scored AS (
+      SELECT doc_id, n,
+        ROUND((ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE)) / ln(2.0), 4) AS h
+      FROM ent)
+    SELECT doc_id, n AS n_chars, h AS entropy_bits,
+      h < 3.0 AS low_entropy, h > 5.2 AS high_entropy
+    FROM scored
     ORDER BY doc_id"""
 
   val entries: Map[String, Q] = Map(

@@ -752,9 +752,14 @@ object Timeseries {
     WITH hourly AS (
       -- width 19 forces DuckDB's HUGEINT decimal path: an (18,6)
       -- operand pair multiplies in int64 internals and overflows at
-      -- sf0.1 hourly magnitudes; 19+19 = 38 still fits the cap
+      -- sf0.1 hourly magnitudes; 19+19 = 38 still fits the cap.
+      -- The CASE replicates Spark's (18,6) domain bound exactly: a
+      -- total past 10^12 NULLs on the Spark side (non-ANSI narrowing
+      -- cast, needed to keep the decimal products inside precision
+      -- 38), so the oracle must drop it identically
       SELECT event_type, date_trunc('hour', ts) AS bucket,
-        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(19,6)) AS dv
+        CAST(CASE WHEN abs(SUM(CAST(value AS DECIMAL(18,6)))) < 1000000000000
+          THEN SUM(CAST(value AS DECIMAL(18,6))) END AS DECIMAL(19,6)) AS dv
       FROM events GROUP BY 1, 2),
     spine AS (
       SELECT b.bucket, t.event_type
@@ -924,20 +929,21 @@ object Timeseries {
         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS x
       FROM events GROUP BY 1),
     fleet AS (
-      SELECT CAST(SUM(n) AS BIGINT) AS fn, CAST(SUM(x) AS BIGINT) AS fx FROM per)
+      SELECT CAST(SUM(n) AS BIGINT) AS fn, CAST(SUM(x) AS BIGINT) AS fx FROM per),
+    formed AS (
+      SELECT user_id, n, x,
+        CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
+        CAST(fx AS DOUBLE) / CAST(fn AS DOUBLE) AS p0
+      FROM per CROSS JOIN fleet),
+    scored AS (
+      SELECT user_id, n, x, p_hat, p0,
+        ROUND((p_hat - p0) / sqrt(p0 * (1.0 - p0) / CAST(n AS DOUBLE)), 4) AS z
+      FROM formed)
     SELECT user_id, n, x,
-      ROUND(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS error_rate,
-      ROUND(CAST(fx AS DOUBLE) / CAST(fn AS DOUBLE), 6) AS fleet_rate,
-      ROUND((CAST(x AS DOUBLE) / CAST(n AS DOUBLE) - CAST(fx AS DOUBLE) / CAST(fn AS DOUBLE))
-        / sqrt(CAST(fx AS DOUBLE) / CAST(fn AS DOUBLE)
-          * (1.0 - CAST(fx AS DOUBLE) / CAST(fn AS DOUBLE)) / CAST(n AS DOUBLE)), 4) AS z_score,
-      ROUND((CAST(x AS DOUBLE) / CAST(n AS DOUBLE) - CAST(fx AS DOUBLE) / CAST(fn AS DOUBLE))
-        / sqrt(CAST(fx AS DOUBLE) / CAST(fn AS DOUBLE)
-          * (1.0 - CAST(fx AS DOUBLE) / CAST(fn AS DOUBLE)) / CAST(n AS DOUBLE)), 4) > 3.0 AS elevated,
-      ROUND((CAST(x AS DOUBLE) / CAST(n AS DOUBLE) - CAST(fx AS DOUBLE) / CAST(fn AS DOUBLE))
-        / sqrt(CAST(fx AS DOUBLE) / CAST(fn AS DOUBLE)
-          * (1.0 - CAST(fx AS DOUBLE) / CAST(fn AS DOUBLE)) / CAST(n AS DOUBLE)), 4) < -3.0 AS depressed
-    FROM per CROSS JOIN fleet
+      ROUND(p_hat, 6) AS error_rate,
+      ROUND(p0, 6) AS fleet_rate,
+      z AS z_score, z > 3.0 AS elevated, z < -3.0 AS depressed
+    FROM scored
     ORDER BY user_id"""
 
   // ---------------------------------------------- qan_trend_forecast
@@ -979,8 +985,11 @@ object Timeseries {
 
   private val qanTrendForecastSql = """
     WITH day AS (
+      -- the CASE replicates Spark's (18,6) narrowing-cast domain
+      -- bound (totals past 10^12 NULL silently on the Spark side)
       SELECT user_id, date_trunc('day', ts) AS bucket,
-        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS dv
+        CAST(CASE WHEN abs(SUM(CAST(value AS DECIMAL(18,6)))) < 1000000000000
+          THEN SUM(CAST(value AS DECIMAL(18,6))) END AS DECIMAL(18,6)) AS dv
       FROM events GROUP BY 1, 2),
     dx AS (
       SELECT user_id, dv,

@@ -362,12 +362,12 @@ object Vectors {
   // --------------------------------------------- emb_matryoshka_recall
   // Truncated-dimension retrieval audit (the Matryoshka-representation
   // question): how much top-k quality survives if the index stores
-  // only the first 96 of 384 dimensions (4× smaller, 4× less
-  // bandwidth)? Exact top-10 under the full vectors vs exact top-10
-  // under the 96-dim prefix, per query: overlap, recall@10, and where
-  // the full-precision top-1 lands in the truncated ranking. The
-  // measurement that decides whether a prefix index is safe BEFORE
-  // rebuilding a 100 TB store.
+  // only the first 16 of this corpus's 64 dimensions (4× smaller, 4×
+  // less bandwidth)? Exact top-10 under the full vectors vs exact
+  // top-10 under the 16-dim prefix, per query: overlap, recall@10,
+  // and where the full-precision top-1 lands in the truncated
+  // ranking. The measurement that decides whether a prefix index is
+  // safe BEFORE rebuilding a 100 TB store.
   //
   // 100 TB shape: an audit op — the query set is fixed and tiny, so
   // the corpus is scanned once with both similarities computed
@@ -375,7 +375,7 @@ object Vectors {
   // CosineSimilarity is the compiled kernel); both rankings come out
   // of the same single hash shuffle on query_id.
   /** Every (query, neighbor) pair carrying BOTH exact rankings — under
-    * the full vectors and under the 96-dim prefix — out of one corpus
+    * the full vectors and under the 16-dim prefix — out of one corpus
     * scan and one hash shuffle on query_id. Shared by the Matryoshka
     * audit and the RRF fusion.
     */
@@ -383,9 +383,9 @@ object Vectors {
     val e = vecs(s, d)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        slice(col("v"), 1, 96).as("qt"))
+        slice(col("v"), 1, 16).as("qt"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
-      slice(col("v"), 1, 96).as("ct"))
+      slice(col("v"), 1, 16).as("ct"))
     q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_full", GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
       .withColumn("cos_trunc", GraftFunctions.cosineSimilarity(col("qt"), col("ct")))
@@ -407,7 +407,7 @@ object Vectors {
     p AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         list_cosine_similarity(q.v, c.v) AS cf,
-        list_cosine_similarity(q.v[1:96], c.v[1:96]) AS ct
+        list_cosine_similarity(q.v[1:16], c.v[1:16]) AS ct
       FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
     r AS (
       SELECT query_id, neighbor_id,
@@ -438,7 +438,7 @@ object Vectors {
   // ------------------------------------------------- emb_rrf_fusion
   // Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of two
   // retrievers — the standard hybrid-search combiner (vector + lexical
-  // in production; here the full-precision and 96-dim-prefix rankings,
+  // in production; here the full-precision and 16-dim-prefix rankings,
   // which need no extra scan): score = Σ 1/(60 + rankᵢ), re-ranked.
   // RRF needs only RANKS, never score calibration across retrievers —
   // why it is the default fusion everywhere from Elasticsearch to

@@ -138,14 +138,16 @@ class KernelPropSpec extends AnyFunSuite {
   }
 
   // Naive re-derivation of the winnowing contract: direct polynomial
-  // hash per gram (no rolling recurrence), explicit window minima.
+  // hash per gram (no rolling recurrence), explicit window minima,
+  // over CODE POINTS (the kernel's and the oracle's symbol unit).
   private def refWinnow(s: String, k: Int, w: Int): Set[Long] = {
-    val n = s.length - k + 1
+    val cps = s.codePoints().toArray
+    val n = cps.length - k + 1
     if (n < 1) return Set.empty
     val mask = (1L << 40) - 1
     val comb = Array.tabulate(n) { i =>
       var h = 0L
-      (0 until k).foreach(j => h = (h * 31 + s.charAt(i + j)) & mask)
+      (0 until k).foreach(j => h = (h * 31 + cps(i + j)) & mask)
       (h << 20) | (i & 0xFFFFF).toLong
     }
     val win = math.min(w, n)
@@ -175,6 +177,19 @@ class KernelPropSpec extends AnyFunSuite {
         UTF8String.fromString(p3 + shared + p4), k, w).toLongArray().toSet
       fa.intersect(fb).nonEmpty
     })
+  }
+
+  test("astral characters count as one symbol in entropy and winnowing") {
+    // U+1D11E (musical symbol G clef) is a surrogate pair in UTF-16;
+    // both kernels must treat it as ONE symbol or H > log2(n_chars)
+    // and the DuckDB replay (code-point based) diverges
+    val clef = new String(Character.toChars(0x1D11E))
+    val two = clef + "a" // 2 code points, 3 UTF-16 units
+    val h = ExprKernels.charEntropyBits(UTF8String.fromString(two))
+    assert(math.abs(h - 1.0) < 1e-12, s"2 distinct symbols must give exactly 1 bit, got $h")
+    val astralText = (clef + "abc") * 10
+    assert(ExprKernels.winnowFingerprints(UTF8String.fromString(astralText), 3, 4)
+      .toLongArray().toSet === refWinnow(astralText, 3, 4))
   }
 
   test("winnowing density: roughly 2/(w+1) of grams selected on random text") {
