@@ -1017,7 +1017,79 @@ object Timeseries {
     FROM formed
     ORDER BY user_id"""
 
+  // ---------------------------------------------- qan_topn_approx_audit
+  // Druid's native topN is APPROXIMATE: each segment reports only its
+  // local top-K, and the broker merges those partial lists — a digest
+  // that is mid-pack everywhere but huge in aggregate can be
+  // undercounted or missed (the documented caveat that makes Druid
+  // docs say "use groupBy for exact results"). This audit replays
+  // that merge against the exact answer: per-instance (= per-segment)
+  // top-3 partial lists, merged and re-ranked, joined to the exact
+  // global ranking — per digest the approx/exact values, both ranks,
+  // and the undercount. The reference's notebooks run topN queries;
+  // this measures what that approximation costs on this workload.
+  //
+  // 100 TB shape: the segment aggregate is one hash aggregate; the
+  // per-segment top-3 is a bounded-heap window per instance (the
+  // TopKPerGroup rewrite applies); everything after runs on ≤3 rows
+  // per instance, and the exact side reuses the same collapsed
+  // aggregate — the corpus is read once.
+  private val qanTopnApproxAudit: Q = (s, d) => {
+    val seg = events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("value").cast(DecimalType(18, 6))).as("dv"))
+    val segTop = seg
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("dv").desc, col("event_type"))))
+      .filter(col("rk") <= 3)
+    val approx = segTop.groupBy(col("event_type"))
+      .agg(sum(col("dv")).as("approx_dv"))
+      .withColumn("approx_rank", row_number().over(
+        Window.orderBy(col("approx_dv").desc, col("event_type"))))
+    val exact = seg.groupBy(col("event_type"))
+      .agg(sum(col("dv")).as("exact_dv"))
+      .withColumn("exact_rank", row_number().over(
+        Window.orderBy(col("exact_dv").desc, col("event_type"))))
+    exact.join(approx, Seq("event_type"), "left")
+      .select(col("exact_rank"), col("event_type"),
+        round(col("exact_dv").cast(DoubleType), 4).as("exact_value"),
+        round(col("approx_dv").cast(DoubleType), 4).as("approx_value"),
+        col("approx_rank"),
+        round((col("exact_dv") - coalesce(col("approx_dv"), lit(0)))
+          .cast(DoubleType), 4).as("undercount"),
+        (col("approx_rank") === col("exact_rank")).as("rank_agrees"))
+      .orderBy(col("exact_rank"))
+  }
+
+  private val qanTopnApproxAuditSql = """
+    WITH seg AS (
+      SELECT user_id, event_type, SUM(CAST(value AS DECIMAL(18,6))) AS dv
+      FROM events GROUP BY 1, 2),
+    seg_top AS (
+      SELECT * FROM (
+        SELECT user_id, event_type, dv, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY dv DESC, event_type) AS rk
+        FROM seg)
+      WHERE rk <= 3),
+    approx AS (
+      SELECT event_type, SUM(dv) AS approx_dv,
+        ROW_NUMBER() OVER (ORDER BY SUM(dv) DESC, event_type) AS approx_rank
+      FROM seg_top GROUP BY 1),
+    exact AS (
+      SELECT event_type, SUM(dv) AS exact_dv,
+        ROW_NUMBER() OVER (ORDER BY SUM(dv) DESC, event_type) AS exact_rank
+      FROM seg GROUP BY 1)
+    SELECT e.exact_rank, e.event_type,
+      ROUND(CAST(e.exact_dv AS DOUBLE), 4) AS exact_value,
+      ROUND(CAST(a.approx_dv AS DOUBLE), 4) AS approx_value,
+      a.approx_rank,
+      ROUND(CAST(e.exact_dv - COALESCE(a.approx_dv, 0) AS DOUBLE), 4) AS undercount,
+      a.approx_rank = e.exact_rank AS rank_agrees
+    FROM exact e LEFT JOIN approx a USING (event_type)
+    ORDER BY e.exact_rank"""
+
   val entries: Map[String, Q] = Map(
+    "qan_topn_approx_audit" -> qanTopnApproxAudit,
     "qan_trend_forecast" -> qanTrendForecast,
     "qan_error_ztest" -> qanErrorZtest,
     "qan_m4_downsample" -> qanM4Downsample,
@@ -1039,6 +1111,7 @@ object Timeseries {
     "qan_retention" -> qanRetention)
 
   val oracles: Map[String, String] = Map(
+    "qan_topn_approx_audit" -> qanTopnApproxAuditSql,
     "qan_trend_forecast" -> qanTrendForecastSql,
     "qan_error_ztest" -> qanErrorZtestSql,
     "qan_m4_downsample" -> qanM4DownsampleSql,

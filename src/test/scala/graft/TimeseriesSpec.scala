@@ -223,6 +223,18 @@ class TimeseriesSpec extends SparkSpec {
     assert(out.length === nTypes * (nTypes - 1) / 2, "one row per unordered digest pair")
   }
 
+  test("qan_topn_approx_audit: approx never exceeds exact, exact ranks dense, undercount consistent") {
+    val out = SparkEntry.queries("qan_topn_approx_audit")(spark, sf).collect()
+    assert(out.map(_.getInt(0)).sorted.toSeq === (1 to out.length), "exact ranks dense")
+    out.foreach { r =>
+      val (exact, approx, under) = (r.getDouble(2), r.getDouble(3), r.getDouble(5))
+      // the per-segment merge can only LOSE value (each segment's
+      // non-top-3 contributions are dropped), never invent it
+      assert(approx <= exact + 1e-6, "approx topN cannot exceed the exact total")
+      assert(math.abs(under - (exact - approx)) < 1e-3, "undercount = exact - approx")
+    }
+  }
+
   test("qan_trend_forecast: slope matches a driver-side least squares, forecast extrapolates") {
     val out = SparkEntry.queries("qan_trend_forecast")(spark, sf).collect()
     assert(out.nonEmpty)
