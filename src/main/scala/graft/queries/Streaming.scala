@@ -201,6 +201,29 @@ object Streaming {
     WHERE bucket < last_bucket
     ORDER BY user_id, event_type, bucket"""
 
+  // Live top-queries leaderboard: the notebook's headline ranking as
+  // a continuously-maintained streaming aggregate (complete mode —
+  // a leaderboard is a replace-on-update view by nature). State is
+  // O(digests): running DECIMAL total, call count and the max_by
+  // (ts, event_id)-latest sample per digest. Emits exactly the batch
+  // qan_top_queries rows, so it shares that oracle.
+  private val stTopQueries: Q = (s, d) => {
+    val agg = QanStream.eventsStream(s, d)
+      .withColumn("sample",
+        concat(col("event_type"), lit(" /*"), col("props"), lit("*/")))
+      .groupBy(col("event_type"))
+      .agg(sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"),
+        count(lit(1)).as("calls"),
+        expr("max_by(sample, struct(ts, event_id))").as("query_sample"))
+    QanStream.runToMemory(agg, OutputMode.Complete())
+      .withColumn("avg_per_call",
+        when(col("calls") > 0, col("total_value") / col("calls")).otherwise(0.0))
+      .select(col("event_type"), col("total_value"), col("calls"),
+        col("avg_per_call"), col("query_sample"))
+      .orderBy(col("total_value").desc, col("event_type"))
+      .limit(10)
+  }
+
   private val stRollupAppendSql = """
     WITH wm AS (
       SELECT (MAX(epoch_us(ts)) // 1000 - 3600000) * 1000 AS wm_us FROM events)
@@ -305,7 +328,8 @@ object Streaming {
     "st_session_stream" -> stSession,
     "st_session_append" -> stSessionAppend,
     "st_rollup_append" -> stRollupAppend,
-    "st_percent_change" -> stPercentChange)
+    "st_percent_change" -> stPercentChange,
+    "st_top_queries" -> stTopQueries)
 
   /** The streaming ops reproduce the batch semantics exactly, so they
     * share the batch oracles.
@@ -321,5 +345,6 @@ object Streaming {
     "st_governor_stream" -> Qan.oracles("qan_ewma"),
     "st_session_append" -> stSessionAppendSql,
     "st_rollup_append" -> stRollupAppendSql,
-    "st_percent_change" -> stPercentChangeSql)
+    "st_percent_change" -> stPercentChangeSql,
+    "st_top_queries" -> graft.queries.Qan.oracles("qan_top_queries"))
 }
