@@ -461,6 +461,33 @@ object Text {
     FROM documents
     ORDER BY doc_id"""
 
+  // ---------------------------------------------------- mm_exact_dedup
+  // Byte-exact payload dedup — the first stage of every multimodal
+  // pipeline (identical images/audio recur massively in web crawls;
+  // dedup by payload digest BEFORE any decode spends compute). Same
+  // single hash-aggregate shape as doc_exact_dedup, keyed on the md5
+  // of the binary payload rather than the text: the payload never
+  // shuffles, only its 16-byte digest does.
+  private val mmExactDedup: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .groupBy(md5(col("payload")).as("payload_md5"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        max(octet_length(col("payload"))).as("byte_len"))
+      .orderBy(col("keep_id"))
+
+  // DuckDB's md5 takes VARCHAR and hashes its UTF-8 bytes — exactly
+  // the payload digest Spark computes over encode(text, 'UTF-8')
+  private val mmExactDedupSql = """
+    SELECT md5(text) AS payload_md5,
+      MIN(doc_id) AS keep_id,
+      COUNT(*) AS n_copies,
+      MAX(octet_length(encode(text))) AS byte_len
+    FROM documents
+    GROUP BY 1
+    ORDER BY keep_id"""
+
   /** CTE-ready oracle SQL of the language stage: (doc_id, pred_lang).
     * Same expression shapes as docLangIdSql (hash-match proven). */
   val langPredSql: String = {
@@ -965,6 +992,7 @@ object Text {
 
   val entries: Map[String, Q] = Map(
     "doc_entropy" -> docEntropy,
+    "mm_exact_dedup" -> mmExactDedup,
     "doc_unigram_logprob" -> docUnigramLogprob,
     "doc_bloom_prefilter" -> docBloomPrefilter,
     "doc_exact_dedup" -> docExactDedup,
@@ -988,6 +1016,7 @@ object Text {
 
   val oracles: Map[String, String] = Map(
     "doc_entropy" -> docEntropySql,
+    "mm_exact_dedup" -> mmExactDedupSql,
     "doc_unigram_logprob" -> docUnigramLogprobSql,
     // the bloom prefilter provably returns doc_contamination's exact
     // result — it shares that oracle verbatim
