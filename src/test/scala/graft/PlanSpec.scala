@@ -286,6 +286,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("qan_m4_downsample: role winners via struct min/max aggregate — no Window, no sort of raw events") {
+    val p = finalPlan("qan_m4_downsample")
+    assert(!p.contains("Window"), s"M4 selection must be an aggregate, not a window:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"join-back must be an equi-join:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_max"),
+      s"no map-side partial aggregation of the role winners:\n$p")
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     // the "*(n)" prefix marks codegen spans; the fingerprint/simhash
     // projections must carry it (no CodegenFallback breaking the span)
