@@ -97,22 +97,35 @@ object Qan {
   // --------------------------------------------------- qan_top_queries
   // Notebook get_top_queries (02-Query_Analysis.ipynb): top digests by
   // summed metric with per-call average.
-  private val qanTopQueries: Q = (s, d) =>
-    events(s, d)
-      // query_sample: the latest statement body per digest — the
-      // notebook's top-queries SELECTs carry query_sample next to
-      // every digest ranking (02-Query_Analysis.ipynb)
+  /** The top-queries aggregation, shared by the batch entry and the
+    * streaming leaderboard (st_top_queries) — one definition so the
+    * two can never drift apart while claiming the same oracle.
+    * query_sample: the latest statement body per digest — the
+    * notebook's top-queries SELECTs carry query_sample next to every
+    * digest ranking (02-Query_Analysis.ipynb).
+    */
+  private[queries] def topQueriesAgg(ev: DataFrame): DataFrame =
+    ev
       .withColumn("sample",
         concat(col("event_type"), lit(" /*"), col("props"), lit("*/")))
       .groupBy(col("event_type"))
       .agg(dsum(col("value")).as("total_value"), count(lit(1)).as("calls"),
         expr("max_by(sample, struct(ts, event_id))").as("query_sample"))
+
+  /** Ranking tail of [[topQueriesAgg]] — applied batch-side, or to
+    * the materialized streaming aggregate.
+    */
+  private[queries] def topQueriesFinish(agg: DataFrame): DataFrame =
+    agg
       .withColumn("avg_per_call",
         when(col("calls") > 0, col("total_value") / col("calls")).otherwise(0.0))
       .select(col("event_type"), col("total_value"), col("calls"),
         col("avg_per_call"), col("query_sample"))
       .orderBy(col("total_value").desc, col("event_type"))
       .limit(10)
+
+  private val qanTopQueries: Q = (s, d) =>
+    topQueriesFinish(topQueriesAgg(events(s, d)))
 
   private val qanTopQueriesSql = """
     WITH ranked AS (

@@ -752,21 +752,16 @@ object ScaleOps {
     ORDER BY query_id, rank"""
 
   /** ANN recall audit oracle: LSH top-10 (shared ranked CTEs) against
-    * brute-force exact top-10 re-derived in-query.
+    * the exact cosine top-10 from Vectors.cosineTopkCtes — the same
+    * CTE chain emb_cosine_topk's own oracle selects from, so the
+    * ground-truth contract cannot drift between the two.
     */
   private val embAnnRecallSql: String =
     s"""
     WITH $lshRankedCtes,
+    ${graft.queries.Vectors.cosineTopkCtes},
     ann AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 10),
-    ex AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        list_cosine_similarity(q.v, c.v) AS cos_raw
-      FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
-    exr AS (
-      SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
-        PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rk
-      FROM ex),
-    ext AS (SELECT query_id, neighbor_id FROM exr WHERE rk <= 10),
+    ext AS (SELECT query_id, neighbor_id FROM ex_r WHERE rank <= 10),
     j AS (
       SELECT x.query_id,
         CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit

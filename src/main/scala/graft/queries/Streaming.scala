@@ -207,22 +207,13 @@ object Streaming {
   // O(digests): running DECIMAL total, call count and the max_by
   // (ts, event_id)-latest sample per digest. Emits exactly the batch
   // qan_top_queries rows, so it shares that oracle.
-  private val stTopQueries: Q = (s, d) => {
-    val agg = QanStream.eventsStream(s, d)
-      .withColumn("sample",
-        concat(col("event_type"), lit(" /*"), col("props"), lit("*/")))
-      .groupBy(col("event_type"))
-      .agg(sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"),
-        count(lit(1)).as("calls"),
-        expr("max_by(sample, struct(ts, event_id))").as("query_sample"))
-    QanStream.runToMemory(agg, OutputMode.Complete())
-      .withColumn("avg_per_call",
-        when(col("calls") > 0, col("total_value") / col("calls")).otherwise(0.0))
-      .select(col("event_type"), col("total_value"), col("calls"),
-        col("avg_per_call"), col("query_sample"))
-      .orderBy(col("total_value").desc, col("event_type"))
-      .limit(10)
-  }
+  private val stTopQueries: Q = (s, d) =>
+    // the aggregation and ranking are Qan's own definitions applied to
+    // the stream — batch and leaderboard cannot drift while both claim
+    // qan_top_queries' oracle
+    Qan.topQueriesFinish(
+      QanStream.runToMemory(
+        Qan.topQueriesAgg(QanStream.eventsStream(s, d)), OutputMode.Complete()))
 
   private val stRollupAppendSql = """
     WITH wm AS (

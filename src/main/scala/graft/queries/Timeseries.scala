@@ -917,9 +917,14 @@ object Timeseries {
       .select(col("user_id"), col("n"), col("x"),
         round(pHat, 6).as("error_rate"),
         round(p0, 6).as("fleet_rate"),
-        round(z, 4).as("z_score"))
-      .withColumn("elevated", col("z_score") > 3.0)
-      .withColumn("depressed", col("z_score") < -3.0)
+        // a degenerate baseline (no errors anywhere, or all errors)
+        // has zero variance — there is no test to run. The guard
+        // keeps z NULL instead of NaN (whose NaN-is-largest Spark
+        // comparison would false-alarm EVERY instance), matching
+        // DuckDB's NULL on zero division
+        when(col("fx") > 0 && col("fx") < col("fn"), round(z, 4)).as("z_score"))
+      .withColumn("elevated", coalesce(col("z_score") > 3.0, lit(false)))
+      .withColumn("depressed", coalesce(col("z_score") < -3.0, lit(false)))
       .orderBy(col("user_id"))
   }
 
@@ -931,18 +936,22 @@ object Timeseries {
     fleet AS (
       SELECT CAST(SUM(n) AS BIGINT) AS fn, CAST(SUM(x) AS BIGINT) AS fx FROM per),
     formed AS (
-      SELECT user_id, n, x,
+      SELECT user_id, n, x, fx, fn,
         CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
         CAST(fx AS DOUBLE) / CAST(fn AS DOUBLE) AS p0
       FROM per CROSS JOIN fleet),
     scored AS (
       SELECT user_id, n, x, p_hat, p0,
-        ROUND((p_hat - p0) / sqrt(p0 * (1.0 - p0) / CAST(n AS DOUBLE)), 4) AS z
+        CASE WHEN fx > 0 AND fx < fn
+          THEN ROUND((p_hat - p0) / sqrt(p0 * (1.0 - p0) / CAST(n AS DOUBLE)), 4)
+        END AS z
       FROM formed)
     SELECT user_id, n, x,
       ROUND(p_hat, 6) AS error_rate,
       ROUND(p0, 6) AS fleet_rate,
-      z AS z_score, z > 3.0 AS elevated, z < -3.0 AS depressed
+      z AS z_score,
+      COALESCE(z > 3.0, false) AS elevated,
+      COALESCE(z < -3.0, false) AS depressed
     FROM scored
     ORDER BY user_id"""
 

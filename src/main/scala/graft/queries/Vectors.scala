@@ -42,19 +42,29 @@ object Vectors {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private val embCosineTopkSql = """
-    WITH e AS (
+  /** CTE chain deriving the exact cosine ranking `ex_r(query_id,
+    * neighbor_id, cos_raw, rank)` — the ground-truth side shared by
+    * this oracle and the ANN recall audit (ScaleOps.embAnnRecallSql),
+    * so the exact-topk contract can never drift between them. Names
+    * are prefixed ex_ to compose into WITH chains that already bind
+    * `e`/`ranked`.
+    */
+  private[queries] val cosineTopkCtes = """
+    ex_e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    p AS (
+    ex_p AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         list_cosine_similarity(q.v, c.v) AS cos_raw
-      FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
-    r AS (
+      FROM ex_e q JOIN ex_e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+    ex_r AS (
       SELECT query_id, neighbor_id, cos_raw,
         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
-      FROM p)
+      FROM ex_p)"""
+
+  private val embCosineTopkSql = s"""
+    WITH $cosineTopkCtes
     SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 4) AS cos_sim
-    FROM r
+    FROM ex_r
     WHERE rank <= 10
     ORDER BY query_id, rank"""
 

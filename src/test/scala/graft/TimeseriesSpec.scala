@@ -227,11 +227,16 @@ class TimeseriesSpec extends SparkSpec {
     val out = SparkEntry.queries("qan_topn_approx_audit")(spark, sf).collect()
     assert(out.map(_.getInt(0)).sorted.toSeq === (1 to out.length), "exact ranks dense")
     out.foreach { r =>
-      val (exact, approx, under) = (r.getDouble(2), r.getDouble(3), r.getDouble(5))
+      val exact = r.getDouble(2)
+      // a digest missed by EVERY segment's top-3 is legitimately NULL
+      // on the approx side — the exact failure mode the audit surfaces
+      val approx = if (r.isNullAt(3)) 0.0 else r.getDouble(3)
+      val under = r.getDouble(5)
       // the per-segment merge can only LOSE value (each segment's
       // non-top-3 contributions are dropped), never invent it
       assert(approx <= exact + 1e-6, "approx topN cannot exceed the exact total")
       assert(math.abs(under - (exact - approx)) < 1e-3, "undercount = exact - approx")
+      if (r.isNullAt(3)) assert(r.isNullAt(4), "missed digests carry no approx rank")
     }
   }
 
