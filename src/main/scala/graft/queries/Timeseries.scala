@@ -1097,7 +1097,78 @@ object Timeseries {
     FROM exact e LEFT JOIN approx a USING (event_type)
     ORDER BY e.exact_rank"""
 
+  // ------------------------------------------- qan_seasonal_residual
+  // Seasonality-aware anomaly detection: every observed hour's fleet
+  // call volume is scored against the baseline for ITS hour-of-week
+  // slot (mean ± std over all same-slot hours) — Monday 09:00 compares
+  // to Monday 09:00s, never to the global distribution. Catches the
+  // "quiet Sunday night suddenly busy" anomaly that absolute
+  // thresholds and the per-digest MAD alert both miss, and stops the
+  // daily rush hour from alarming.
+  //
+  // Determinism: per-slot moments are integer sums (n, Σy, Σy²); mean
+  // and sample variance form in one pinned double expression, the
+  // flag fires on the ROUNDED z. 100 TB shape: one hash aggregate to
+  // (hour, slot) grain, one 168-row baseline aggregate broadcast
+  // back — the corpus is read once.
+  private val qanSeasonalResidual: Q = (s, d) => {
+    val hours = events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("calls"))
+      .withColumn("dow", (dayofweek(col("bucket")) - 1).cast("long"))
+      .withColumn("hod", hour(col("bucket")).cast("long"))
+    val base = hours.groupBy(col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n_slot"),
+        sum(col("calls")).as("sy"),
+        sum(col("calls") * col("calls")).as("syy"))
+    val nD = col("n_slot").cast(DoubleType)
+    val mean = col("sy").cast(DoubleType) / nD
+    val varS = (nD * col("syy").cast(DoubleType)
+      - col("sy").cast(DoubleType) * col("sy").cast(DoubleType)) / (nD * (nD - lit(1.0)))
+    hours.join(broadcast(base), Seq("dow", "hod"))
+      .select(col("bucket"), col("dow"), col("hod"), col("calls"), col("n_slot"),
+        round(mean, 4).as("slot_mean"),
+        when(col("n_slot") > 1 && varS > 0,
+          round((col("calls").cast(DoubleType) - mean) / sqrt(varS), 4)).as("z_score"))
+      .withColumn("anomalous", coalesce(abs(col("z_score")) > 3.0, lit(false)))
+      .orderBy(col("bucket"))
+  }
+
+  private val qanSeasonalResidualSql = """
+    WITH hours AS (
+      SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS calls
+      FROM events GROUP BY 1),
+    slotted AS (
+      SELECT bucket, calls,
+        CAST(dayofweek(bucket) AS BIGINT) AS dow,
+        CAST(hour(bucket) AS BIGINT) AS hod
+      FROM hours),
+    base AS (
+      SELECT dow, hod, COUNT(*) AS n_slot,
+        CAST(SUM(calls) AS BIGINT) AS sy,
+        CAST(SUM(calls * calls) AS BIGINT) AS syy
+      FROM slotted GROUP BY 1, 2),
+    formed AS (
+      SELECT s.bucket, s.dow, s.hod, s.calls, b.n_slot,
+        CAST(b.sy AS DOUBLE) / CAST(b.n_slot AS DOUBLE) AS mean,
+        (CAST(b.n_slot AS DOUBLE) * CAST(b.syy AS DOUBLE)
+          - CAST(b.sy AS DOUBLE) * CAST(b.sy AS DOUBLE))
+          / (CAST(b.n_slot AS DOUBLE) * (CAST(b.n_slot AS DOUBLE) - 1.0)) AS var_s
+      FROM slotted s JOIN base b USING (dow, hod)),
+    scored AS (
+      SELECT bucket, dow, hod, calls, n_slot,
+        ROUND(mean, 4) AS slot_mean,
+        CASE WHEN n_slot > 1 AND var_s > 0
+          THEN ROUND((CAST(calls AS DOUBLE) - mean) / sqrt(var_s), 4)
+        END AS z_score
+      FROM formed)
+    SELECT bucket, dow, hod, calls, n_slot, slot_mean, z_score,
+      COALESCE(abs(z_score) > 3.0, false) AS anomalous
+    FROM scored
+    ORDER BY bucket"""
+
   val entries: Map[String, Q] = Map(
+    "qan_seasonal_residual" -> qanSeasonalResidual,
     "qan_topn_approx_audit" -> qanTopnApproxAudit,
     "qan_trend_forecast" -> qanTrendForecast,
     "qan_error_ztest" -> qanErrorZtest,
@@ -1120,6 +1191,7 @@ object Timeseries {
     "qan_retention" -> qanRetention)
 
   val oracles: Map[String, String] = Map(
+    "qan_seasonal_residual" -> qanSeasonalResidualSql,
     "qan_topn_approx_audit" -> qanTopnApproxAuditSql,
     "qan_trend_forecast" -> qanTrendForecastSql,
     "qan_error_ztest" -> qanErrorZtestSql,

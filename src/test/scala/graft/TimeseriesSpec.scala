@@ -223,6 +223,27 @@ class TimeseriesSpec extends SparkSpec {
     assert(out.length === nTypes * (nTypes - 1) / 2, "one row per unordered digest pair")
   }
 
+  test("qan_seasonal_residual: every observed hour scored once, z from its own slot's moments") {
+    val out = SparkEntry.queries("qan_seasonal_residual")(spark, sf).collect()
+    val nHours = Tables.events(spark, sf)
+      .select(date_trunc("hour", col("ts"))).distinct.count()
+    assert(out.length === nHours, "one row per observed hour")
+    // recompute one slot's baseline from the output itself
+    val slot = out.groupBy(r => (r.getLong(1), r.getLong(2))).head._2
+    val calls = slot.map(_.getLong(3).toDouble)
+    val mean = calls.sum / calls.length
+    slot.foreach { r =>
+      assert(math.abs(r.getDouble(5) - BigDecimal(mean)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, "slot mean")
+      if (!r.isNullAt(6)) {
+        val varS = calls.map(c => (c - mean) * (c - mean)).sum / (calls.length - 1)
+        val want = (r.getLong(3) - mean) / math.sqrt(varS)
+        assert(math.abs(r.getDouble(6) - want) < 1e-2, "z from slot moments")
+      }
+      assert(r.getBoolean(7) === (!r.isNullAt(6) && math.abs(r.getDouble(6)) > 3.0))
+    }
+  }
+
   test("qan_topn_approx_audit: approx never exceeds exact, exact ranks dense, undercount consistent") {
     val out = SparkEntry.queries("qan_topn_approx_audit")(spark, sf).collect()
     assert(out.map(_.getInt(0)).sorted.toSeq === (1 to out.length), "exact ranks dense")
