@@ -51,8 +51,12 @@ object Bench {
       }
       clearState()
     }
-    // Timed section: median of `runs` repetitions per query. A failure
-    // is recorded explicitly (never a ~0s success) and fails the run.
+    // Timed section: median of `runs` repetitions per query, PLUS the
+    // per-query min/max across those runs — an 11× flap with a tight
+    // [min,max] band is a plan cost; a wide band on an unchanged plan
+    // is environment (GC/state-store/IO variance), attributable at a
+    // glance without a re-run. A failure is recorded explicitly
+    // (never a ~0s success) and fails the run.
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = selected.map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
@@ -75,7 +79,8 @@ object Bench {
           if (s.size % 2 == 1) s(s.size / 2)
           else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
         }
-      name -> median
+      name -> (median, if (times.isEmpty) -1.0 else times.min,
+        if (times.isEmpty) -1.0 else times.max)
     }
     // The driver keeps only the last 2000 chars of stdout, and sbt's
     // trailing "[success] Total time ..." line eats ~80 of them. At 83+
@@ -90,11 +95,16 @@ object Bench {
         case c if c < ' ' => " "; case c => c.toString } + "\""
     val fails = failures.map { case (k, v) => s"${jstr(k)}:${jstr(v).take(120)}" }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    val total = results.values.map(_._1).filter(_ >= 0).sum
+    val fullQs = results.map { case (k, (med, _, _)) => s"\"" + k + "\":" + r3(med) }
       .mkString("{", ",", "}")
+    // per-query dispersion across the runs: [min, max] seconds — the
+    // self-diagnosis companion to the median map
+    val spreads = results.map { case (k, (_, mn, mx)) =>
+      s"\"" + k + "\":[" + r3(mn) + "," + r3(mx) + "]"
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"queries":$fullQs,"failures":$fails,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"queries":$fullQs,"spread":$spreads,"failures":$fails,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (fullLine + "\n").getBytes("UTF-8"))
@@ -104,12 +114,18 @@ object Bench {
     // line back in the driver's tail window and re-truncate the capture.
     // Greedy fill, slowest first — the interesting entries — until the
     // whole line fits the budget with margin for the sbt trailer.
+    // headline dispersion: the widest relative spread and its query —
+    // enough to tell "noisy run" from "plan regression" in the capped
+    // stdout line without opening BENCH_FULL.json
+    val (rsdName, rsdVal) = results.toSeq
+      .collect { case (k, (med, mn, mx)) if med > 0 => (k, (mx - mn) / med) }
+      .sortBy(-_._2).headOption.getOrElse(("none", 0.0))
     val budget = 1750
-    val header = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"q_total":${results.size},"full":"BENCH_FULL.json","queries":{"""
+    val header = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"q_total":${results.size},"full":"BENCH_FULL.json","max_spread":{${jstr(rsdName)}:${r3(rsdVal)}},"queries":{"""
     val footer = s"""},"failures":$fails,"sf":"$sfDir"}"""
     val inline = scala.collection.mutable.ArrayBuffer[String]()
     var len = header.length + footer.length
-    results.toSeq.sortBy { case (_, v) => -v }.foreach { case (k, v) =>
+    results.toSeq.sortBy { case (_, (v, _, _)) => -v }.foreach { case (k, (v, _, _)) =>
       val part = s"\"" + k + "\":" + r3(v)
       if (len + part.length + 1 <= budget) { inline += part; len += part.length + 1 }
     }

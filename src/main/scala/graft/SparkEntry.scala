@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.Polling.entries ++
       graft.queries.Extended.entries ++
       graft.queries.Corpus.entries ++
-      graft.queries.Timeseries.entries
+      graft.queries.Timeseries.entries ++
+      graft.queries.Fleet.entries
 
   /** DuckDB-equivalent SQL per query key (driver correctness gate). */
   def oracleSql: Map[String, String] =
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.Extended.oracles ++
       graft.queries.ScaleOps.oracles ++
       graft.queries.Corpus.oracles ++
-      graft.queries.Timeseries.oracles
+      graft.queries.Timeseries.oracles ++
+      graft.queries.Fleet.oracles
 }

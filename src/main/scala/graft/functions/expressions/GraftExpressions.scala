@@ -913,6 +913,162 @@ case class Int8Recon(child: Expression)
   override def prettyName: String = "int8_recon"
 }
 
+/** Aggregation buffer for [[VectorDecimalMean]]: a group row count
+  * plus one exact decimal sum per dimension (null = no contribution
+  * yet — distinguishes "no finite element seen" from a zero sum,
+  * which the NULL-semantics contract below requires).
+  */
+final class VecMeanBuffer(val dim: Int) extends Serializable {
+  var n: Long = 0L
+  val sums: Array[java.math.BigDecimal] = new Array[java.math.BigDecimal](dim)
+}
+
+/** Per-dimension mean of an array<double> group with decimal-exact
+  * accumulation — ONE compiled aggregate kernel replacing the
+  * 64-wide `sum(try_element_at(v, i).cast(DECIMAL(18,6)))` aggregate
+  * list whose per-dimension expression overhead was the IVF Lloyd
+  * refinement's cost (r5 bench: 0.72 s → 3.49 s).
+  *
+  * Semantics contract (EdgeCaseSpec's degenerate-vector sweep pins
+  * it; bit-compatible with the expression formulation it replaces):
+  *  - every input row counts toward n, even a NULL / empty vector
+  *    (`count(lit(1))` semantics);
+  *  - a missing dimension (short vector), NULL element, NaN/Inf
+  *    (double→decimal cast → NULL), or |element| ≥ 10¹² (DECIMAL(18,6)
+  *    overflow → NULL under non-ANSI cast) contributes nothing;
+  *  - each contribution is the element rounded HALF_UP to 6 dp —
+  *    exactly `CAST(double AS DECIMAL(18,6))` on both engines;
+  *  - a dimension with no contributions (or a sum past the
+  *    DECIMAL(28,6) domain, the non-ANSI sum-overflow NULL) yields
+  *    the COALESCE(sum, 0) of the original formulation: 0/n;
+  *  - the mean is `sum.toDouble / n` — the same one-double-division
+  *    shape DuckDB's replay uses, so centroids stay bit-identical.
+  *
+  * Runs as ObjectHashAggregate with map-side partial merge; the
+  * buffer is dim BigDecimals, so a 64-dim refinement carries one
+  * object per group instead of 64 Decimal aggregate buffers.
+  */
+case class VectorDecimalMean(
+    child: Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[VecMeanBuffer]
+  with ImplicitCastInputTypes
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  import java.math.{BigDecimal => JBD}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  // DECIMAL(18,6) element / DECIMAL(28,6) sum domain bounds — the
+  // non-ANSI NULL-on-overflow thresholds of the replaced expressions
+  @transient private lazy val elemLimit = JBD.TEN.pow(12)
+  @transient private lazy val sumLimit = JBD.TEN.pow(22)
+
+  override def createAggregationBuffer(): VecMeanBuffer = new VecMeanBuffer(dim)
+
+  override def update(b: VecMeanBuffer, input: InternalRow): VecMeanBuffer = {
+    b.n += 1
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val m = math.min(arr.numElements(), dim)
+      var i = 0
+      while (i < m) {
+        if (!arr.isNullAt(i)) {
+          val d = arr.getDouble(i)
+          if (!java.lang.Double.isNaN(d) && !java.lang.Double.isInfinite(d)) {
+            val bd = JBD.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
+            if (bd.abs.compareTo(elemLimit) < 0) {
+              b.sums(i) = if (b.sums(i) == null) bd else b.sums(i).add(bd)
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    b
+  }
+
+  override def merge(b: VecMeanBuffer, o: VecMeanBuffer): VecMeanBuffer = {
+    b.n += o.n
+    var i = 0
+    while (i < dim) {
+      if (o.sums(i) != null) {
+        b.sums(i) = if (b.sums(i) == null) o.sums(i) else b.sums(i).add(o.sums(i))
+      }
+      i += 1
+    }
+    b
+  }
+
+  override def eval(b: VecMeanBuffer): Any = {
+    if (b.n == 0L) return null
+    val out = new Array[Any](dim)
+    val nD = b.n.toDouble
+    var i = 0
+    while (i < dim) {
+      val s = b.sums(i)
+      val sD =
+        if (s == null || s.abs.compareTo(sumLimit) >= 0) 0.0
+        else s.doubleValue()
+      out(i) = sD / nD
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(b: VecMeanBuffer): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeLong(b.n)
+    out.writeInt(b.dim)
+    var i = 0
+    while (i < b.dim) {
+      val s = b.sums(i)
+      if (s == null) out.writeInt(-1)
+      else {
+        val bytes = s.unscaledValue().toByteArray
+        out.writeInt(bytes.length)
+        out.write(bytes)
+      }
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): VecMeanBuffer = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readLong()
+    val d = in.readInt()
+    val b = new VecMeanBuffer(d)
+    b.n = n
+    var i = 0
+    while (i < d) {
+      val len = in.readInt()
+      if (len >= 0) {
+        val u = new Array[Byte](len)
+        in.readFully(u)
+        b.sums(i) = new JBD(new java.math.BigInteger(u), 6)
+      }
+      i += 1
+    }
+    b
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def withNewMutableAggBufferOffset(o: Int): VectorDecimalMean =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VectorDecimalMean =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "vector_decimal_mean"
+}
+
 /** Column-level entry points (Spark 4: Column↔Expression bridge via
   * classic.ExpressionUtils).
   */
@@ -943,6 +1099,8 @@ object GraftFunctions {
     column(NearestCellDist(expression(v), cents.toSeq.map(_.toSeq)))
   def int8QuantStats(v: Column): Column = column(Int8QuantStats(expression(v)))
   def int8Recon(v: Column): Column = column(Int8Recon(expression(v)))
+  def vectorDecimalMean(v: Column, dim: Int): Column =
+    column(VectorDecimalMean(expression(v), dim).toAggregateExpression())
   // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
   // runtime row-level filtering but does not register them as SQL
   // functions; surfacing them here gives pipelines the standard

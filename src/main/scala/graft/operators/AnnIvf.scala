@@ -47,32 +47,24 @@ object AnnIvf {
 
   /** One Lloyd refinement: assign to the nearest seeded centroid
     * (ties → lowest cell, via the NearestCell argmin projection), then
-    * per-cell per-dimension means with decimal-exact sums — one
-    * hash-aggregate with map-side partials, no row explosion. Returns
-    * (cell, centroid: array<double>); empty cells vanish (no members →
-    * no mean), deterministically.
+    * per-cell per-dimension means through ONE compiled vector-sum
+    * aggregate kernel (VectorDecimalMean: decimal-exact accumulation,
+    * map-side partial merge, no row explosion). The kernel pins the
+    * exact NULL semantics of the `try_element_at(v, i).cast(DECIMAL)`
+    * formulation it replaced — a degenerate (empty/short/NaN) vector
+    * contributes NULL to dims it lacks, an all-NULL dim pins to 0.0 on
+    * BOTH engines (EdgeCaseSpec embeddings sweep) — without that
+    * formulation's 64 independent aggregate expressions per row (the
+    * r5 bench regression). Returns (cell, centroid: array<double>);
+    * empty cells vanish (no members → no mean), deterministically.
     */
   def refinedCentroids(corpus: DataFrame, cells: Int, dim: Int): DataFrame = {
     val cents = centroids0(cells, dim)
-    val assigned = corpus.withColumn("cell",
-      GraftFunctions.nearestCell(col("v"), cents, Array.tabulate(cells)(identity)))
-    val sums = (0 until dim).map(i =>
-      // try_element_at: a degenerate (empty/short) vector contributes
-      // NULL to dims it lacks — exactly DuckDB's out-of-range list
-      // index, so the oracle replay is unchanged and one bad vector
-      // cannot kill the job (EdgeCaseSpec embeddings sweep)
-      sum(try_element_at(col("v"), lit(i + 1)).cast(DecimalType(18, 6))).as(s"__s$i"))
-    assigned
+    corpus
+      .withColumn("cell",
+        GraftFunctions.nearestCell(col("v"), cents, Array.tabulate(cells)(identity)))
       .groupBy(col("cell"))
-      .agg(count(lit(1)).as("__n"), sums: _*)
-      .select(col("cell"),
-        array((0 until dim).map(i =>
-          // coalesce: a cell whose every member lacks dim i means an
-          // all-NULL sum; pin the element to 0.0 on BOTH engines
-          // (collectCentroids would silently unbox NULL to 0.0 here,
-          // while DuckDB's replay would keep NULL — a parity trap)
-          coalesce(col(s"__s$i"), lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 6)))
-            .cast(DoubleType) / col("__n")): _*).as("centroid"))
+      .agg(GraftFunctions.vectorDecimalMean(col("v"), dim).as("centroid"))
   }
 
   /** Driver-side materialization of the refined centroids, ascending

@@ -1,0 +1,280 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables._
+
+/** Fleet topology + collection-controls surface (SURVEY §2.B, round
+  * 6) — the reference's instance-management TODOs as queries:
+  *
+  *  - cluster/replica grouping (reference docs/TODO.md §4 "Enhance
+  *    instance tracking with explicit cluster/replica grouping", §9
+  *    "aggregation of metrics across all nodes in a cluster" /
+  *    "replication lag tracking between primary and replicas"):
+  *    instances roll up to a derived cluster dim, and each cluster's
+  *    primary is compared per digest against its replicas' mean.
+  *  - query-comment metadata (TODO.md §7 "parsing for query comments
+  *    ('application:name' comment style)" + §8 "profiling by
+  *    custom metadata"): an app tag is parsed out of the statement
+  *    comment, comments are stripped BEFORE literal normalization
+  *    (so the digest is app-independent), and metrics roll up per
+  *    app × digest.
+  *  - sample-collection controls (TODO.md §1 "sampling rate
+  *    configuration (collect only N% of queries)" / "maximum sample
+  *    length configuration"): the carried query_sample is gated by a
+  *    salted-hash rate rule (reproducible under re-runs, partitioning
+  *    and growth — the same membership rule as doc_stratified_sample)
+  *    and truncated to a byte budget, with the realized rate audited.
+  *
+  * Cluster topology is derived deterministically (cluster = user_id
+  * div 5, primary = the member ≡ 0 mod 5) because the corpus carries
+  * no explicit topology table — the mapping is the documented
+  * scaffold, identical on the oracle side; a deployment would join a
+  * real instance→(cluster, role) dimension table instead, which is
+  * broadcast-sized by construction (one row per instance).
+  *
+  * 100 TB shape: every query here is ONE map-side-combined hash
+  * aggregate over the scan (conditional sums for the role split — no
+  * self-join, no window over raw events); the only window is
+  * qan_sample_controls' latest-sample rank, partitioned by digest on
+  * the rate-filtered ~N% subset.
+  */
+object Fleet {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
+
+  private val ClusterSize = 5
+
+  private def withTopology(ev: DataFrame): DataFrame = ev
+    .withColumn("cluster_id", expr(s"user_id div $ClusterSize"))
+    .withColumn("is_primary", col("user_id") % ClusterSize === 0)
+
+  // --------------------------------------------------- qan_cluster_rollup
+  // Cluster-level metric aggregation (TODO.md §9): per cluster ×
+  // digest, member count, call volume and exact-decimal value totals,
+  // plus per-instance normalizations — "is this cluster hot because
+  // one member is, or because all are".
+  private val qanClusterRollup: Q = (s, d) =>
+    withTopology(events(s, d))
+      .groupBy(col("cluster_id"), col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_instances"),
+        count(lit(1)).as("calls"),
+        dsum(col("value")).as("total_value"))
+      .select(col("cluster_id"), col("event_type"), col("n_instances"),
+        col("calls"), col("total_value"),
+        round(col("calls").cast(DoubleType) / col("n_instances").cast(DoubleType), 4)
+          .as("calls_per_instance"),
+        round(col("total_value") / col("n_instances").cast(DoubleType), 4)
+          .as("value_per_instance"))
+      .orderBy(col("cluster_id"), col("event_type"))
+
+  private val qanClusterRollupSql = s"""
+    SELECT user_id // $ClusterSize AS cluster_id, event_type,
+      COUNT(DISTINCT user_id) AS n_instances,
+      COUNT(*) AS calls,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+      ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(COUNT(DISTINCT user_id) AS DOUBLE), 4)
+        AS calls_per_instance,
+      ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        / CAST(COUNT(DISTINCT user_id) AS DOUBLE), 4) AS value_per_instance
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2"""
+
+  // --------------------------------------------------- qan_replica_compare
+  // Primary-vs-replica comparison (TODO.md §9 "replication lag
+  // tracking between primary and replicas", §4 "comparing queries
+  // across database instances"): per cluster × digest, the primary's
+  // load vs the per-replica mean, with a divergence flag past ±50% —
+  // a replica running a digest 2× hotter than its primary is either
+  // lagging (replay storm) or mis-routed. One conditional-sum hash
+  // aggregate; all ratios form from exact decimal totals in one
+  // pinned double expression, and the flag fires on the ROUNDED
+  // ratio so it cannot flap across engines.
+  private val qanReplicaCompare: Q = (s, d) => {
+    val agg = withTopology(events(s, d))
+      .groupBy(col("cluster_id"), col("event_type"))
+      .agg(
+        sum(when(col("is_primary"), col("value")).cast(DecimalType(18, 6))).as("pv"),
+        sum(when(!col("is_primary"), col("value")).cast(DecimalType(18, 6))).as("rv"),
+        count(when(col("is_primary"), 1)).as("primary_calls"),
+        count(when(!col("is_primary"), 1)).as("replica_calls"),
+        countDistinct(when(!col("is_primary"), col("user_id"))).as("n_replicas"))
+    val replicaAvg = col("rv").cast(DoubleType) / col("n_replicas").cast(DoubleType)
+    val ratio = when(col("pv").isNotNull && col("pv") > 0 && col("n_replicas") > 0,
+      round(replicaAvg / col("pv").cast(DoubleType), 6))
+    agg
+      .select(col("cluster_id"), col("event_type"),
+        col("primary_calls"), col("replica_calls"), col("n_replicas"),
+        round(col("pv").cast(DoubleType), 4).as("primary_value"),
+        when(col("n_replicas") > 0, round(replicaAvg, 4)).as("replica_avg_value"),
+        ratio.as("replica_ratio"),
+        coalesce(abs(ratio - 1.0) > 0.5, lit(false)).as("diverged"))
+      .orderBy(col("cluster_id"), col("event_type"))
+  }
+
+  private val qanReplicaCompareSql = s"""
+    WITH agg AS (
+      SELECT user_id // $ClusterSize AS cluster_id, event_type,
+        SUM(CAST(CASE WHEN user_id % $ClusterSize = 0 THEN value END AS DECIMAL(18,6))) AS pv,
+        SUM(CAST(CASE WHEN user_id % $ClusterSize <> 0 THEN value END AS DECIMAL(18,6))) AS rv,
+        COUNT(CASE WHEN user_id % $ClusterSize = 0 THEN 1 END) AS primary_calls,
+        COUNT(CASE WHEN user_id % $ClusterSize <> 0 THEN 1 END) AS replica_calls,
+        COUNT(DISTINCT CASE WHEN user_id % $ClusterSize <> 0 THEN user_id END) AS n_replicas
+      FROM events
+      GROUP BY 1, 2),
+    formed AS (
+      SELECT *,
+        CASE WHEN pv IS NOT NULL AND pv > 0 AND n_replicas > 0
+          THEN ROUND((CAST(rv AS DOUBLE) / CAST(n_replicas AS DOUBLE))
+            / CAST(pv AS DOUBLE), 6) END AS replica_ratio
+      FROM agg)
+    SELECT cluster_id, event_type, primary_calls, replica_calls, n_replicas,
+      ROUND(CAST(pv AS DOUBLE), 4) AS primary_value,
+      CASE WHEN n_replicas > 0
+        THEN ROUND(CAST(rv AS DOUBLE) / CAST(n_replicas AS DOUBLE), 4) END
+        AS replica_avg_value,
+      replica_ratio,
+      COALESCE(abs(replica_ratio - 1.0) > 0.5, false) AS diverged
+    FROM formed
+    ORDER BY 1, 2"""
+
+  // --------------------------------------------------- qan_app_metadata
+  // Query-comment metadata (TODO.md §7): statements carry an
+  // `/* application:name */` comment; the app tag is parsed out, the
+  // comment is stripped BEFORE literal normalization — so the digest
+  // is the statement's shape, independent of which app issued it —
+  // and metrics roll up per app × digest (TODO.md §8's "profiling by
+  // custom metadata"). Statements are synthesized deterministically
+  // from events exactly as qan_digest_normalize documents (the corpus
+  // has no raw SQL); the comment convention is the TODO's own
+  // example. Pure regexp projections + one hash aggregate.
+  private val qanAppMetadata: Q = (s, d) =>
+    events(s, d)
+      .withColumn("k",
+        nullif(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1), lit("")).cast("long"))
+      .withColumn("raw_sql", concat(
+        lit("/* application:app_"), col("user_id") % 3, lit(" */ SELECT * FROM "),
+        col("event_type"), lit("s WHERE id = "), col("k")))
+      .withColumn("app", regexp_extract(col("raw_sql"), "application:([a-z0-9_]+)", 1))
+      .withColumn("norm_text",
+        trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          lower(col("raw_sql")),
+          "/\\*[^*]*\\*/", " "), "'[^']*'", "?"), "\\b[0-9]+\\b", "?"), "\\s+", " ")))
+      .withColumn("digest", substring(md5(col("norm_text")), 1, 16))
+      .groupBy(col("app"), col("digest"), col("norm_text"))
+      .agg(count(lit(1)).as("n_statements"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("total_value"))
+      .orderBy(col("app"), col("digest"))
+
+  private val qanAppMetadataSql = """
+    WITH raw AS (
+      SELECT user_id, value,
+        '/* application:app_' || (user_id % 3) || ' */ SELECT * FROM '
+          || event_type || 's WHERE id = '
+          || CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT) AS raw_sql
+      FROM events),
+    norm AS (
+      SELECT user_id, value,
+        regexp_extract(raw_sql, 'application:([a-z0-9_]+)', 1) AS app,
+        trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(raw_sql),
+          '/\*[^*]*\*/', ' ', 'g'), '''[^'']*''', '?', 'g'),
+          '\b[0-9]+\b', '?', 'g'), '\s+', ' ', 'g')) AS norm_text
+      FROM raw)
+    SELECT app, substr(md5(norm_text), 1, 16) AS digest, norm_text,
+      COUNT(*) AS n_statements,
+      COUNT(DISTINCT user_id) AS n_users,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM norm
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2"""
+
+  // --------------------------------------------------- qan_sample_controls
+  // Sample-collection controls (TODO.md §1): collect the statement
+  // sample for only RATE% of events — membership decided per event by
+  // the salted-hash threshold rule, so the sample set is reproducible
+  // under re-runs, partitioning and corpus growth, never a count-pass
+  // or an RNG — and truncate every collected sample to MAX_LEN chars.
+  // Output per digest: true call volume (counting is never sampled),
+  // realized sample count/rate (the audit that the gate replays
+  // exactly), truncation count, and the latest collected sample.
+  private val SampleRatePct = 20
+  private val SampleMaxLen = 20
+
+  private val qanSampleControls: Q = (s, d) => {
+    val base = events(s, d)
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("event_id").cast("string"),
+          lit("|graft-sample-rate-v1"))), 1, 8), 16, 10).cast("long") % 100)
+      .withColumn("sample_full",
+        concat(col("event_type"), lit(" /*"), col("props"), lit("*/")))
+    val sampled = base.filter(col("bucket") < SampleRatePct)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        substring(col("sample_full"), 1, SampleMaxLen).as("sample"),
+        (length(col("sample_full")) > SampleMaxLen).as("was_trunc"))
+    val latest = sampled
+      .withColumn("rn", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("sample").as("latest_sample"))
+    val sagg = sampled.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sampled"),
+        count(when(col("was_trunc"), 1)).as("n_truncated"))
+    base.groupBy(col("event_type")).agg(count(lit(1)).as("calls"))
+      .join(sagg, Seq("event_type"), "left")
+      .join(latest, Seq("event_type"), "left")
+      .select(col("event_type"), col("calls"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("n_truncated"), lit(0L)).as("n_truncated"),
+        round(coalesce(col("n_sampled"), lit(0L)).cast(DoubleType) /
+          col("calls").cast(DoubleType), 4).as("sampled_frac"),
+        col("latest_sample"))
+      .orderBy(col("event_type"))
+  }
+
+  private val qanSampleControlsSql = s"""
+    WITH base AS (
+      SELECT event_type, ts, event_id,
+        CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|graft-sample-rate-v1'), 1, 8)) AS BIGINT) % 100 AS bucket,
+        event_type || ' /*' || props || '*/' AS sample_full
+      FROM events),
+    sampled AS (
+      SELECT event_type, ts, event_id,
+        substr(sample_full, 1, $SampleMaxLen) AS sample,
+        length(sample_full) > $SampleMaxLen AS was_trunc,
+        ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY ts DESC, event_id DESC) AS rn
+      FROM base WHERE bucket < $SampleRatePct),
+    sagg AS (
+      SELECT event_type, COUNT(*) AS n_sampled,
+        COUNT(CASE WHEN was_trunc THEN 1 END) AS n_truncated,
+        MAX(CASE WHEN rn = 1 THEN sample END) AS latest_sample
+      FROM sampled GROUP BY 1),
+    agg AS (SELECT event_type, COUNT(*) AS calls FROM base GROUP BY 1)
+    SELECT a.event_type, a.calls,
+      COALESCE(s.n_sampled, 0) AS n_sampled,
+      COALESCE(s.n_truncated, 0) AS n_truncated,
+      ROUND(CAST(COALESCE(s.n_sampled, 0) AS DOUBLE) / CAST(a.calls AS DOUBLE), 4)
+        AS sampled_frac,
+      s.latest_sample
+    FROM agg a LEFT JOIN sagg s USING (event_type)
+    ORDER BY 1"""
+
+  val entries: Map[String, Q] = Map(
+    "qan_cluster_rollup" -> qanClusterRollup,
+    "qan_replica_compare" -> qanReplicaCompare,
+    "qan_app_metadata" -> qanAppMetadata,
+    "qan_sample_controls" -> qanSampleControls)
+
+  val oracles: Map[String, String] = Map(
+    "qan_cluster_rollup" -> qanClusterRollupSql,
+    "qan_replica_compare" -> qanReplicaCompareSql,
+    "qan_app_metadata" -> qanAppMetadataSql,
+    "qan_sample_controls" -> qanSampleControlsSql)
+}

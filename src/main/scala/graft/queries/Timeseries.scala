@@ -84,17 +84,20 @@ object Timeseries {
   // render as "top queries" pie/bar charts without dropping the tail.
   //
   // 100 TB shape: the corpus collapses through one map-side-combined
-  // hash aggregate to |dimension| rows BEFORE any ranking; the global
-  // row_number window and the grand-total broadcast run on that tiny
-  // aggregate, never on raw data. Sums stay DECIMAL through the
-  // re-group so the "(others)" fold is order-independent.
+  // hash aggregate to |dimension| rows BEFORE any ranking; the
+  // ranking itself is Ranking.globalRowNumber — range-partitioned
+  // two-phase rank, so even a 10⁷-digest dimension never funnels
+  // through a single-partition window — and the grand-total broadcast
+  // runs on the collapsed aggregate, never on raw data. Sums stay
+  // DECIMAL through the re-group so the "(others)" fold is
+  // order-independent.
   private val qanTopnOthers: Q = (s, d) => {
     val agg = events(s, d)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("calls"),
         sum(col("value").cast(DecimalType(18, 6))).as("tv"))
-    val ranked = agg.withColumn("rk",
-      row_number().over(Window.orderBy(col("tv").desc, col("event_type"))))
+    val ranked = graft.operators.Ranking.globalRowNumber(
+      agg, Seq(col("tv").desc, col("event_type")), "rk")
     val grand = agg.agg(sum(col("tv")).as("gv"))
     ranked
       .withColumn("bucket_name",
@@ -713,15 +716,24 @@ object Timeseries {
   // moments), so the 6dp-rounded r cannot flap.
   //
   // 100 TB shape: the corpus collapses to (digest, hour) totals in
-  // one hash aggregate; the spine is |hours|×|digests| (bounded by
-  // retention × fleet digest count); the pair join is keyed on the
-  // hour bucket, so each hour contributes |digests|² pair rows at
-  // most — never event-count work; the moments aggregate is map-side
-  // combined.
+  // one hash aggregate, then the pairing universe is HARD-BOUNDED to
+  // the top-K digests by total volume (K=100, a TakeOrderedAndProject
+  // + broadcast semi-join): pair work is K²·hours regardless of fleet
+  // digest cardinality — a 10⁴-digest fleet would otherwise put 10⁸
+  // pair rows per hour through the join, and correlation against
+  // noise-floor digests is meaningless anyway. The spine is
+  // |hours|×K; the moments aggregate is map-side combined.
   private val qanMetricCorrelation: Q = (s, d) => {
-    val hourly = events(s, d)
+    val corrK = 100
+    val hourlyAll = events(s, d)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
       .agg(sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(18, 6)).as("dv"))
+    val topDigests = hourlyAll.groupBy(col("event_type"))
+      .agg(coalesce(sum(col("dv")), lit(0).cast(DecimalType(28, 6))).as("__total"))
+      .orderBy(col("__total").desc, col("event_type"))
+      .limit(corrK)
+      .select(col("event_type"))
+    val hourly = hourlyAll.join(broadcast(topDigests), Seq("event_type"), "left_semi")
     val spine = hourly.select(col("bucket")).distinct()
       .crossJoin(hourly.select(col("event_type")).distinct())
     val series = spine.join(hourly, Seq("event_type", "bucket"), "left")
@@ -761,14 +773,25 @@ object Timeseries {
         CAST(CASE WHEN abs(SUM(CAST(value AS DECIMAL(18,6)))) < 1000000000000
           THEN SUM(CAST(value AS DECIMAL(18,6))) END AS DECIMAL(19,6)) AS dv
       FROM events GROUP BY 1, 2),
+    -- replay of the Spark-side K=100 volume prefilter: the pairing
+    -- universe is the top-K digests by total hourly volume (ties on
+    -- the digest), so pair work is K²·hours at any fleet size
+    topk AS (
+      SELECT event_type FROM (
+        SELECT event_type, COALESCE(SUM(dv), CAST(0 AS DECIMAL(19,6))) AS total
+        FROM hourly GROUP BY 1
+        ORDER BY total DESC, event_type
+        LIMIT 100)),
+    hourlyk AS (
+      SELECT h.* FROM hourly h JOIN topk USING (event_type)),
     spine AS (
       SELECT b.bucket, t.event_type
-      FROM (SELECT DISTINCT bucket FROM hourly) b
-      CROSS JOIN (SELECT DISTINCT event_type FROM hourly) t),
+      FROM (SELECT DISTINCT bucket FROM hourlyk) b
+      CROSS JOIN (SELECT DISTINCT event_type FROM hourlyk) t),
     series AS (
       SELECT s.event_type, s.bucket,
         COALESCE(h.dv, CAST(0 AS DECIMAL(19,6))) AS dv
-      FROM spine s LEFT JOIN hourly h USING (event_type, bucket)),
+      FROM spine s LEFT JOIN hourlyk h USING (event_type, bucket)),
     moments AS (
       SELECT a.event_type AS a_type, b.event_type AS b_type,
         COUNT(*) AS n,
@@ -1042,7 +1065,10 @@ object Timeseries {
   // per-segment top-3 is a bounded-heap window per instance (the
   // TopKPerGroup rewrite applies); everything after runs on ≤3 rows
   // per instance, and the exact side reuses the same collapsed
-  // aggregate — the corpus is read once.
+  // aggregate — the corpus is read once. Both global rankings go
+  // through Ranking.globalRowNumber (range-partitioned two-phase
+  // rank), so a 10⁶-digest dimension never hits a single-partition
+  // window.
   private val qanTopnApproxAudit: Q = (s, d) => {
     val seg = events(s, d)
       .groupBy(col("user_id"), col("event_type"))
@@ -1051,14 +1077,12 @@ object Timeseries {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("user_id")).orderBy(col("dv").desc, col("event_type"))))
       .filter(col("rk") <= 3)
-    val approx = segTop.groupBy(col("event_type"))
-      .agg(sum(col("dv")).as("approx_dv"))
-      .withColumn("approx_rank", row_number().over(
-        Window.orderBy(col("approx_dv").desc, col("event_type"))))
-    val exact = seg.groupBy(col("event_type"))
-      .agg(sum(col("dv")).as("exact_dv"))
-      .withColumn("exact_rank", row_number().over(
-        Window.orderBy(col("exact_dv").desc, col("event_type"))))
+    val approx = graft.operators.Ranking.globalRowNumber(
+      segTop.groupBy(col("event_type")).agg(sum(col("dv")).as("approx_dv")),
+      Seq(col("approx_dv").desc, col("event_type")), "approx_rank")
+    val exact = graft.operators.Ranking.globalRowNumber(
+      seg.groupBy(col("event_type")).agg(sum(col("dv")).as("exact_dv")),
+      Seq(col("exact_dv").desc, col("event_type")), "exact_rank")
     exact.join(approx, Seq("event_type"), "left")
       .select(col("exact_rank"), col("event_type"),
         round(col("exact_dv").cast(DoubleType), 4).as("exact_value"),

@@ -173,6 +173,61 @@ class AnnSpec extends SparkSpec {
       .foreach(r => assert(r.getInt(1) === 1))
   }
 
+  test("tuned multi-table ANN reaches healthy recall where the 6-bit control cannot") {
+    val out = SparkEntry.queries("emb_ann_recall_tuned")(spark, sf).collect()
+    assert(out.length === 5)
+    val mean = out.map(_.getDouble(4)).sum / out.length
+    assert(mean >= 0.8, s"tuned mean recall $mean below the healthy-index bar")
+    // the audit must also carry its price: candidates are a strict
+    // subset of the corpus (bucket-bounded, not brute force)
+    val corpusN = Tables.embeddings(spark, sf).count()
+    out.foreach(r => assert(r.getLong(3) < corpusN, "candidate set must not be the whole corpus"))
+  }
+
+  test("VectorDecimalMean kernel == the per-dim try_element_at aggregate formulation") {
+    // the compiled Lloyd vector-sum must be bit-identical to the
+    // 64-wide expression list it replaced, across every degenerate
+    // shape the EdgeCase sweep feeds it: short/empty/null vectors,
+    // NaN and Infinity coordinates (cast → NULL), and HALF_UP
+    // rounding at the 6th dp. (Deliberate hardening deviation, NOT
+    // tested here: a finite element outside the DECIMAL(18,6) domain
+    // throws under ANSI in the expression form but contributes NULL
+    // in the kernel — a total function beats a job-killer at 100 TB,
+    // and no real embedding carries ≥1e12 coordinates.)
+    import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, LongType, StructField, StructType}
+    import graft.functions.expressions.GraftFunctions
+    val dim = 5
+    def jl(xs: Double*): java.util.List[java.lang.Double] = {
+      val l = new java.util.ArrayList[java.lang.Double]()
+      xs.foreach(x => l.add(x): Unit)
+      l
+    }
+    val rows = java.util.List.of(
+      org.apache.spark.sql.Row(0L, jl(0.1, 0.2, 0.3, 0.4, 0.5)),
+      org.apache.spark.sql.Row(0L, jl(1.25, -2.5)),                  // short
+      org.apache.spark.sql.Row(0L, null),                            // null vector
+      org.apache.spark.sql.Row(1L, jl()),                            // empty
+      org.apache.spark.sql.Row(1L, jl(Double.NaN, Double.PositiveInfinity,
+        123456.789, 0.0000005, -0.0000005)),
+      org.apache.spark.sql.Row(1L, jl(2.0, 3.0, 4.0, 5.0, 6.0)))
+    val df = spark.createDataFrame(rows, StructType(Seq(
+      StructField("g", LongType), StructField("v", ArrayType(DoubleType)))))
+    val viaKernel = df.groupBy(col("g"))
+      .agg(GraftFunctions.vectorDecimalMean(col("v"), dim).as("centroid"))
+      .orderBy(col("g")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toList))
+    val sums = (0 until dim).map(i =>
+      sum(try_element_at(col("v"), lit(i + 1)).cast(DecimalType(18, 6))).as(s"__s$i"))
+    val viaExprs = df.groupBy(col("g"))
+      .agg(count(lit(1)).as("__n"), sums: _*)
+      .select(col("g"), array((0 until dim).map(i =>
+        coalesce(col(s"__s$i"), lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 6)))
+          .cast(DoubleType) / col("__n")): _*).as("centroid"))
+      .orderBy(col("g")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toList))
+    assert(viaKernel.toSeq === viaExprs.toSeq)
+  }
+
   test("multimodal stub: features deterministic and shaped") {
     val out = SparkEntry.queries("mm_feature_stub")(spark, sf).collect()
     assert(out.length == Tables.documents(spark, sf).count())

@@ -191,12 +191,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("topN family: no partition-less window anywhere in the plan") {
+    // a Window with an empty partitionSpec funnels its whole input
+    // through ONE task — Ranking.globalRowNumber (range-partitioned
+    // two-phase rank) must have eliminated every one of these, so a
+    // 10⁶-digest dimension aggregate still ranks distributed
+    for (q <- Seq("qan_topn_others", "qan_topn_approx_audit")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val offenders = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(offenders.isEmpty,
+        s"$q: partition-less window(s) in plan:\n${offenders.mkString("\n")}")
+    }
+  }
+
   test("qan_topn_others ranks only the collapsed aggregate, never raw events") {
     val plan = executedPlan("qan_topn_others")
-    // the single-partition window is fine ONLY above the dimension
-    // aggregate: the first HashAggregate must appear BEFORE (below)
-    // any Window in the plan string read bottom-up — i.e. the Window
-    // node's position is above some aggregate
+    // the ranking window (partitioned, via globalRowNumber) sits above
+    // the dimension aggregate: some aggregate must appear below it
     val win = plan.indexOf("Window")
     assert(win >= 0, plan)
     assert(plan.indexOf("HashAggregate", win) >= 0,
