@@ -292,6 +292,24 @@ object ExprKernels {
     dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
+  /** Cosine similarity under a per-dimension weight profile — the
+    * Matryoshka-structure simulator: cos(x∘w, y∘w) in one compiled
+    * index-order pass (the oracle replays the identical fold with the
+    * weight literals inlined). Folds min(|x|, |y|, |w|) dims, same
+    * truncation convention as [[cosineSimilarity]].
+    */
+  def weightedCosine(x: ArrayData, y: ArrayData, w: Array[Double]): Double = {
+    val n = math.min(math.min(x.numElements(), y.numElements()), w.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i) * w(i); val yv = y.getDouble(i) * w(i)
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
   /** Shannon character entropy in bits — the gibberish/repetition
     * quality signal (low entropy = repeated boilerplate, high =
     * random noise; natural text sits ~3.5–4.5 bits/char).
@@ -913,6 +931,28 @@ case class Int8Recon(child: Expression)
   override def prettyName: String = "int8_recon"
 }
 
+/** Cosine under a per-dimension weight profile (weights ride along as
+  * a reference object, like the LSH planes) — one compiled pass, no
+  * materialized weighted-vector column, no HOF transform on the scan.
+  */
+case class WeightedCosine(left: Expression, right: Expression, weights: Seq[Double])
+    extends BinaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  @transient private lazy val wArr: Array[Double] = weights.toArray
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.weightedCosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], wArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("weights", wArr, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.ExprKernels.weightedCosine($a, $b, $ref);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "weighted_cosine"
+}
+
 /** Aggregation buffer for [[VectorDecimalMean]]: a group row count
   * plus one exact decimal sum per dimension (null = no contribution
   * yet — distinguishes "no finite element seen" from a zero sum,
@@ -1101,6 +1141,8 @@ object GraftFunctions {
   def int8Recon(v: Column): Column = column(Int8Recon(expression(v)))
   def vectorDecimalMean(v: Column, dim: Int): Column =
     column(VectorDecimalMean(expression(v), dim).toAggregateExpression())
+  def weightedCosine(a: Column, b: Column, w: Array[Double]): Column =
+    column(WeightedCosine(expression(a), expression(b), w.toSeq))
   // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
   // runtime row-level filtering but does not register them as SQL
   // functions; surfacing them here gives pipelines the standard

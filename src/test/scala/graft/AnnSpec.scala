@@ -184,6 +184,18 @@ class AnnSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(3) < corpusN, "candidate set must not be the whole corpus"))
   }
 
+  test("matryoshka demo (structured corpus) beats the unstructured control decisively") {
+    val control = SparkEntry.queries("emb_matryoshka_recall")(spark, sf).collect()
+      .map(_.getDouble(3))
+    val demo = SparkEntry.queries("emb_matryoshka_demo")(spark, sf).collect()
+      .map(_.getDouble(3))
+    val (cMean, dMean) = (control.sum / control.length, demo.sum / demo.length)
+    assert(dMean >= 0.8, s"structured-corpus prefix recall $dMean below the healthy bar")
+    assert(dMean >= cMean + 0.5,
+      s"demo ($dMean) must dominate the unstructured control ($cMean) — " +
+        "the pair exists to show the audit measures corpus structure")
+  }
+
   test("VectorDecimalMean kernel == the per-dim try_element_at aggregate formulation") {
     // the compiled Lloyd vector-sum must be bit-identical to the
     // 64-wide expression list it replaced, across every degenerate
