@@ -380,10 +380,15 @@ object Corpus {
         count(lit(1)).as("n_positions"),
         countDistinct(col("word")).as("n_words"))
       .orderBy(col("total_count").desc, col("pair")).limit(20)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("total_count").desc, col("pair"))))
-      .select(col("rank"), col("pair"), col("total_count"),
-        col("n_positions"), col("n_words"))
+      // rank the 20 winners WITHOUT a partition-less window: fold them
+      // into one sorted array (struct sort: -total_count, pair) and
+      // posexplode — position+1 IS the row_number over that order
+      .select(struct((col("total_count") * -1).as("neg"), col("pair"),
+        col("total_count"), col("n_positions"), col("n_words")).as("w"))
+      .agg(sort_array(collect_list(col("w"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "w")))
+      .select((col("pos") + 1).cast("int").as("rank"), col("w.pair"),
+        col("w.total_count"), col("w.n_positions"), col("w.n_words"))
       .orderBy(col("rank"))
   }
 

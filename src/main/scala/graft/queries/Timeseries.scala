@@ -654,10 +654,18 @@ object Timeseries {
       .groupBy(col("user_id"), col("event_type"),
         date_trunc("day", col("ts")).as("bucket"))
       .agg(sum(col("value").cast(DecimalType(18, 6))).as("dv"))
+    // the two latest observed days via TakeOrderedAndProject + a
+    // one-row broadcast — not a partition-less row_number window (the
+    // day list is bounded by retention, but the plan should carry
+    // zero single-partition windows anywhere)
     val lastTwo = day.select(col("bucket")).distinct()
-      .withColumn("which", row_number().over(Window.orderBy(col("bucket").desc)))
-      .filter(col("which") <= 2)
-    val ranked = day.join(broadcast(lastTwo), Seq("bucket"))
+      .orderBy(col("bucket").desc).limit(2)
+      .agg(max(col("bucket")).as("b1"), min(col("bucket")).as("b2"))
+    val ranked = day.crossJoin(broadcast(lastTwo))
+      .withColumn("which",
+        when(col("bucket") === col("b1"), 1)
+          .when(col("bucket") === col("b2"), 2))
+      .filter(col("which").isNotNull)
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("which"))
           .orderBy(col("dv").desc, col("user_id"), col("event_type"))))

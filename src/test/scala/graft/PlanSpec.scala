@@ -194,9 +194,11 @@ class PlanSpec extends SparkSpec {
   test("topN family: no partition-less window anywhere in the plan") {
     // a Window with an empty partitionSpec funnels its whole input
     // through ONE task — Ranking.globalRowNumber (range-partitioned
-    // two-phase rank) must have eliminated every one of these, so a
+    // two-phase rank), TakeOrderedAndProject day-picking and the
+    // sorted-array rank must have eliminated every one of these, so a
     // 10⁶-digest dimension aggregate still ranks distributed
-    for (q <- Seq("qan_topn_others", "qan_topn_approx_audit")) {
+    for (q <- Seq("qan_topn_others", "qan_topn_approx_audit",
+        "qan_rank_movers", "doc_bpe_pairs")) {
       val df = SparkEntry.queries(q)(spark, sf)
       val offenders = df.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
