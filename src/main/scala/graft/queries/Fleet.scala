@@ -266,15 +266,142 @@ object Fleet {
     FROM agg a LEFT JOIN sagg s USING (event_type)
     ORDER BY 1"""
 
+  // --------------------------------------------------- qan_workload_diff
+  // Workload difference analysis between time periods (TODO.md §8
+  // "workload difference analysis between time periods", §6
+  // "time-based comparison views … statistical significance
+  // indicators"): the corpus window splits at its midpoint and every
+  // (instance, digest) workload unit is compared across the halves —
+  // call volume and exact-decimal value totals per period, percent
+  // change, and a change class (new / gone / grown / shrunk /
+  // stable at a ±20% band on the ROUNDED pct so the label cannot
+  // flap across engines). The midpoint is a one-row aggregate
+  // broadcast; the diff itself is ONE conditional-sum hash aggregate
+  // over the scan — no self-join of period A against period B, so
+  // the plan is identical at a 100 TB fleet.
+  private val qanWorkloadDiff: Q = (s, d) => {
+    val ev = events(s, d).withColumn("us", unix_micros(col("ts")))
+    val mid = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid_us"))
+    val agg = ev.crossJoin(broadcast(mid))
+      .withColumn("in_a", col("us") <= col("mid_us"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        count(when(col("in_a"), 1)).as("calls_a"),
+        count(when(!col("in_a"), 1)).as("calls_b"),
+        sum(when(col("in_a"), col("value")).cast(DecimalType(18, 6))).as("va"),
+        sum(when(!col("in_a"), col("value")).cast(DecimalType(18, 6))).as("vb"))
+    val pct = when(col("calls_a") > 0 && col("calls_b") > 0 && col("va") > 0,
+      round((col("vb").cast(DoubleType) - col("va").cast(DoubleType))
+        / col("va").cast(DoubleType), 6))
+    agg.select(col("user_id"), col("event_type"),
+        col("calls_a"), col("calls_b"),
+        round(col("va").cast(DoubleType), 4).as("value_a"),
+        round(col("vb").cast(DoubleType), 4).as("value_b"),
+        pct.as("pct_change"),
+        when(col("calls_a") === 0, "new")
+          .when(col("calls_b") === 0, "gone")
+          .when(pct > 0.2, "grown")
+          .when(pct < -0.2, "shrunk")
+          .otherwise("stable").as("change_class"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  private val qanWorkloadDiffSql = """
+    WITH ev AS (SELECT user_id, event_type, value, epoch_us(ts) AS us FROM events),
+    mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid_us FROM ev),
+    agg AS (
+      SELECT user_id, event_type,
+        COUNT(CASE WHEN us <= mid_us THEN 1 END) AS calls_a,
+        COUNT(CASE WHEN us > mid_us THEN 1 END) AS calls_b,
+        SUM(CAST(CASE WHEN us <= mid_us THEN value END AS DECIMAL(18,6))) AS va,
+        SUM(CAST(CASE WHEN us > mid_us THEN value END AS DECIMAL(18,6))) AS vb
+      FROM ev, mid
+      GROUP BY 1, 2),
+    formed AS (
+      SELECT *,
+        CASE WHEN calls_a > 0 AND calls_b > 0 AND va > 0
+          THEN ROUND((CAST(vb AS DOUBLE) - CAST(va AS DOUBLE))
+            / CAST(va AS DOUBLE), 6) END AS pct_change
+      FROM agg)
+    SELECT user_id, event_type, calls_a, calls_b,
+      ROUND(CAST(va AS DOUBLE), 4) AS value_a,
+      ROUND(CAST(vb AS DOUBLE), 4) AS value_b,
+      pct_change,
+      CASE WHEN calls_a = 0 THEN 'new'
+           WHEN calls_b = 0 THEN 'gone'
+           WHEN pct_change > 0.2 THEN 'grown'
+           WHEN pct_change < -0.2 THEN 'shrunk'
+           ELSE 'stable' END AS change_class
+    FROM formed
+    ORDER BY 1, 2"""
+
+  // ------------------------------------------------ qan_retention_tiering
+  // Data-retention roll-up (TODO.md §3 "retention configuration (min:
+  // 2 weeks of full resolution data)" / "automatic data roll-up for
+  // older data to save storage"): events age into resolution tiers
+  // relative to the corpus head — the newest week stays at full
+  // (per-event) resolution, the second week rolls up hourly,
+  // everything older rolls up daily. Output is the tiered store
+  // itself (tier, bucket, digest, calls, exact-value total) — `calls`
+  // doubles as the storage audit (rows collapsed per bucket). Age is
+  // computed against a one-row max-ts broadcast; the roll-up is ONE
+  // hash aggregate whose key cardinality is bounded by
+  // time-buckets × digests regardless of corpus size.
+  private val TierFullUs   = 7L * 86400L * 1000000L
+  private val TierHourlyUs = 14L * 86400L * 1000000L
+
+  private val qanRetentionTiering: Q = (s, d) => {
+    val ev = events(s, d)
+    val mx = ev.agg(max(unix_micros(col("ts"))).as("max_us"))
+    ev.crossJoin(broadcast(mx))
+      .withColumn("age_us", col("max_us") - unix_micros(col("ts")))
+      .withColumn("tier",
+        when(col("age_us") < TierFullUs, "1_full")
+          .when(col("age_us") < TierHourlyUs, "2_hourly")
+          .otherwise("3_daily"))
+      .withColumn("bucket",
+        when(col("age_us") < TierFullUs, col("ts"))
+          .when(col("age_us") < TierHourlyUs, date_trunc("hour", col("ts")))
+          .otherwise(date_trunc("day", col("ts"))))
+      .groupBy(col("tier"), col("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("calls"), dsum(col("value")).as("total_value"))
+      .orderBy(col("tier"), col("bucket"), col("event_type"))
+  }
+
+  private val qanRetentionTieringSql = s"""
+    WITH mx AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events),
+    aged AS (
+      SELECT event_type, value, ts, max_us - epoch_us(ts) AS age_us
+      FROM events, mx),
+    tiered AS (
+      SELECT event_type, value,
+        CASE WHEN age_us < $TierFullUs THEN '1_full'
+             WHEN age_us < $TierHourlyUs THEN '2_hourly'
+             ELSE '3_daily' END AS tier,
+        CASE WHEN age_us < $TierFullUs THEN CAST(ts AS TIMESTAMP)
+             WHEN age_us < $TierHourlyUs THEN CAST(date_trunc('hour', ts) AS TIMESTAMP)
+             ELSE CAST(date_trunc('day', ts) AS TIMESTAMP) END AS bucket
+      FROM aged)
+    SELECT tier, bucket, event_type, COUNT(*) AS calls,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM tiered
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3"""
+
   val entries: Map[String, Q] = Map(
     "qan_cluster_rollup" -> qanClusterRollup,
     "qan_replica_compare" -> qanReplicaCompare,
     "qan_app_metadata" -> qanAppMetadata,
-    "qan_sample_controls" -> qanSampleControls)
+    "qan_sample_controls" -> qanSampleControls,
+    "qan_workload_diff" -> qanWorkloadDiff,
+    "qan_retention_tiering" -> qanRetentionTiering)
 
   val oracles: Map[String, String] = Map(
     "qan_cluster_rollup" -> qanClusterRollupSql,
     "qan_replica_compare" -> qanReplicaCompareSql,
     "qan_app_metadata" -> qanAppMetadataSql,
-    "qan_sample_controls" -> qanSampleControlsSql)
+    "qan_sample_controls" -> qanSampleControlsSql,
+    "qan_workload_diff" -> qanWorkloadDiffSql,
+    "qan_retention_tiering" -> qanRetentionTieringSql)
 }

@@ -209,6 +209,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("workload_diff / retention_tiering: broadcast scalar + one hash aggregate, no window") {
+    // both compare every event against a one-row corpus aggregate
+    // (midpoint / head ts) — that scalar must arrive by broadcast and
+    // the body must stay a single map-side-combinable hash aggregate:
+    // zero windows, zero sort-merge joins at any corpus size
+    for (q <- Seq("qan_workload_diff", "qan_retention_tiering")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.isEmpty, s"$q: window in plan:\n${windows.mkString("\n")}")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastExchange"), s"$q: scalar not broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q: shuffle join against scalar:\n$plan")
+      assert(plan.contains("HashAggregate"), s"$q plan:\n$plan")
+    }
+  }
+
   test("qan_topn_others ranks only the collapsed aggregate, never raw events") {
     val plan = executedPlan("qan_topn_others")
     // the ranking window (partitioned, via globalRowNumber) sits above
