@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.Extended.entries ++
       graft.queries.Corpus.entries ++
       graft.queries.Timeseries.entries ++
-      graft.queries.Fleet.entries
+      graft.queries.Fleet.entries ++
+      graft.queries.Ops.entries
 
   /** DuckDB-equivalent SQL per query key (driver correctness gate). */
   def oracleSql: Map[String, String] =
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.queries.ScaleOps.oracles ++
       graft.queries.Corpus.oracles ++
       graft.queries.Timeseries.oracles ++
-      graft.queries.Fleet.oracles
+      graft.queries.Fleet.oracles ++
+      graft.queries.Ops.oracles
 }

@@ -227,6 +227,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("Ops surface: no partition-less windows, aggregate-only where promised") {
+    // timezone_rollup / routing_advice / storage_usage: ONE hash
+    // aggregate over the scan, zero windows, zero joins;
+    // replication_lag / explain_candidates: windows are partitioned
+    // (cluster_id / digest×day) so no single-task funnel exists
+    for (q <- Seq("qan_timezone_rollup", "qan_routing_advice", "qan_storage_usage")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.isEmpty, s"$q: window in plan:\n${windows.mkString("\n")}")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"$q: unexpected join:\n$plan")
+      assert(plan.contains("HashAggregate"), s"$q plan:\n$plan")
+    }
+    for (q <- Seq("qan_replication_lag", "qan_explain_candidates")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val offenders = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(offenders.isEmpty,
+        s"$q: partition-less window(s) in plan:\n${offenders.mkString("\n")}")
+    }
+  }
+
   test("qan_topn_others ranks only the collapsed aggregate, never raw events") {
     val plan = executedPlan("qan_topn_others")
     // the ranking window (partitioned, via globalRowNumber) sits above
