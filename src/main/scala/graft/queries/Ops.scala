@@ -28,6 +28,10 @@ import graft.Tables._
   *  - storage monitoring (§3 "monitoring for data storage usage"):
   *    qan_storage_usage estimates per-day stored bytes and the
   *    row-collapse ratio an hourly roll-up would achieve.
+  *  - query variant comparison (§6): qan_app_variant_compare runs an
+  *    app-vs-rest Welch z-test per digest from exact decimal moments.
+  *  - intelligent sampling (§8): qan_adaptive_sampling equalizes the
+  *    per-digest sample budget with an integer-exact adaptive rate.
   *
   * Topology scaffold matches Fleet.scala: cluster = user_id div 5,
   * primary = the member ≡ 0 mod 5 (documented there; a deployment
@@ -270,7 +274,159 @@ object Ops {
     GROUP BY 1
     ORDER BY 1"""
 
+  // ------------------------------------------------ qan_app_variant_compare
+  // Query variant comparison across apps (TODO.md §6 "query variant
+  // comparison (similar queries across different apps)" + "statistical
+  // significance indicators"): the same digest issued by different
+  // apps is compared app-vs-rest on mean metric value with a Welch
+  // z-test. Moments (n, Σv, Σv²) accumulate as EXACT decimals per
+  // (digest, app); the rest-of-apps moments are the digest totals
+  // minus the app's own — formed by a window over the app-grain rows
+  // partitioned by digest (≤|apps| rows per partition, never raw
+  // events) — so the corpus is read ONCE and no self-join exists.
+  // z forms in one pinned double expression; the flag fires on the
+  // ROUNDED z. App tag and digest follow the Fleet.scala scaffold
+  // (app = user_id mod 3, digest = the statement shape, here its
+  // event_type key per SURVEY §3's QAN mapping).
+  private val qanAppVariantCompare: Q = (s, d) => {
+    val perApp = events(s, d)
+      .withColumn("app", concat(lit("app_"), col("user_id") % 3))
+      .groupBy(col("event_type"), col("app"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).as("sv"),
+        sum(col("value").cast(DecimalType(18, 6)) *
+          col("value").cast(DecimalType(18, 6))).as("svv"))
+    val w = Window.partitionBy(col("event_type"))
+    val pooled = perApp
+      .withColumn("tn", sum(col("n")).over(w))
+      .withColumn("ts", sum(col("sv")).over(w))
+      .withColumn("tss", sum(col("svv")).over(w))
+      .withColumn("rn", col("tn") - col("n"))
+      .withColumn("rs", col("ts") - col("sv"))
+      .withColumn("rss", col("tss") - col("svv"))
+    val nD = col("n").cast(DoubleType)
+    val rnD = col("rn").cast(DoubleType)
+    val meanA = col("sv").cast(DoubleType) / nD
+    val meanR = col("rs").cast(DoubleType) / rnD
+    val varA = (nD * col("svv").cast(DoubleType) -
+      col("sv").cast(DoubleType) * col("sv").cast(DoubleType)) / (nD * (nD - 1.0))
+    val varR = (rnD * col("rss").cast(DoubleType) -
+      col("rs").cast(DoubleType) * col("rs").cast(DoubleType)) / (rnD * (rnD - 1.0))
+    val se2 = varA / nD + varR / rnD
+    val z = when(col("n") >= 2 && col("rn") >= 2 && se2 > 0.0,
+      round((meanA - meanR) / sqrt(se2), 4))
+    pooled
+      .select(col("event_type"), col("app"), col("n"),
+        round(meanA, 6).as("mean_value"),
+        col("rn").as("rest_n"),
+        when(col("rn") > 0, round(meanR, 6)).as("rest_mean"),
+        z.as("z_score"),
+        coalesce(abs(z) > 1.96, lit(false)).as("significant"))
+      .orderBy(col("event_type"), col("app"))
+  }
+
+  private val qanAppVariantCompareSql = """
+    WITH per_app AS (
+      -- width 19 forces DuckDB's HUGEINT decimal path on the square
+      -- (an (18,6) pair multiplies in int64 internals and overflows)
+      SELECT event_type, 'app_' || (user_id % 3) AS app,
+        COUNT(*) AS n,
+        SUM(CAST(value AS DECIMAL(18,6))) AS sv,
+        SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6))) AS svv
+      FROM events
+      GROUP BY 1, 2),
+    pooled AS (
+      SELECT *,
+        CAST(SUM(n) OVER (PARTITION BY event_type) - n AS BIGINT) AS rn,
+        SUM(sv) OVER (PARTITION BY event_type) - sv AS rs,
+        SUM(svv) OVER (PARTITION BY event_type) - svv AS rss
+      FROM per_app),
+    formed AS (
+      SELECT *,
+        CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean_a,
+        CAST(rs AS DOUBLE) / CAST(rn AS DOUBLE) AS mean_r,
+        (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+          - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_a,
+        (CAST(rn AS DOUBLE) * CAST(rss AS DOUBLE)
+          - CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE))
+          / (CAST(rn AS DOUBLE) * (CAST(rn AS DOUBLE) - 1.0)) AS var_r
+      FROM pooled),
+    scored AS (
+      SELECT *,
+        CASE WHEN n >= 2 AND rn >= 2
+            AND var_a / CAST(n AS DOUBLE) + var_r / CAST(rn AS DOUBLE) > 0.0
+          THEN ROUND((mean_a - mean_r)
+            / sqrt(var_a / CAST(n AS DOUBLE) + var_r / CAST(rn AS DOUBLE)), 4)
+        END AS z
+      FROM formed)
+    SELECT event_type, app, n,
+      ROUND(mean_a, 6) AS mean_value,
+      rn AS rest_n,
+      CASE WHEN rn > 0 THEN ROUND(mean_r, 6) END AS rest_mean,
+      z AS z_score,
+      COALESCE(abs(z) > 1.96, false) AS significant
+    FROM scored
+    ORDER BY 1, 2"""
+
+  // ------------------------------------------------ qan_adaptive_sampling
+  // Intelligent query sampling (TODO.md §8 "intelligent query
+  // sampling algorithms"): a fixed global rate over-samples hot
+  // digests and starves rare ones. Here the per-digest rate adapts to
+  // volume — threshold_permille = ceil(budget×1000 / calls), capped
+  // at 1000 — so EVERY digest lands ≈budget samples: rare digests
+  // are kept whole, hot ones are rate-limited. Membership stays the
+  // salted-hash rule (reproducible under re-runs, partitioning and
+  // growth). Integer-exact throughout: ceil division on positive
+  // integers, no float thresholds. One counts aggregate broadcast
+  // back onto the scan (bounded by digest cardinality), one audit
+  // aggregate out.
+  private val AdaptiveBudget = 50L
+
+  private val qanAdaptiveSampling: Q = (s, d) => {
+    val ev = events(s, d)
+    val counts = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("calls"))
+      .withColumn("threshold_permille",
+        least(lit(1000L),
+          expr(s"(${AdaptiveBudget * 1000L} + calls - 1) div calls")))
+    ev.withColumn("bucket",
+        conv(substring(md5(concat(col("event_id").cast("string"),
+          lit("|graft-adaptive-v1"))), 1, 8), 16, 10).cast("long") % 1000)
+      .join(broadcast(counts), Seq("event_type"))
+      .groupBy(col("event_type"), col("calls"), col("threshold_permille"))
+      .agg(count(when(col("bucket") < col("threshold_permille"), 1)).as("n_sampled"))
+      .select(col("event_type"), col("calls"), col("threshold_permille"),
+        col("n_sampled"),
+        round(col("n_sampled").cast(DoubleType) * 1000.0 /
+          col("calls").cast(DoubleType), 3).as("realized_permille"),
+        (col("threshold_permille") === 1000L).as("fully_sampled"))
+      .orderBy(col("event_type"))
+  }
+
+  private val qanAdaptiveSamplingSql = s"""
+    WITH counts AS (
+      SELECT event_type, COUNT(*) AS calls,
+        LEAST(1000, (${AdaptiveBudget * 1000L} + COUNT(*) - 1) // COUNT(*))
+          AS threshold_permille
+      FROM events GROUP BY 1),
+    tagged AS (
+      SELECT e.event_type, c.calls, c.threshold_permille,
+        CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || '|graft-adaptive-v1'), 1, 8)) AS BIGINT) % 1000 AS bucket
+      FROM events e JOIN counts c USING (event_type))
+    SELECT event_type, calls, threshold_permille,
+      COUNT(CASE WHEN bucket < threshold_permille THEN 1 END) AS n_sampled,
+      ROUND(CAST(COUNT(CASE WHEN bucket < threshold_permille THEN 1 END) AS DOUBLE)
+        * 1000.0 / CAST(calls AS DOUBLE), 3) AS realized_permille,
+      threshold_permille = 1000 AS fully_sampled
+    FROM tagged
+    GROUP BY 1, 2, 3
+    ORDER BY 1"""
+
   val entries: Map[String, Q] = Map(
+    "qan_app_variant_compare" -> qanAppVariantCompare,
+    "qan_adaptive_sampling" -> qanAdaptiveSampling,
     "qan_timezone_rollup" -> qanTimezoneRollup,
     "qan_replication_lag" -> qanReplicationLag,
     "qan_routing_advice" -> qanRoutingAdvice,
@@ -278,6 +434,8 @@ object Ops {
     "qan_storage_usage" -> qanStorageUsage)
 
   val oracles: Map[String, String] = Map(
+    "qan_app_variant_compare" -> qanAppVariantCompareSql,
+    "qan_adaptive_sampling" -> qanAdaptiveSamplingSql,
     "qan_timezone_rollup" -> qanTimezoneRollupSql,
     "qan_replication_lag" -> qanReplicationLagSql,
     "qan_routing_advice" -> qanRoutingAdviceSql,
