@@ -10,8 +10,14 @@ import org.apache.spark.sql.functions._
   * scan is the dominant cost and must only read what the plan needs.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The generator writes timestamps as un-zoned parquet TIMESTAMP(MICROS);
+    // Spark 4 would infer TIMESTAMP_NTZ for those, but the whole query
+    // surface (unix_micros, window ranges, the DuckDB oracle at UTC)
+    // is defined over session-zoned TIMESTAMP. Read them as LTZ.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
