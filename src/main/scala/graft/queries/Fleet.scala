@@ -336,6 +336,92 @@ object Fleet {
     FROM formed
     ORDER BY 1, 2"""
 
+  // ---------------------------------------------- qan_diff_significance
+  // Statistical significance for period-over-period changes (TODO.md
+  // §6 "statistical significance indicators for performance
+  // changes"): qan_workload_diff labels each (instance, digest) unit
+  // grown/shrunk by a ±20% band, but a 30% swing on 5 calls is noise
+  // while 5% on 50k calls is real. This view runs Welch's z-test on
+  // the per-event value mean between the two halves of the window:
+  // moments (n, Σv, Σv²) accumulate per period as exact DECIMALs in
+  // the SAME single conditional-sum hash aggregate as the diff
+  // itself, and the z statistic is formed from them in one pinned
+  // double expression — so the significant/not verdict is
+  // bit-reproducible across engines and partitionings. No self-join,
+  // no window: the plan is the workload-diff plan plus two sums.
+  private val qanDiffSignificance: Q = (s, d) => {
+    val ev = events(s, d).withColumn("us", unix_micros(col("ts")))
+    val mid = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid_us"))
+    val agg = ev.crossJoin(broadcast(mid))
+      .withColumn("in_a", col("us") <= col("mid_us"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        count(when(col("in_a"), 1)).as("n_a"),
+        count(when(!col("in_a"), 1)).as("n_b"),
+        sum(when(col("in_a"), col("value")).cast(DecimalType(18, 6))).as("sa"),
+        sum(when(!col("in_a"), col("value")).cast(DecimalType(18, 6))).as("sb"),
+        sum(when(col("in_a"), col("value") * col("value")).cast(DecimalType(28, 6))).as("qa"),
+        sum(when(!col("in_a"), col("value") * col("value")).cast(DecimalType(28, 6))).as("qb"))
+    val naD = col("n_a").cast(DoubleType)
+    val nbD = col("n_b").cast(DoubleType)
+    val meanA = col("sa").cast(DoubleType) / naD
+    val meanB = col("sb").cast(DoubleType) / nbD
+    val varA = when(col("n_a") >= 2, (naD * col("qa").cast(DoubleType)
+      - col("sa").cast(DoubleType) * col("sa").cast(DoubleType)) / (naD * (naD - 1)))
+    val varB = when(col("n_b") >= 2, (nbD * col("qb").cast(DoubleType)
+      - col("sb").cast(DoubleType) * col("sb").cast(DoubleType)) / (nbD * (nbD - 1)))
+    val se2 = varA / naD + varB / nbD
+    // raw IEEE doubles, no rounding: every input is an exact decimal,
+    // so div/sqrt are bit-identical in any engine — rounding would
+    // REINTRODUCE flap risk (engines disagree on ties at scale 4)
+    val z = when(col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0,
+      (meanB - meanA) / sqrt(se2))
+    agg.select(col("user_id"), col("event_type"), col("n_a"), col("n_b"),
+        when(col("n_a") > 0, meanA).as("mean_a"),
+        when(col("n_b") > 0, meanB).as("mean_b"),
+        z.as("z_score"),
+        coalesce(abs(z) > 1.96, lit(false)).as("significant"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  private val qanDiffSignificanceSql = """
+    WITH ev AS (SELECT user_id, event_type, value, epoch_us(ts) AS us FROM events),
+    mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid_us FROM ev),
+    agg AS (
+      SELECT user_id, event_type,
+        COUNT(CASE WHEN us <= mid_us THEN 1 END) AS n_a,
+        COUNT(CASE WHEN us > mid_us THEN 1 END) AS n_b,
+        SUM(CAST(CASE WHEN us <= mid_us THEN value END AS DECIMAL(18,6))) AS sa,
+        SUM(CAST(CASE WHEN us > mid_us THEN value END AS DECIMAL(18,6))) AS sb,
+        SUM(CAST(CASE WHEN us <= mid_us THEN value * value END AS DECIMAL(28,6))) AS qa,
+        SUM(CAST(CASE WHEN us > mid_us THEN value * value END AS DECIMAL(28,6))) AS qb
+      FROM ev, mid GROUP BY 1, 2),
+    formed AS (
+      SELECT *,
+        CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd
+      FROM agg),
+    stats AS (
+      SELECT *,
+        CASE WHEN n_a >= 2 THEN (nad * CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+          / (nad * (nad - 1)) END AS var_a,
+        CASE WHEN n_b >= 2 THEN (nbd * CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+          / (nbd * (nbd - 1)) END AS var_b
+      FROM formed),
+    zed AS (
+      SELECT *,
+        CASE WHEN n_a >= 2 AND n_b >= 2 AND var_a / nad + var_b / nbd > 0
+          THEN (CAST(sb AS DOUBLE) / nbd - CAST(sa AS DOUBLE) / nad)
+            / sqrt(var_a / nad + var_b / nbd) END AS z_score
+      FROM stats)
+    SELECT user_id, event_type, n_a, n_b,
+      CASE WHEN n_a > 0 THEN CAST(sa AS DOUBLE) / nad END AS mean_a,
+      CASE WHEN n_b > 0 THEN CAST(sb AS DOUBLE) / nbd END AS mean_b,
+      z_score,
+      COALESCE(abs(z_score) > 1.96, FALSE) AS significant
+    FROM zed
+    ORDER BY 1, 2"""
+
   // ------------------------------------------------ qan_retention_tiering
   // Data-retention roll-up (TODO.md §3 "retention configuration (min:
   // 2 weeks of full resolution data)" / "automatic data roll-up for
@@ -395,6 +481,7 @@ object Fleet {
     "qan_app_metadata" -> qanAppMetadata,
     "qan_sample_controls" -> qanSampleControls,
     "qan_workload_diff" -> qanWorkloadDiff,
+    "qan_diff_significance" -> qanDiffSignificance,
     "qan_retention_tiering" -> qanRetentionTiering)
 
   val oracles: Map[String, String] = Map(
@@ -403,5 +490,6 @@ object Fleet {
     "qan_app_metadata" -> qanAppMetadataSql,
     "qan_sample_controls" -> qanSampleControlsSql,
     "qan_workload_diff" -> qanWorkloadDiffSql,
+    "qan_diff_significance" -> qanDiffSignificanceSql,
     "qan_retention_tiering" -> qanRetentionTieringSql)
 }

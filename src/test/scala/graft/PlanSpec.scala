@@ -214,7 +214,7 @@ class PlanSpec extends SparkSpec {
     // (midpoint / head ts) — that scalar must arrive by broadcast and
     // the body must stay a single map-side-combinable hash aggregate:
     // zero windows, zero sort-merge joins at any corpus size
-    for (q <- Seq("qan_workload_diff", "qan_retention_tiering")) {
+    for (q <- Seq("qan_workload_diff", "qan_diff_significance", "qan_retention_tiering")) {
       val df = SparkEntry.queries(q)(spark, sf)
       val windows = df.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
