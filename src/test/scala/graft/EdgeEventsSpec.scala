@@ -42,4 +42,18 @@ class EdgeEventsSpec extends SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("diff significance: degenerate units get null z, never a significant verdict") {
+    // a lone event (n=1 total) can never clear the n>=2-per-half gate,
+    // and a unit confined to one half has no counterpart mean — both
+    // must yield z_score NULL / significant=false, not a div-by-zero
+    val out = SparkEntry.queries("qan_diff_significance")(spark, edgeDir)
+      .filter(col("event_type").startsWith("edge_"))
+      .select("event_type", "z_score", "significant").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.isNullAt(1), s"${r.getString(0)}: expected null z, got ${r.get(1)}")
+      assert(!r.getBoolean(2), s"${r.getString(0)}: significant on degenerate unit")
+    }
+  }
 }
