@@ -113,6 +113,45 @@ object ScaleOps {
       .orderBy(col("sim_band"))
   }
 
+  // ----------------------------------------- doc_leakage_safe_split
+  // Dedup-aware train/val/test split — the eval-integrity primitive:
+  // doc_hash_split assigns splits per document, so two near-duplicate
+  // documents can land in train AND test, silently leaking eval data
+  // into training (the published dedup post-mortems all trace to
+  // exactly this). Here the SPLIT KEY is the near-dup cluster
+  // representative: whole clusters move as one unit, so leakage
+  // across splits is impossible by construction. For singletons the
+  // cluster is the doc itself, so the assignment agrees with
+  // doc_hash_split wherever leakage cannot happen.
+  //
+  // Output is the audit a pipeline publishes before switching rules:
+  // per split, cluster/doc counts, how many docs sit in size≥2
+  // clusters, and how many of this split's clusters the NAIVE
+  // doc-level rule would have torn across split boundaries
+  // (min!=max of the members' naive assignment — each one a leak).
+  //
+  // 100 TB shape: the same bounded rep-graph pipeline as
+  // doc_dedup_clusters (banding, occupancy caps, CC on reps), then a
+  // scan-level md5 projection and two hash aggregates — no window,
+  // no extra corpus pass.
+  private val docLeakageSafeSplit: Q = (s, d) => {
+    val docs = documents(s, d)
+    val (repPairs, mem) = Dedup.minhashNearDupRepPairs(docs, "doc_id", "text")
+    val member = Dedup.clusterLabelsFromReps(repPairs, mem)
+      .withColumn("naive_split", Text.splitName(Text.splitBucket(col("id"))))
+    val clusters = member.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min(col("naive_split")).as("naive_mn"), max(col("naive_split")).as("naive_mx"))
+      .withColumn("split", Text.splitName(Text.splitBucket(col("cluster"))))
+    clusters.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"),
+        sum(when(col("cluster_size") >= 2, col("cluster_size")).otherwise(0L))
+          .as("docs_in_dup_clusters"),
+        count(when(col("naive_mn") =!= col("naive_mx"), 1)).as("naive_leaky_clusters"))
+      .orderBy(col("split"))
+  }
+
   // ANN recall audit — doc_lsh_recall's vector-side sibling: the
   // random-hyperplane LSH top-10 measured against the exact cosine
   // top-10, per query. AnnSpec asserts the bound; this query makes
@@ -511,6 +550,7 @@ object ScaleOps {
     "doc_minhash_lsh" -> docMinhashLsh,
     "doc_dedup_clusters" -> docDedupClusters,
     "doc_dup_cluster_stats" -> docDupClusterStats,
+    "doc_leakage_safe_split" -> docLeakageSafeSplit,
     "doc_lsh_recall" -> docLshRecall,
     "emb_ann_recall" -> embAnnRecall,
     "emb_ann_recall_tuned" -> embAnnRecallTuned,
@@ -760,6 +800,35 @@ object ScaleOps {
       ROUND(CAST(dup_chars AS DOUBLE) / CAST(corpus_chars AS DOUBLE), 6) AS dup_char_share
     FROM hist CROSS JOIN tot
     ORDER BY cluster_size"""
+
+  /** Leakage-safe split oracle: the SAME recursive cluster labels,
+    * then both split rules (cluster-keyed and naive doc-keyed) from
+    * the shared md5 bucket expression.
+    */
+  private val docLeakageSafeSplitSql: String = {
+    val naiveBucket = Text.splitBucketSqlOf("id")
+    val clusterBucket = Text.splitBucketSqlOf("cluster")
+    def nameOf(b: String) =
+      s"CASE WHEN $b < 90 THEN 'train' WHEN $b < 95 THEN 'val' ELSE 'test' END"
+    s"""
+    WITH RECURSIVE $clusterLabelCtes,
+    member AS (
+      SELECT id, cluster, ${nameOf(naiveBucket)} AS naive_split
+      FROM labels),
+    clusters AS (
+      SELECT cluster, COUNT(*) AS cluster_size,
+        MIN(naive_split) AS naive_mn, MAX(naive_split) AS naive_mx,
+        ${nameOf(clusterBucket)} AS split
+      FROM member GROUP BY cluster)
+    SELECT split, COUNT(*) AS n_clusters,
+      CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN cluster_size >= 2 THEN cluster_size ELSE 0 END) AS BIGINT)
+        AS docs_in_dup_clusters,
+      COUNT(CASE WHEN naive_mn <> naive_mx THEN 1 END) AS naive_leaky_clusters
+    FROM clusters
+    GROUP BY 1
+    ORDER BY 1"""
+  }
 
   /** DuckDB replay of the random-hyperplane ANN: the "random" planes
     * are a seeded xorshift, so their exact double values are inlined
@@ -1037,6 +1106,7 @@ object ScaleOps {
     "doc_minhash_lsh" -> docMinhashLshSql,
     "doc_dedup_clusters" -> docDedupClustersSql,
     "doc_dup_cluster_stats" -> docDupClusterStatsSql,
+    "doc_leakage_safe_split" -> docLeakageSafeSplitSql,
     "doc_lsh_recall" -> docLshRecallSql,
     "emb_ann_recall" -> embAnnRecallSql,
     "emb_ann_recall_tuned" -> embAnnRecallTunedSql,

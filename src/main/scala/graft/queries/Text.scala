@@ -273,18 +273,27 @@ object Text {
   // The rule lives in ONE place per engine (splitDf / splitBucketSql):
   // doc_contamination partitions by the same rule, and a drifted copy
   // would silently check contamination against a different split.
+  /** The split-bucket rule over an arbitrary key column — doc-level
+    * callers pass doc_id; doc_leakage_safe_split passes the near-dup
+    * CLUSTER representative so whole clusters move between splits as
+    * one unit (for a singleton the cluster IS the doc_id, so the two
+    * rules agree wherever leakage is impossible).
+    */
+  def splitBucket(key: Column): Column =
+    conv(substring(md5(concat(key.cast("string"), lit("|graft-split-v1"))), 1, 8), 16, 10)
+      .cast("long") % 100
+
+  def splitName(bucket: Column): Column =
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+
   def splitDf(docs: DataFrame): DataFrame =
     docs
-      .withColumn("bucket",
-        conv(substring(md5(concat(col("doc_id").cast("string"), lit("|graft-split-v1"))), 1, 8), 16, 10)
-          .cast("long") % 100)
-      .withColumn("split",
-        when(col("bucket") < 90, "train")
-          .when(col("bucket") < 95, "val")
-          .otherwise("test"))
+      .withColumn("bucket", splitBucket(col("doc_id")))
+      .withColumn("split", splitName(col("bucket")))
 
-  val splitBucketSql: String =
-    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split-v1'), 1, 8)) AS BIGINT) % 100"
+  def splitBucketSqlOf(key: String): String =
+    s"CAST(('0x' || substr(md5(CAST($key AS VARCHAR) || '|graft-split-v1'), 1, 8)) AS BIGINT) % 100"
+  val splitBucketSql: String = splitBucketSqlOf("doc_id")
   val splitCaseSql: String =
     "CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END"
 

@@ -137,6 +137,22 @@ class DedupSpec extends SparkSpec {
     assert(out.select("representative_id").distinct.count() == out.count())
   }
 
+  test("leakage-safe split covers the corpus and agrees with doc_hash_split on totals") {
+    val out = SparkEntry.queries("doc_leakage_safe_split")(spark, sf).collect()
+    assert(out.map(_.getString(0)).sorted.toSeq == Seq("test", "train", "val"))
+    // every document lands in exactly one split
+    val nDocs = out.map(r => r.getLong(r.fieldIndex("n_docs"))).sum
+    assert(nDocs == Tables.documents(spark, sf).count())
+    // the cluster-keyed rule cannot leak by construction: a cluster's
+    // docs all inherit ONE split, so docs_in_dup_clusters per split is
+    // a multiple of nothing to check — but the naive-rule audit must
+    // never exceed that split's cluster count
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("naive_leaky_clusters"))
+        <= r.getLong(r.fieldIndex("n_clusters")))
+    }
+  }
+
   test("content-defined chunks: shift-resistant — shared passage fingerprints identically") {
     import spark.implicits._
     import graft.functions.expressions.GraftFunctions
