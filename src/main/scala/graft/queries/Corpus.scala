@@ -556,6 +556,55 @@ object Corpus {
     JOIN cnt cb ON cb.doc_id = b_id
     ORDER BY a_id, b_id"""
 
+  // ------------------------------------------------- doc_dup_ngrams
+  // Cross-document repeated-n-gram audit — the memorization-risk
+  // report: word 5-grams that recur across ≥2 documents, ranked by
+  // total occurrences. Boilerplate phrases, licence headers and
+  // templated spans show up here long before they show up as whole-
+  // document duplicates, and a model trained on them regurgitates
+  // them verbatim — published extraction attacks target exactly the
+  // high-frequency span tail this surfaces. Two-level aggregation
+  // ((gram, doc) counts → gram totals + doc counts) keeps both
+  // aggregates map-side combinable; the final rank is a
+  // TakeOrderedAndProject (K=20), never a global sort of the gram
+  // table. The group key is the gram STRING so the report is
+  // directly readable; a 100 TB run would key the shuffles on the
+  // FNV hash (GramHashes) and keep min(gram) as the display sample —
+  // same plan, narrower keys.
+  private val docDupNgrams: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("grams", when(size(col("toks")) >= 5,
+        expr("transform(sequence(1, size(toks)-4), i -> concat_ws(' ', slice(toks, i, 5)))"))
+        .otherwise(expr("CAST(array() AS array<string>)")))
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .groupBy(col("gram"), col("doc_id")).agg(count(lit(1)).as("occ"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("occurrences"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("occurrences").desc, col("gram"))
+      .limit(20)
+
+  private val docDupNgramsSql = """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+        THEN list_transform(range(1, len(toks) - 3),
+          i -> array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' '))
+        ELSE [] END) AS gram
+      FROM t),
+    pd AS (SELECT gram, doc_id, COUNT(*) AS occ FROM g GROUP BY 1, 2),
+    agg AS (
+      SELECT gram, COUNT(*) AS n_docs, CAST(SUM(occ) AS BIGINT) AS occurrences
+      FROM pd GROUP BY 1)
+    SELECT gram, n_docs, occurrences
+    FROM agg
+    WHERE n_docs >= 2
+    ORDER BY occurrences DESC, gram
+    LIMIT 20"""
+
   val entries: Map[String, Q] = Map(
     "doc_winnowing" -> docWinnowing,
     "doc_mixture_apply" -> docMixtureApply,
@@ -564,7 +613,8 @@ object Corpus {
     "doc_tfidf_topk" -> docTfidfTopk,
     "doc_containment_pairs" -> docContainmentPairs,
     "doc_segment_dedup" -> docSegmentDedup,
-    "doc_mixture_plan" -> docMixturePlan)
+    "doc_mixture_plan" -> docMixturePlan,
+    "doc_dup_ngrams" -> docDupNgrams)
 
   val oracles: Map[String, String] = Map(
     "doc_winnowing" -> docWinnowingSql,
@@ -574,5 +624,6 @@ object Corpus {
     "doc_tfidf_topk" -> docTfidfTopkSql,
     "doc_containment_pairs" -> docContainmentPairsSql,
     "doc_segment_dedup" -> docSegmentDedupSql,
-    "doc_mixture_plan" -> docMixturePlanSql)
+    "doc_mixture_plan" -> docMixturePlanSql,
+    "doc_dup_ngrams" -> docDupNgramsSql)
 }

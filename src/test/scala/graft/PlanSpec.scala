@@ -198,7 +198,7 @@ class PlanSpec extends SparkSpec {
     // sorted-array rank must have eliminated every one of these, so a
     // 10⁶-digest dimension aggregate still ranks distributed
     for (q <- Seq("qan_topn_others", "qan_topn_approx_audit",
-        "qan_rank_movers", "doc_bpe_pairs")) {
+        "qan_rank_movers", "doc_bpe_pairs", "doc_dup_ngrams")) {
       val df = SparkEntry.queries(q)(spark, sf)
       val offenders = df.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
