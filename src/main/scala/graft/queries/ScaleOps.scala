@@ -430,6 +430,66 @@ object ScaleOps {
     GROUP BY 1, 2, 3
     ORDER BY cell"""
 
+  // -------------------------------------------------- emb_cell_dedup
+  // SemDeDup at its 100 TB shape: emb_dedup_clusters proves the
+  // semantics on a brute-force bounded id range; THIS is the form a
+  // corpus-scale run uses — candidate pairs come only from WITHIN an
+  // IVF cell (the published SemDeDup recipe: k-means the embeddings,
+  // dedup inside each cluster), so pair work is Σ|cell|² instead of
+  // n², and the cell assignment itself is the projection-only
+  // inverted file (broadcast centroids, no shuffle). Pairs at
+  // cosine ≥ 0.4 (emb_dedup_clusters' threshold, so the two decision
+  // tables are directly comparable) feed the shared CC operator; output is the dedup
+  // decision table restricted to real dup groups (size ≥ 2) — at any
+  // corpus size the output is the dup set, not the corpus.
+  // Near-dups straddling a cell boundary are missed BY DESIGN
+  // (SemDeDup accepts this recall trade; emb_ann_recall audits the
+  // analogous loss for the LSH index).
+  private val embCellDedup: Q = (s, d) => {
+    val tau = 0.4
+    val e = embeddings(s, d).withColumn("v", col("embedding").cast(ArrayType(DoubleType)))
+    val corpus = e.select(col("vec_id").as("id"), col("v"))
+    val (cellIds, cents) = AnnIvf.collectCentroids(
+      AnnIvf.refinedCentroids(corpus, cells = 16, dim = 64))
+    val inverted = AnnIvf.invertedFile(corpus, cellIds, cents)
+    val a = inverted.select(col("cell"), col("id").as("a_id"), col("v").as("av"))
+    val b = inverted.select(col("cell"), col("id").as("b_id"), col("v").as("bv"))
+    val pairs = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim", GraftFunctions.cosineSimilarity(col("av"), col("bv")))
+      .filter(col("cos_sim") >= tau)
+      .select(col("a_id"), col("b_id"))
+    Dedup.connectedComponents(corpus.select(col("id")), pairs)
+      .groupBy(col("cluster").as("representative_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .filter(col("cluster_size") >= 2)
+      .orderBy(col("representative_id"))
+  }
+
+  private lazy val embCellDedupSql: String = s"""
+    WITH RECURSIVE ${ivfCtes(16, 64)},
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM inverted a JOIN inverted b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id, a_id FROM pairs),
+    reach(id, lbl) AS (
+      SELECT vec_id, vec_id FROM e
+      UNION
+      SELECT g.dst, r.lbl
+      FROM reach r JOIN edges g ON g.src = r.id
+      WHERE r.lbl < g.dst),
+    labels AS (
+      SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id)
+    SELECT cluster AS representative_id, COUNT(*) AS cluster_size
+    FROM labels
+    GROUP BY 1
+    HAVING COUNT(*) >= 2
+    ORDER BY 1"""
+
   // -------------------------------------------------- emb_ivf_quality
   // IVF index-quality audit: per cell the member count and the mean /
   // max squared quantization error (distance to the refined centroid)
@@ -547,6 +607,7 @@ object ScaleOps {
     "emb_ann_ivf" -> embAnnIvf,
     "emb_cluster_sample" -> embClusterSample,
     "emb_ivf_quality" -> embIvfQuality,
+    "emb_cell_dedup" -> embCellDedup,
     "doc_minhash_lsh" -> docMinhashLsh,
     "doc_dedup_clusters" -> docDedupClusters,
     "doc_dup_cluster_stats" -> docDupClusterStats,
@@ -1100,6 +1161,7 @@ object ScaleOps {
     "emb_ann_ivf" -> embAnnIvfSql,
     "emb_cluster_sample" -> embClusterSampleSql,
     "emb_ivf_quality" -> embIvfQualitySql,
+    "emb_cell_dedup" -> embCellDedupSql,
     "emb_ann_lsh" -> embAnnLshSql,
     "doc_fingerprint" -> docFingerprintSql,
     "doc_simhash" -> docSimhashSql,

@@ -178,6 +178,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("emb_cell_dedup pairs within cells via an equi-join, never an all-pairs loop") {
+    // the SemDeDup scale form: candidate pairs must come from the
+    // cell equi-join (work Σ|cell|²), not a corpus×corpus nested loop
+    val plan = executedPlan("emb_cell_dedup")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("doc_pii_scrub is a single scan-level codegen projection") {
     val plan = executedPlan("doc_pii_scrub")
     assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
