@@ -239,6 +239,43 @@ object ExprKernels {
     new GenericArrayData(java.util.Arrays.copyOf(hs, n))
   }
 
+  // compiled once; Spark's own split(str, regex) delegates to the same
+  // java.util.regex engine with limit -1, so tokenization here is
+  // bit-identical to split(trim(text), "\\s+") by construction
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** Word n-grams joined by a single space — the compiled form of
+    * `transform(sequence(...), i -> concat_ws(' ', slice(toks,i,n)))`,
+    * which Spark evaluates INTERPRETED (higher-order functions have no
+    * codegen): one tokenizer pass, one StringBuilder per gram, no
+    * per-gram array slicing. trim strips 0x20 only (Spark/DuckDB trim
+    * semantics); fewer than n tokens → empty array.
+    */
+  def wordGrams(text: UTF8String, n: Int): ArrayData = {
+    var s = text.toString
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    s = s.substring(lo, hi)
+    val toks = WsPattern.split(s, -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    var i = 0
+    while (i < out.length) {
+      val sb = new java.lang.StringBuilder(64)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def sortedIntersectCount(x: ArrayData, y: ArrayData): Long = {
     var i = 0; var j = 0; var c = 0L
     while (i < x.numElements() && j < y.numElements()) {
@@ -772,6 +809,23 @@ case class GramHashes(child: Expression)
   * counting pass per row (see ExprKernels.charEntropyBits for the
   * cross-engine fold-order contract).
   */
+/** Word n-grams of a document under the shared whitespace rule —
+  * compiled counterpart of the interpreted transform/slice/concat_ws
+  * chain; see ExprKernels.wordGrams for the parity contract.
+  */
+case class WordGrams(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.wordGrams(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.ExprKernels.wordGrams($c, $n);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "word_grams"
+}
+
 case class CharEntropy(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
@@ -1127,6 +1181,7 @@ object GraftFunctions {
   def winnowFingerprints(c: Column, k: Int = 8, w: Int = 16): Column =
     column(WinnowFingerprints(expression(c), k, w))
   def charEntropy(c: Column): Column = column(CharEntropy(expression(c)))
+  def wordGrams(c: Column, n: Int): Column = column(WordGrams(expression(c), n))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def hyperplaneCode(v: Column, planes: Array[Array[Double]]): Column =
     column(HyperplaneCode(expression(v), planes.toSeq.map(_.toSeq)))

@@ -573,11 +573,13 @@ object Corpus {
   // same plan, narrower keys.
   private val docDupNgrams: Q = (s, d) =>
     documents(s, d)
-      .withColumn("toks", split(trim(col("text")), "\\s+"))
-      .withColumn("grams", when(size(col("toks")) >= 5,
-        expr("transform(sequence(1, size(toks)-4), i -> concat_ws(' ', slice(toks, i, 5)))"))
-        .otherwise(expr("CAST(array() AS array<string>)")))
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      // compiled kernel: the transform/slice/concat_ws chain is
+      // interpreted (HOFs have no codegen) and measured 5.8 s at
+      // sf0.1; WordGrams is one tokenizer pass per doc inside
+      // whole-stage codegen (KernelPropSpec pins parity with the
+      // expression chain)
+      .select(col("doc_id"),
+        explode(GraftFunctions.wordGrams(col("text"), 5)).as("gram"))
       .groupBy(col("gram"), col("doc_id")).agg(count(lit(1)).as("occ"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("occurrences"))

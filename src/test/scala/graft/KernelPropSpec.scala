@@ -34,6 +34,26 @@ class KernelPropSpec extends AnyFunSuite {
       Gen.listOfN(n, Gen.chooseNum(1, 6).flatMap(l =>
         Gen.listOfN(l, Gen.alphaNumChar).map(_.mkString))))
 
+  test("word grams kernel == split/sliding reference on arbitrary whitespace-ridden text") {
+    // reference = the exact semantics of the interpreted expression
+    // chain it replaced: trim 0x20 only, java split("\s+", -1),
+    // sliding windows joined by one space, <n tokens → empty
+    val textGen: Gen[String] = Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        6 -> Gen.alphaNumChar, 2 -> Gen.const(' '), 1 -> Gen.const('\t'),
+        1 -> Gen.const('\n'))).map(_.mkString))
+    check(Prop.forAll(textGen, Gen.choose(1, 6)) { (s, n) =>
+      val got = ExprKernels.wordGrams(UTF8String.fromString(s), n)
+      val gotSeq = (0 until got.numElements()).map(got.getUTF8String(_).toString)
+      val trimmed = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val toks = trimmed.split("\\s+", -1).toSeq
+      val want =
+        if (toks.length < n) Seq.empty[String]
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      (gotSeq == want) :| s"got=$gotSeq want=$want input=${s.map(_.toInt)}"
+    })
+  }
+
   test("gram hashes + merge-walk intersection == reference set intersection") {
     check(Prop.forAll(tokensGen, tokensGen) { (a, b) =>
       val ga = ExprKernels.gramHashes(sarr(a)).toLongArray()
