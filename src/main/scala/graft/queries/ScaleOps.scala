@@ -490,6 +490,65 @@ object ScaleOps {
     HAVING COUNT(*) >= 2
     ORDER BY 1"""
 
+  // -------------------------------------------------- emb_cell_recall
+  // The SemDeDup approximation audit — doc_lsh_recall's role for
+  // emb_cell_dedup: over the bounded audit range where brute force is
+  // affordable, what fraction of TRUE near-dup pairs (cosine ≥ 0.4)
+  // land in the same IVF cell and are therefore reachable by the
+  // cell-bucketed dedup, banded by similarity. This quantifies the
+  // published SemDeDup recall trade (cluster-boundary pairs are
+  // missed by design) on the corpus itself, so the threshold/cell
+  // count can be tuned on evidence. Cells are trained on the FULL
+  // corpus exactly as emb_cell_dedup does; only the ground-truth side
+  // is range-capped.
+  private val embCellRecall: Q = (s, d) => {
+    val tau = 0.4
+    val e = embeddings(s, d).withColumn("v", col("embedding").cast(ArrayType(DoubleType)))
+    val corpus = e.select(col("vec_id").as("id"), col("v"))
+    val sub = corpus.filter(col("id") < 500)
+    val a = sub.select(col("id").as("a_id"), col("v").as("av"))
+    val b = sub.select(col("id").as("b_id"), col("v").as("bv"))
+    val exact = a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos_sim", GraftFunctions.cosineSimilarity(col("av"), col("bv")))
+      .filter(col("cos_sim") >= tau)
+      .select(col("a_id"), col("b_id"), col("cos_sim"))
+    val (cellIds, cents) = AnnIvf.collectCentroids(
+      AnnIvf.refinedCentroids(corpus, cells = 16, dim = 64))
+    val inv = AnnIvf.invertedFile(corpus, cellIds, cents).select(col("id"), col("cell"))
+    exact
+      .join(inv.select(col("id").as("a_id"), col("cell").as("cell_a")), Seq("a_id"))
+      .join(inv.select(col("id").as("b_id"), col("cell").as("cell_b")), Seq("b_id"))
+      .groupBy((floor(col("cos_sim") * 10) / 10.0).as("sim_band"))
+      .agg(count(lit(1)).as("n_exact"),
+        count(when(col("cell_a") === col("cell_b"), 1)).as("n_same_cell"))
+      .withColumn("recall",
+        round(col("n_same_cell").cast(DoubleType) / col("n_exact").cast(DoubleType), 6))
+      .orderBy(col("sim_band"))
+  }
+
+  private lazy val embCellRecallSql: String = s"""
+    WITH ${ivfCtes(16, 64)},
+    sub AS (SELECT vec_id, v FROM e WHERE vec_id < 500),
+    exact AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        list_cosine_similarity(a.v, b.v) AS cos_sim
+      FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+    cells AS (SELECT vec_id, cell FROM inverted),
+    joined AS (
+      SELECT x.cos_sim, ca.cell AS cell_a, cb.cell AS cell_b
+      FROM exact x
+      JOIN cells ca ON ca.vec_id = x.a_id
+      JOIN cells cb ON cb.vec_id = x.b_id)
+    SELECT floor(cos_sim * 10) / 10.0 AS sim_band,
+      COUNT(*) AS n_exact,
+      COUNT(CASE WHEN cell_a = cell_b THEN 1 END) AS n_same_cell,
+      ROUND(CAST(COUNT(CASE WHEN cell_a = cell_b THEN 1 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+    FROM joined
+    GROUP BY 1
+    ORDER BY 1"""
+
   // -------------------------------------------------- emb_ivf_quality
   // IVF index-quality audit: per cell the member count and the mean /
   // max squared quantization error (distance to the refined centroid)
@@ -608,6 +667,7 @@ object ScaleOps {
     "emb_cluster_sample" -> embClusterSample,
     "emb_ivf_quality" -> embIvfQuality,
     "emb_cell_dedup" -> embCellDedup,
+    "emb_cell_recall" -> embCellRecall,
     "doc_minhash_lsh" -> docMinhashLsh,
     "doc_dedup_clusters" -> docDedupClusters,
     "doc_dup_cluster_stats" -> docDupClusterStats,
@@ -1162,6 +1222,7 @@ object ScaleOps {
     "emb_cluster_sample" -> embClusterSampleSql,
     "emb_ivf_quality" -> embIvfQualitySql,
     "emb_cell_dedup" -> embCellDedupSql,
+    "emb_cell_recall" -> embCellRecallSql,
     "emb_ann_lsh" -> embAnnLshSql,
     "doc_fingerprint" -> docFingerprintSql,
     "doc_simhash" -> docSimhashSql,
