@@ -311,6 +311,13 @@ class PlanSpec extends SparkSpec {
       plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("doc_leakage_safe_split: cluster pipeline + hash aggregates, no window, no nested loop") {
+    val plan = executedPlan("doc_leakage_safe_split")
+    assert(!plan.contains("Window"), s"split audit must not window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("doc_mixture_plan folds its plan on a broadcast, reading documents once per side") {
     val plan = executedPlan("doc_mixture_plan")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
