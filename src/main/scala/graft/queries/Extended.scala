@@ -446,6 +446,77 @@ object Extended {
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     ORDER BY gid, l_returnflag, l_linestatus"""
 
+  // --------------------------------------------------- q28_table_profile
+  // Single-pass table profiler — the data-quality pass every
+  // warehouse runs before trusting a feed: per column, null count,
+  // exact NDV, and type-appropriate min/max (numerics as doubles;
+  // strings and timestamps through one shared formatted-string slot).
+  // ALL columns profile in ONE scan: a single aggregate computes
+  // every statistic, then a stack() unpivot reshapes the one-row
+  // result to a row per column — no per-column re-scan, no
+  // self-union of the table.
+  //
+  // 100 TB shape: the multi-distinct aggregate compiles to Spark's
+  // Expand (input ×(|distinct cols|+1) before the partial aggregate)
+  // — the documented price of EXACT NDV in one pass. The at-scale
+  // default is the sketch profile (approx_count_distinct, the same
+  // HLL as q13) where the expand disappears; this exact form is its
+  // audit, the same pairing as q13/q10.
+  private val q28TableProfile: Q = (s, d) => {
+    val t = orders(s, d)
+    val num = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val str = Seq("o_orderstatus", "o_orderpriority")
+    val ts = Seq("o_orderdate")
+    val aggs =
+      Seq(count(lit(1)).as("n_rows")) ++
+        (num ++ str ++ ts).flatMap { c =>
+          Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"ndv_$c"))
+        } ++
+        num.flatMap(c => Seq(
+          min(col(c)).cast(DoubleType).as(s"mn_$c"),
+          max(col(c)).cast(DoubleType).as(s"mx_$c"))) ++
+        str.flatMap(c => Seq(min(col(c)).as(s"ms_$c"), max(col(c)).as(s"xs_$c"))) ++
+        ts.flatMap(c => Seq(
+          date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"ms_$c"),
+          date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"xs_$c")))
+    val one = t.agg(aggs.head, aggs.tail: _*)
+    val rows =
+      num.map(c =>
+        s"'$c', n_rows - nn_$c, ndv_$c, mn_$c, mx_$c, CAST(NULL AS STRING), CAST(NULL AS STRING)") ++
+        (str ++ ts).map(c =>
+          s"'$c', n_rows - nn_$c, ndv_$c, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), ms_$c, xs_$c")
+    one.select(expr(
+        s"stack(${rows.length}, ${rows.mkString(", ")}) " +
+          "AS (column_name, n_null, ndv, min_num, max_num, min_str, max_str)"))
+      .orderBy(col("column_name"))
+  }
+
+  private val q28TableProfileSql: String = {
+    val num = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val str = Seq("o_orderstatus", "o_orderpriority")
+    val ts = Seq("o_orderdate")
+    val aggs =
+      Seq("COUNT(*) AS n_rows") ++
+        (num ++ str ++ ts).flatMap(c =>
+          Seq(s"COUNT($c) AS nn_$c", s"COUNT(DISTINCT $c) AS ndv_$c")) ++
+        num.flatMap(c => Seq(
+          s"CAST(MIN($c) AS DOUBLE) AS mn_$c", s"CAST(MAX($c) AS DOUBLE) AS mx_$c")) ++
+        str.flatMap(c => Seq(s"MIN($c) AS ms_$c", s"MAX($c) AS xs_$c")) ++
+        ts.flatMap(c => Seq(
+          s"strftime(MIN($c), '%Y-%m-%d %H:%M:%S') AS ms_$c",
+          s"strftime(MAX($c), '%Y-%m-%d %H:%M:%S') AS xs_$c"))
+    val selects =
+      num.map(c => s"""SELECT '$c' AS column_name, n_rows - nn_$c AS n_null,
+          ndv_$c AS ndv, mn_$c AS min_num, mx_$c AS max_num,
+          CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a""") ++
+        (str ++ ts).map(c => s"""SELECT '$c', n_rows - nn_$c, ndv_$c,
+          CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), ms_$c, xs_$c FROM a""")
+    s"""
+    WITH a AS (SELECT ${aggs.mkString(", ")} FROM orders)
+    ${selects.mkString("\n    UNION ALL\n    ")}
+    ORDER BY column_name"""
+  }
+
   val entries: Map[String, Q] = Map(
     "q23_pivot" -> q23Pivot,
     "q24_set_ops" -> q24SetOps,
@@ -453,6 +524,7 @@ object Extended {
     "q26_grouping_sets" -> q26GroupingSets,
     "qan_anomaly_mad" -> qanAnomalyMad,
     "q22_range_join" -> q22,
+    "q28_table_profile" -> q28TableProfile,
     "q18_approx_percentile" -> q18,
     "qan_sessionize" -> qanSessionize,
     "qan_asof_enrich" -> qanAsofEnrich,
@@ -475,5 +547,6 @@ object Extended {
     "q15_date_dims" -> q15Sql,
     "q16_percentiles" -> q16Sql,
     "q17_string_funcs" -> q17Sql,
-    "q22_range_join" -> q22Sql)
+    "q22_range_join" -> q22Sql,
+    "q28_table_profile" -> q28TableProfileSql)
 }
