@@ -308,7 +308,47 @@ object Streaming {
       .orderBy(col("user_id"))
   }
 
+  // Stream-stream interval join — the attribution shape: each click
+  // joins the SAME user's view events from the preceding hour. Both
+  // sides are independent file-source streams with their own
+  // watermark, and the time-range predicate gives Spark the state
+  // eviction bound (a view older than click_watermark − 1h can never
+  // match again and its state is dropped) — the production form for
+  // unbounded feeds, not just this replay. Inner join in append mode;
+  // raw matched pairs are the output, so the batch equi+range join IS
+  // the oracle. StreamingSpec proves the cross-batch case (a view
+  // buffered in batch 1 matches a click arriving in batch 2).
+  private val stIntervalJoin: Q = (s, d) => {
+    val clicks = QanStream.eventsStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+      .withWatermark("click_ts", "1 hour")
+    val views = QanStream.eventsStream(s, d)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val joined = clicks.join(views,
+      col("user_id") === col("view_user") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("view_ts") <= col("click_ts"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("click_value"), col("view_id"), col("view_ts"))
+    QanStream.runToMemory(joined, OutputMode.Append())
+      .orderBy(col("click_id"), col("view_id"))
+  }
+
+  private val stIntervalJoinSql = """
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+      c.value AS click_value, v.event_id AS view_id, v.ts AS view_ts
+    FROM events c JOIN events v ON v.user_id = c.user_id
+    WHERE c.event_type = 'click' AND v.event_type = 'view'
+      AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts <= c.ts
+    ORDER BY click_id, view_id"""
+
   val entries: Map[String, Q] = Map(
+    "st_interval_join" -> stIntervalJoin,
     "st_funnel_stream" -> stFunnel,
     "st_minhash_stream" -> stMinhash,
     "st_exact_dedup_stream" -> stExactDedup,
@@ -337,5 +377,6 @@ object Streaming {
     "st_session_append" -> stSessionAppendSql,
     "st_rollup_append" -> stRollupAppendSql,
     "st_percent_change" -> stPercentChangeSql,
-    "st_top_queries" -> graft.queries.Qan.oracles("qan_top_queries"))
+    "st_top_queries" -> graft.queries.Qan.oracles("qan_top_queries"),
+    "st_interval_join" -> stIntervalJoinSql)
 }

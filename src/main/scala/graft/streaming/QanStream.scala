@@ -323,6 +323,9 @@ object QanStream {
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // same un-zoned-timestamp rule as Tables.table: this reader is its
+    // own choke point (a streaming-only session never touches Tables)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the testdata table is a single parquet file inside the sf dir;
     // the file-stream source wants a directory, so stream the dir with
@@ -339,6 +342,7 @@ object QanStream {
     * continuously-arriving corpus.
     */
   def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)

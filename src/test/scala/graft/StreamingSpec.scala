@@ -69,6 +69,50 @@ class StreamingSpec extends SparkSpec {
     } finally out.query.stop()
   }
 
+  test("stream-stream interval join matches across micro-batches and evicts old state") {
+    import spark.implicits._
+    import graft.streaming.QanStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val views = MemoryStream[(java.sql.Timestamp, Long, Long)]  // (ts, user, view_id)
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, Long)] // (ts, user, click_id)
+    val vdf = views.toDF().toDF("view_ts", "view_user", "view_id")
+      .withWatermark("view_ts", "0 seconds")
+    val cdf = clicks.toDF().toDF("click_ts", "user_id", "click_id")
+      .withWatermark("click_ts", "0 seconds")
+    val joined = cdf.join(vdf,
+      col("user_id") === col("view_user") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("view_ts") <= col("click_ts"))
+      .select(col("click_id"), col("view_id"))
+    val out = QanStream.runToMemoryQuery(joined, OutputMode.Append())
+    try {
+      // base well past epoch 0: Spark clamps the negative derived
+      // state watermark (wm − 1h) to 0 early in a stream, which would
+      // evict rows AT exactly epoch 0 — a boundary artifact real
+      // event times never hit, and not what this test is about
+      def ts(min: Long) = new java.sql.Timestamp((100000 + min) * 60000L)
+      // batch 1: only views — buffered in join state, nothing emits
+      views.addData((ts(0), 1L, 100L), (ts(10), 1L, 101L), (ts(0), 2L, 200L))
+      out.query.processAllAvailable()
+      assert(spark.table(out.name).count() == 0)
+      // batch 2: clicks arrive LATER — must match the buffered views
+      clicks.addData((ts(30), 1L, 900L), (ts(90), 2L, 901L))
+      out.query.processAllAvailable()
+      val got = spark.table(out.name).as[(Long, Long)].collect().toSet
+      // click 900 @30min matches both user-1 views (0, 10 min);
+      // click 901 @90min is >1h after user-2's view @0 → no match
+      assert(got == Set((900L, 100L), (900L, 101L)), got.toString)
+      // batch 3: watermark has advanced past 90min − 1h for the view
+      // side; the user-2 view at minute 0 must be evicted from state
+      views.addData((ts(120), 3L, 300L))
+      out.query.processAllAvailable()
+      val stateRows = out.query.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows <= 4L, s"join state not evicting: $stateRows rows")
+    } finally out.query.stop()
+  }
+
   test("streaming exact dedup is arrival-order independent across micro-batches") {
     import spark.implicits._
     import graft.streaming.QanStream
