@@ -347,8 +347,67 @@ object Streaming {
       AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts <= c.ts
     ORDER BY click_id, view_id"""
 
+  // Left-outer form of the interval join — "which clicks had NO view
+  // in the preceding hour": matches emit immediately; a null-extended
+  // row for an unmatched click emits only when the watermark proves
+  // no future view can match it (click_ts ≤ wm ⇒ any future view has
+  // view_ts > wm ≥ click_ts, violating view_ts ≤ click_ts), at which
+  // point its state is dropped. The oracle replays exactly that rule:
+  // all matched pairs, plus unmatched clicks whose click_ts ≤ the
+  // final watermark (per-input max-event-time − delay, ms-truncated,
+  // min across inputs) — the same eviction-replay shape as
+  // st_session_append.
+  private val stIntervalJoinOuter: Q = (s, d) => {
+    val clicks = QanStream.eventsStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val views = QanStream.eventsStream(s, d)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val joined = clicks.join(views,
+      col("user_id") === col("view_user") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("view_ts") <= col("click_ts"),
+      "left_outer")
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+    QanStream.runToMemory(joined, OutputMode.Append())
+      .orderBy(col("click_id"), col("view_id"))
+  }
+
+  private val stIntervalJoinOuterSql = """
+    WITH wm AS (
+      SELECT LEAST(
+          (SELECT MAX(epoch_us(ts)) // 1000 FROM events WHERE event_type = 'click'),
+          (SELECT MAX(epoch_us(ts)) // 1000 FROM events WHERE event_type = 'view'))
+        * 1000 - 3600000000 AS wm_us),
+    matched AS (
+      SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+        v.event_id AS view_id, v.ts AS view_ts
+      FROM events c JOIN events v ON v.user_id = c.user_id
+      WHERE c.event_type = 'click' AND v.event_type = 'view'
+        AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts <= c.ts),
+    unmatched AS (
+      SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+        CAST(NULL AS BIGINT) AS view_id, CAST(NULL AS TIMESTAMP) AS view_ts
+      FROM events c, wm
+      WHERE c.event_type = 'click'
+        AND epoch_us(c.ts) <= wm.wm_us
+        AND NOT EXISTS (SELECT 1 FROM events v
+          WHERE v.event_type = 'view' AND v.user_id = c.user_id
+            AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts <= c.ts))
+    SELECT * FROM matched
+    UNION ALL
+    SELECT * FROM unmatched
+    ORDER BY click_id, view_id"""
+
   val entries: Map[String, Q] = Map(
     "st_interval_join" -> stIntervalJoin,
+    "st_interval_join_outer" -> stIntervalJoinOuter,
     "st_funnel_stream" -> stFunnel,
     "st_minhash_stream" -> stMinhash,
     "st_exact_dedup_stream" -> stExactDedup,
@@ -378,5 +437,6 @@ object Streaming {
     "st_rollup_append" -> stRollupAppendSql,
     "st_percent_change" -> stPercentChangeSql,
     "st_top_queries" -> graft.queries.Qan.oracles("qan_top_queries"),
-    "st_interval_join" -> stIntervalJoinSql)
+    "st_interval_join" -> stIntervalJoinSql,
+    "st_interval_join_outer" -> stIntervalJoinOuterSql)
 }
