@@ -805,10 +805,6 @@ case class GramHashes(child: Expression)
   override def prettyName: String = "gram_hashes"
 }
 
-/** Shannon character entropy (bits/char) of a string — one compiled
-  * counting pass per row (see ExprKernels.charEntropyBits for the
-  * cross-engine fold-order contract).
-  */
 /** Word n-grams of a document under the shared whitespace rule —
   * compiled counterpart of the interpreted transform/slice/concat_ws
   * chain; see ExprKernels.wordGrams for the parity contract.
@@ -826,6 +822,10 @@ case class WordGrams(child: Expression, n: Int)
   override def prettyName: String = "word_grams"
 }
 
+/** Shannon character entropy (bits/char) of a string — one compiled
+  * counting pass per row (see ExprKernels.charEntropyBits for the
+  * cross-engine fold-order contract).
+  */
 case class CharEntropy(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType

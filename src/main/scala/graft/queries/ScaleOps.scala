@@ -518,6 +518,12 @@ object ScaleOps {
     exact
       .join(inv.select(col("id").as("a_id"), col("cell").as("cell_a")), Seq("a_id"))
       .join(inv.select(col("id").as("b_id"), col("cell").as("cell_b")), Seq("b_id"))
+      // raw-cosine banding carries the same accepted ULP-at-the-edge
+      // risk as every raw-threshold compare in this family
+      // (emb_dedup_clusters' 0.4 gate, emb_near_dup_pairs): the two
+      // engines' folds agree to within ulps, and a value landing
+      // within a ulp of a band edge would flap — exact-rational bands
+      // (doc_lsh_recall's integer jaccard) don't exist for cosine
       .groupBy((floor(col("cos_sim") * 10) / 10.0).as("sim_band"))
       .agg(count(lit(1)).as("n_exact"),
         count(when(col("cell_a") === col("cell_b"), 1)).as("n_same_cell"))

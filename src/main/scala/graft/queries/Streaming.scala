@@ -392,11 +392,16 @@ object Streaming {
       WHERE c.event_type = 'click' AND v.event_type = 'view'
         AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts <= c.ts),
     unmatched AS (
+      -- the both-sides-present guard mirrors Spark: an input that has
+      -- never seen data holds the global (min-policy) watermark at 0,
+      -- so nothing evicts and no null rows emit — DuckDB's LEAST
+      -- would skip the NULL max and wrongly advance the watermark
       SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
         CAST(NULL AS BIGINT) AS view_id, CAST(NULL AS TIMESTAMP) AS view_ts
       FROM events c, wm
       WHERE c.event_type = 'click'
         AND epoch_us(c.ts) <= wm.wm_us
+        AND (SELECT COUNT(*) FROM events WHERE event_type = 'view') > 0
         AND NOT EXISTS (SELECT 1 FROM events v
           WHERE v.event_type = 'view' AND v.user_id = c.user_id
             AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts <= c.ts))
