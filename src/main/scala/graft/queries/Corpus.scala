@@ -607,6 +607,66 @@ object Corpus {
     ORDER BY occurrences DESC, gram
     LIMIT 20"""
 
+  // ---------------------------------------------- doc_ngram_novelty
+  // Per-document memorization exposure — doc_dup_ngrams' doc-level
+  // complement: for each document, what fraction of its DISTINCT word
+  // 5-grams also occur in at least one other document. A document of
+  // entirely-shared spans (novelty 0) is boilerplate or a copy; a
+  // high-novelty doc contributes genuinely new text. This is the
+  // per-doc score a curation pass thresholds on, where dup_ngrams is
+  // the corpus-level report of WHAT is shared.
+  //
+  // Same compiled WordGrams kernel at the scan; grams are counted
+  // once per containing doc (distinct inside the first aggregate), df
+  // derives from that same (gram, doc) aggregate, and the join back
+  // to docs is gram-keyed — two map-side-combined aggregates + one
+  // equi-join, the dup_ngrams plan plus a join. <5-token docs have no
+  // grams and surface with novelty NULL rather than silently perfect.
+  private val docNgramNovelty: Q = (s, d) => {
+    val gd = documents(s, d)
+      .select(col("doc_id"),
+        explode(GraftFunctions.wordGrams(col("text"), 5)).as("gram"))
+      .distinct()
+    val df = gd.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val perDoc = gd.join(df, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("df") >= 2, 1)).as("n_shared"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("n_shared").cast(DoubleType) / col("n_grams").cast(DoubleType), 6))
+    documents(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val docNgramNoveltySql = """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+        THEN list_transform(range(1, len(toks) - 3),
+          i -> array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' '))
+        ELSE [] END) AS gram
+      FROM t),
+    gd AS (SELECT DISTINCT gram, doc_id FROM g),
+    df AS (SELECT gram, COUNT(*) AS df FROM gd GROUP BY 1),
+    per_doc AS (
+      SELECT gd.doc_id, COUNT(*) AS n_grams,
+        COUNT(CASE WHEN df.df >= 2 THEN 1 END) AS n_shared
+      FROM gd JOIN df ON df.gram = gd.gram
+      GROUP BY 1)
+    SELECT d.doc_id,
+      COALESCE(p.n_grams, 0) AS n_grams,
+      COALESCE(p.n_shared, 0) AS n_shared,
+      ROUND(1.0 - CAST(p.n_shared AS DOUBLE) / CAST(p.n_grams AS DOUBLE), 6) AS novelty
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    ORDER BY d.doc_id"""
+
   val entries: Map[String, Q] = Map(
     "doc_winnowing" -> docWinnowing,
     "doc_mixture_apply" -> docMixtureApply,
@@ -616,7 +676,8 @@ object Corpus {
     "doc_containment_pairs" -> docContainmentPairs,
     "doc_segment_dedup" -> docSegmentDedup,
     "doc_mixture_plan" -> docMixturePlan,
-    "doc_dup_ngrams" -> docDupNgrams)
+    "doc_dup_ngrams" -> docDupNgrams,
+    "doc_ngram_novelty" -> docNgramNovelty)
 
   val oracles: Map[String, String] = Map(
     "doc_winnowing" -> docWinnowingSql,
@@ -627,5 +688,6 @@ object Corpus {
     "doc_containment_pairs" -> docContainmentPairsSql,
     "doc_segment_dedup" -> docSegmentDedupSql,
     "doc_mixture_plan" -> docMixturePlanSql,
-    "doc_dup_ngrams" -> docDupNgramsSql)
+    "doc_dup_ngrams" -> docDupNgramsSql,
+    "doc_ngram_novelty" -> docNgramNoveltySql)
 }
