@@ -73,6 +73,11 @@ object GraftExtensions {
       else WinnowFingerprints(es(0), intLit(es(1), "k"), intLit(es(2), "w"))
     }),
     "char_entropy" -> (es => { arity("char_entropy", es, 1); CharEntropy(es.head) }),
+    "word_grams" -> (es => {
+      arity("word_grams", es, 1, 2)
+      if (es.length == 1) WordGrams(es.head, 5)
+      else WordGrams(es(0), intLit(es(1), "n"))
+    }),
     // Spark's internal bloom pair, surfaced as SQL (the analyzer wraps
     // the bare AggregateFunction returned here into an AggregateExpression)
     "bloom_agg" -> (es => {

@@ -37,6 +37,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(r3.getSeq[Long](0).nonEmpty, "a 44-char doc has at least one fingerprint")
     assert(r3.getDouble(1) === 0.0)
     assert(math.abs(r3.getDouble(2) - 3.0) < 1e-12, "8 chars × 2 → exactly 3 bits")
+    // round-6 addition: compiled word n-grams (default n=5, explicit n)
+    val r4 = spark.sql(
+      """SELECT word_grams('a b c d e f') AS g5,
+                word_grams('a b c', 2) AS g2,
+                word_grams('a b c') AS short""").collect()(0)
+    assert(r4.getSeq[String](0) == Seq("a b c d e", "b c d e f"))
+    assert(r4.getSeq[String](1) == Seq("a b", "b c"))
+    assert(r4.getSeq[String](2).isEmpty, "<n tokens must yield empty, not throw")
   }
 
   test("withExtensions sessions get the functions and strategy declaratively") {
