@@ -811,6 +811,7 @@ case class GramHashes(child: Expression)
   */
 case class WordGrams(child: Expression, n: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"word_grams: n must be >= 1, got $n")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def nullSafeEval(v: Any): Any =

@@ -45,6 +45,8 @@ class ExtensionsSpec extends SparkSpec {
     assert(r4.getSeq[String](0) == Seq("a b c d e", "b c d e f"))
     assert(r4.getSeq[String](1) == Seq("a b", "b c"))
     assert(r4.getSeq[String](2).isEmpty, "<n tokens must yield empty, not throw")
+    // n <= 0 must error at construction, not silently emit empty grams
+    intercept[Exception](spark.sql("SELECT word_grams('a b c', 0)").collect())
   }
 
   test("withExtensions sessions get the functions and strategy declaratively") {
