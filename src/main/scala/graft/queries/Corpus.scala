@@ -617,18 +617,21 @@ object Corpus {
   // the corpus-level report of WHAT is shared.
   //
   // Same compiled WordGrams kernel at the scan; grams are counted
-  // once per containing doc (distinct inside the first aggregate), df
-  // derives from that same (gram, doc) aggregate, and the join back
-  // to docs is gram-keyed — two map-side-combined aggregates + one
-  // equi-join, the dup_ngrams plan plus a join. <5-token docs have no
-  // grams and surface with novelty NULL rather than silently perfect.
+  // once per containing doc (distinct inside the first aggregate), and
+  // df derives from that SAME aggregate via a count window over gram
+  // (one row per (gram, doc) ⇒ per-gram row count = doc frequency) —
+  // the doc_tfidf_topk trick: a gd ⟗ df self-join would tokenize the
+  // corpus twice (ReuseExchange does NOT fire — the join side carries
+  // a pushed isnotnull filter the df side lacks, so the subtrees don't
+  // canonicalize equal; observed in the executed plan). <5-token docs
+  // have no grams and surface with novelty NULL, not silently perfect.
   private val docNgramNovelty: Q = (s, d) => {
     val gd = documents(s, d)
       .select(col("doc_id"),
         explode(GraftFunctions.wordGrams(col("text"), 5)).as("gram"))
       .distinct()
-    val df = gd.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    val perDoc = gd.join(df, Seq("gram"))
+    val perDoc = gd
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         count(when(col("df") >= 2, 1)).as("n_shared"))

@@ -318,6 +318,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("doc_ngram_novelty tokenizes the corpus once: df via window, no gd self-join") {
+    // df must come from a count window over the single (gram, doc)
+    // aggregate — a gd ⟗ df self-join re-runs the explode+aggregate
+    // (ReuseExchange doesn't fire across the join side's pushed
+    // isnotnull filter), doubling the dominant cost at 100 TB
+    // AQE's toString prints Final Plan + Initial Plan — count only the
+    // final section or a non-AQE plan counts every node twice
+    val plan = executedPlan("doc_ngram_novelty").split("== Initial Plan ==").head
+    val tokenizes = "word_grams".r.findAllIn(plan).length
+    assert(tokenizes == 1, s"corpus tokenized $tokenizes times:\n$plan")
+  }
+
   test("doc_mixture_plan folds its plan on a broadcast, reading documents once per side") {
     val plan = executedPlan("doc_mixture_plan")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
