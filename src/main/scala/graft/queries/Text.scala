@@ -540,11 +540,16 @@ object Text {
   // output partition/file at 100 TB), one running-sum window inside the
   // shard, then pure projection — no global ordering anywhere.
   private val seqBudget = 512
-  private val docSeqPack: Q = (s, d) => {
+
+  /** The packing layout frame (doc_id, shard, n_tokens, start_off,
+    * seq_id, seq_off) — shared by the pack query and its efficiency
+    * audit so both describe the SAME layout.
+    */
+  private def seqPackFrame(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    documents(s, d)
+    docs
       .withColumn("shard", col("doc_id") % 8)
       .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
       .withColumn("start_off",
@@ -552,8 +557,68 @@ object Text {
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("start_off"),
         expr(s"start_off div $seqBudget").as("seq_id"),
         (col("start_off") % seqBudget).as("seq_off"))
-      .orderBy(col("doc_id"))
   }
+
+  private val docSeqPack: Q = (s, d) =>
+    seqPackFrame(documents(s, d)).orderBy(col("doc_id"))
+
+  // ------------------------------------------------ doc_pack_efficiency
+  // Packing-efficiency audit over the SAME layout frame as
+  // doc_seq_pack — the report a pipeline publishes before committing
+  // to a sequence budget: per shard, how many documents straddle a
+  // sequence boundary (their tokens split across training sequences —
+  // the rows whose attention masking needs care), and how full the
+  // shard's sequences are (concatenate-and-chunk wastes only the tail
+  // of the LAST sequence, so fill ≈ 1 − waste/(n_seqs·budget)).
+  // Fragmentation rate is THE lever for choosing the budget: a larger
+  // budget cuts fragment count but wastes more tail. One aggregate
+  // over the shared frame — same single shard shuffle as the pack.
+  private val docPackEfficiency: Q = (s, d) =>
+    seqPackFrame(documents(s, d))
+      .withColumn("straddles", col("n_tokens") > 0 &&
+        expr(s"(start_off + n_tokens - 1) div $seqBudget") =!= col("seq_id"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        count(when(col("straddles"), 1)).as("straddling_docs"))
+      .withColumn("n_seqs",
+        expr(s"(total_tokens + ${seqBudget - 1}) div $seqBudget"))
+      .withColumn("frag_rate",
+        round(col("straddling_docs").cast(DoubleType) / col("n_docs").cast(DoubleType), 6))
+      .withColumn("fill_rate",
+        round(col("total_tokens").cast(DoubleType)
+          / (col("n_seqs") * seqBudget).cast(DoubleType), 6))
+      .orderBy(col("shard"))
+
+  private val docPackEfficiencySql = s"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+        len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents),
+    o AS (
+      SELECT doc_id, shard, n_tokens,
+        COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_off
+      FROM t),
+    f AS (
+      SELECT shard, n_tokens,
+        n_tokens > 0 AND
+          (start_off + n_tokens - 1) // $seqBudget <> start_off // $seqBudget
+          AS straddles
+      FROM o),
+    agg AS (
+      SELECT shard, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        COUNT(CASE WHEN straddles THEN 1 END) AS straddling_docs
+      FROM f GROUP BY 1)
+    SELECT shard, n_docs, total_tokens, straddling_docs,
+      (total_tokens + ${seqBudget - 1}) // $seqBudget AS n_seqs,
+      ROUND(CAST(straddling_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS frag_rate,
+      ROUND(CAST(total_tokens AS DOUBLE)
+        / CAST(((total_tokens + ${seqBudget - 1}) // $seqBudget) * $seqBudget AS DOUBLE), 6)
+        AS fill_rate
+    FROM agg
+    ORDER BY shard"""
 
   private val docSeqPackSql = s"""
     WITH t AS (
@@ -1015,6 +1080,7 @@ object Text {
     "doc_quality_histogram" -> docQualityHistogram,
     "doc_repetition_stats" -> docRepetitionStats,
     "doc_seq_pack" -> docSeqPack,
+    "doc_pack_efficiency" -> docPackEfficiency,
     "doc_contamination" -> docContamination,
     "doc_pii_scrub" -> docPiiScrub,
     "doc_shuffle" -> docShuffle,
@@ -1041,6 +1107,7 @@ object Text {
     "doc_quality_histogram" -> docQualityHistogramSql,
     "doc_repetition_stats" -> docRepetitionStatsSql,
     "doc_seq_pack" -> docSeqPackSql,
+    "doc_pack_efficiency" -> docPackEfficiencySql,
     "doc_contamination" -> docContaminationSql,
     "doc_pii_scrub" -> docPiiScrubSql,
     "doc_shuffle" -> docShuffleSql,
