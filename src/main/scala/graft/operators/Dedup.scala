@@ -38,21 +38,41 @@ object Dedup {
     * (`base`) and the band-bucket candidate pairs (`candidates`). */
   private[operators] case class MinhashStage(base: DataFrame, candidates: DataFrame)
 
-  /** Band-bucket candidate generation with an occupancy cap.
+  /** Band-bucket candidate generation with an occupancy cap and an
+    * optional in-join signature prefilter.
     *
-    * Buckets holding more than `bucketCap` docs are DROPPED (and
-    * counted to stderr): a bucket of m near-identical docs collides
-    * in every band and would emit O(m²) candidates — the failure mode
-    * of boilerplate clusters in web corpora. Exact duplicates never
-    * reach here (the caller collapses them first); docs that were
-    * near- but not exact-identical lose recall only against the rest
-    * of the oversized bucket, and at 100 TB the cap is what keeps the
-    * shuffle bounded. The cap defaults high enough that a verify-scale
-    * corpus never trips it (oracle equivalence holds); production
-    * callers tune it to executor memory.
+    * Buckets holding more than `bucketCap` docs are DROPPED (count
+    * published as an `observe` metric, no extra job): a bucket of m
+    * near-identical docs collides in every band and would emit O(m²)
+    * candidates — the failure mode of boilerplate clusters in web
+    * corpora. Exact duplicates never reach here (the caller collapses
+    * them first); docs that were near- but not exact-identical lose
+    * recall only against the rest of the oversized bucket, and at
+    * 100 TB the cap is what keeps the shuffle bounded. The cap
+    * defaults high enough that a verify-scale corpus never trips it
+    * (oracle equivalence holds); production callers tune it to
+    * executor memory.
+    *
+    * Occupancy is a count window over (band, bucket) — the SAME key
+    * the bucket self-join below hashes on, so the window's shuffle is
+    * reused by the join: one exchange covers cap enforcement and
+    * candidate generation.
+    *
+    * `minEst` ≥ 0 applies the MinHash-estimate prefilter (fraction of
+    * equal signature slots ≥ minEst) INSIDE the bucket join, before
+    * the cross-band dropDuplicates: the signature (k longs, ~300 B)
+    * rides through the band explode so sub-threshold collisions die in
+    * the stage that creates them instead of being deduped, shuffled,
+    * and joined back to `base` twice. On a moderately-repetitive
+    * corpus this is the difference between deduping the banding
+    * pair budget (Σ C(occ,2), data-dependent and potentially 1000×
+    * the true pair count) and deduping only near-threshold pairs.
+    * Cost-attribution for this exact shift lives in
+    * [[graft.tools.MinhashProbe]].
     */
   private[operators] def minhashCandidates(reps: DataFrame, textCol: String,
-      n: Int, k: Int, bands: Int, bucketCap: Int): MinhashStage = {
+      n: Int, k: Int, bands: Int, bucketCap: Int,
+      minEst: Double = -1.0): MinhashStage = {
     require(k == bands * (k / bands), "k must divide into bands evenly")
     val rows = k / bands
     // banding S-curve: P(candidate | jaccard j) = 1-(1-j^rows)^bands.
@@ -73,24 +93,29 @@ object Dedup {
       .withColumn("sig", minhashSignature("ghash", k))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = base
-      .select(col("id"), explode(lshBands("sig", bands, rows)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
-    val oversized = buckets.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("occ"))
-      .filter(col("occ") > bucketCap)
-      .select(col("band"), col("bucket"))
-    val nOver = oversized.count()
-    if (nOver > 0)
-      System.err.println(
-        s"[graft] minhash LSH: dropping $nOver band buckets over occupancy cap $bucketCap")
-    val kept =
-      if (nOver > 0) buckets.join(oversized, Seq("band", "bucket"), "left_anti")
-      else buckets
-    // candidates carry only ids through the band join (the gram arrays
-    // would otherwise be shuffled once per colliding band)
-    val candidates = kept.select(col("band"), col("bucket"), col("id").as("a_id"))
-      .join(kept.select(col("band"), col("bucket"), col("id").as("b_id")), Seq("band", "bucket"))
+      .select(col("id"), col("sig"), explode(lshBands("sig", bands, rows)).as("b"))
+      .select(col("id"), col("sig"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+    import org.apache.spark.sql.expressions.Window
+    val kept = buckets
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      // dropped-bucket volume surfaces through the execution's observed
+      // metrics (QueryExecutionListener) — no separate count() job
+      .observe("graft_minhash_lsh",
+        sum(when(col("occ") > bucketCap, lit(1L)).otherwise(lit(0L)))
+          .as("capped_bucket_rows"),
+        count(lit(1)).as("bucket_rows"))
+      .filter(col("occ") <= bucketCap)
+    val joined = kept
+      .select(col("band"), col("bucket"), col("id").as("a_id"), col("sig").as("a_sig"))
+      .join(kept.select(col("band"), col("bucket"), col("id").as("b_id"),
+        col("sig").as("b_sig")), Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
+    val estFiltered =
+      if (minEst >= 0)
+        joined.filter(GraftFunctions.signatureOverlap(col("a_sig"), col("b_sig"))
+          .cast(DoubleType) / k >= minEst)
+      else joined
+    val candidates = estFiltered
       .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
     MinhashStage(base, candidates)
@@ -123,22 +148,13 @@ object Dedup {
     val members = df.select(col(idCol).as("id"), col(textCol).as("__text"))
     val reps = members.groupBy(col("__text")).agg(min(col("id")).as("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stage = minhashCandidates(reps, "__text", n, k, bands, bucketCap)
+    // the signature-estimate prefilter (fraction of equal slots ≥
+    // tau − 0.2) runs INSIDE the bucket join — see minhashCandidates.
+    // Margin 0.2 ≈ 3σ of the estimator at k=36 → recall loss ≪1%.
+    val stage = minhashCandidates(reps, "__text", n, k, bands, bucketCap,
+      minEst = tau - 0.2)
     val base = stage.base
-    // cheap prefilter before the expensive gram join: the MinHash
-    // signature itself estimates jaccard (fraction of equal slots).
-    // In a repetitive corpus the band join can admit ~10% of all
-    // pairs; comparing k longs per pair drops nearly all of them
-    // before any gram array is shuffled. Margin 0.2 ≈ 3σ of the
-    // estimator at k=36 → recall loss ≪1%.
-    val estKeep = stage.candidates
-      .join(base.select(col("id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
-      .join(base.select(col("id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
-      .withColumn("est_j",
-        GraftFunctions.signatureOverlap(col("a_sig"), col("b_sig")).cast(DoubleType) / k)
-      .filter(col("est_j") >= tau - 0.2)
-      .select(col("a_id"), col("b_id"))
-    val repPairs = estKeep
+    val repPairs = stage.candidates
       .join(base.select(col("id").as("a_id"), col("ghash").as("a_g")), Seq("a_id"))
       .join(base.select(col("id").as("b_id"), col("ghash").as("b_g")), Seq("b_id"))
       .withColumn("inter", GraftFunctions.sortedIntersectCount(col("a_g"), col("b_g")))
