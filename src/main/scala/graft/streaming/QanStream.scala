@@ -377,10 +377,30 @@ object QanStream {
 
   /** Start (but don't finish) a memory-sink query, for multi-batch
     * driving in specs.
+    *
+    * Replay parallelism: stateful streaming operators snapshot
+    * `spark.sql.shuffle.partitions` at query start and keep one state
+    * store PER partition per stateful operator (a stream-stream join
+    * holds four) — at the session's batch-oriented 32 partitions a
+    * bounded replay spends its time committing 128 near-empty store
+    * deltas per micro-batch, not joining. Replays run at 8 partitions
+    * (results and cross-batch semantics are partition-count-invariant;
+    * the session conf is restored after start). Production queries
+    * size this to their own key cardinality — this knob is the
+    * replay harness's, not the operators'.
     */
   def runToMemoryQuery(df: DataFrame, mode: OutputMode = OutputMode.Append()): MemorySink = {
     val name = s"st_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    val spark = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "8")
+    val q =
+      try df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     MemorySink(name, q)
   }
 }
