@@ -47,11 +47,10 @@ object Fleet {
 
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
 
-  private val ClusterSize = 5
+  // shared fleet-topology convention — ONE definition (Topology.scala)
+  private val ClusterSize = Topology.ClusterSize
 
-  private def withTopology(ev: DataFrame): DataFrame = ev
-    .withColumn("cluster_id", expr(s"user_id div $ClusterSize"))
-    .withColumn("is_primary", col("user_id") % ClusterSize === 0)
+  private def withTopology(ev: DataFrame): DataFrame = Topology.withTopology(ev)
 
   // --------------------------------------------------- qan_cluster_rollup
   // Cluster-level metric aggregation (TODO.md §9): per cluster ×
@@ -475,7 +474,90 @@ object Fleet {
     GROUP BY 1, 2, 3
     ORDER BY 1, 2, 3"""
 
+  // --------------------------------------------------- qan_server_metadata
+  // Server metadata collection (reference docs/TODO.md §4 "Add server
+  // metadata collection (version, config details)"): a broadcast-sized
+  // instance→(server_version, key config) dimension joined into the
+  // fleet view so load regressions can be cut by version — the one §4
+  // feature bullet that had no query. The corpus carries no metadata
+  // table, so the dim is derived deterministically from the instance id
+  // (same documented-scaffold convention as Topology): version cycles
+  // through three releases, buffer pool through two sizes; a deployment
+  // substitutes the collector's real instance→metadata table, which is
+  // broadcast-sized by construction (one row per instance).
+  //
+  // Output per version × digest: instance/config counts, call volume,
+  // exact-decimal value totals, and the version's value-per-call
+  // relative to the fleet-wide value-per-call for that digest — a
+  // version running a digest >25% hotter than the fleet is flagged.
+  //
+  // 100 TB shape: per-instance pre-aggregate FIRST (map-side-combined
+  // hash aggregate over the scan), so the dim join touches bounded
+  // cardinality (instances × event types) — never raw events; both the
+  // dim and the per-digest fleet totals are broadcast.
+  private val ServerVersions = Seq("8.0.32", "8.0.36", "8.4.2")
+
+  private val qanServerMetadata: Q = (s, d) => {
+    val ev = events(s, d)
+    val perInst = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("calls"),
+        sum(col("value").cast(DecimalType(18, 6))).as("v"))
+    val dim = ev.select(col("user_id")).distinct()
+      .withColumn("server_version",
+        element_at(array(ServerVersions.map(lit): _*),
+          (col("user_id") % ServerVersions.size).cast("int") + 1))
+      .withColumn("buffer_pool_mb", lit(4096L) * ((col("user_id") % 2) + 1))
+    val byVer = perInst.join(broadcast(dim), Seq("user_id"))
+      .groupBy(col("server_version"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_instances"),
+        countDistinct(col("buffer_pool_mb")).as("n_configs"),
+        sum(col("calls")).as("calls"),
+        sum(col("v")).as("v"))
+    val fleet = byVer.groupBy(col("event_type"))
+      .agg((sum(col("v")).cast(DoubleType) / sum(col("calls")).cast(DoubleType))
+        .as("fleet_vpc"))
+    val vpc = col("v").cast(DoubleType) / col("calls").cast(DoubleType)
+    byVer.join(broadcast(fleet), Seq("event_type"))
+      .select(col("server_version"), col("event_type"), col("n_instances"),
+        col("n_configs"), col("calls"),
+        round(col("v").cast(DoubleType), 4).as("total_value"),
+        round(vpc, 6).as("value_per_call"),
+        round(vpc / col("fleet_vpc"), 6).as("vs_fleet"),
+        (round(vpc / col("fleet_vpc"), 6) > 1.25).as("version_hot"))
+      .orderBy(col("server_version"), col("event_type"))
+  }
+
+  private val qanServerMetadataSql = s"""
+    WITH dim AS (
+      SELECT DISTINCT user_id,
+        (['8.0.32','8.0.36','8.4.2'])[CAST(user_id % 3 AS INTEGER) + 1] AS server_version,
+        4096 * (user_id % 2 + 1) AS buffer_pool_mb
+      FROM events),
+    per_inst AS (
+      SELECT user_id, event_type, COUNT(*) AS calls,
+        SUM(CAST(value AS DECIMAL(18,6))) AS v
+      FROM events GROUP BY 1, 2),
+    by_ver AS (
+      SELECT d.server_version, p.event_type,
+        COUNT(DISTINCT p.user_id) AS n_instances,
+        COUNT(DISTINCT d.buffer_pool_mb) AS n_configs,
+        CAST(SUM(p.calls) AS BIGINT) AS calls, SUM(p.v) AS v
+      FROM per_inst p JOIN dim d USING (user_id)
+      GROUP BY 1, 2),
+    fleet AS (
+      SELECT event_type,
+        CAST(SUM(v) AS DOUBLE) / CAST(SUM(calls) AS DOUBLE) AS fleet_vpc
+      FROM by_ver GROUP BY 1)
+    SELECT b.server_version, b.event_type, b.n_instances, b.n_configs, b.calls,
+      ROUND(CAST(b.v AS DOUBLE), 4) AS total_value,
+      ROUND(CAST(b.v AS DOUBLE) / CAST(b.calls AS DOUBLE), 6) AS value_per_call,
+      ROUND(CAST(b.v AS DOUBLE) / CAST(b.calls AS DOUBLE) / f.fleet_vpc, 6) AS vs_fleet,
+      ROUND(CAST(b.v AS DOUBLE) / CAST(b.calls AS DOUBLE) / f.fleet_vpc, 6) > 1.25 AS version_hot
+    FROM by_ver b JOIN fleet f USING (event_type)
+    ORDER BY 1, 2"""
+
   val entries: Map[String, Q] = Map(
+    "qan_server_metadata" -> qanServerMetadata,
     "qan_cluster_rollup" -> qanClusterRollup,
     "qan_replica_compare" -> qanReplicaCompare,
     "qan_app_metadata" -> qanAppMetadata,
@@ -485,6 +567,7 @@ object Fleet {
     "qan_retention_tiering" -> qanRetentionTiering)
 
   val oracles: Map[String, String] = Map(
+    "qan_server_metadata" -> qanServerMetadataSql,
     "qan_cluster_rollup" -> qanClusterRollupSql,
     "qan_replica_compare" -> qanReplicaCompareSql,
     "qan_app_metadata" -> qanAppMetadataSql,

@@ -49,11 +49,10 @@ object Ops {
 
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
 
-  private val ClusterSize = 5
+  // shared fleet-topology convention — ONE definition (Topology.scala)
+  private val ClusterSize = Topology.ClusterSize
 
-  private def withTopology(ev: DataFrame): DataFrame = ev
-    .withColumn("cluster_id", expr(s"user_id div $ClusterSize"))
-    .withColumn("is_primary", col("user_id") % ClusterSize === 0)
+  private def withTopology(ev: DataFrame): DataFrame = Topology.withTopology(ev)
 
   // --------------------------------------------------- qan_timezone_rollup
   // Time zone support (TODO.md §2): ingestion stays UTC; display
