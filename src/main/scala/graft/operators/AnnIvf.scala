@@ -26,11 +26,24 @@ import graft.functions.expressions.GraftFunctions
   * The search is an equi-join on cell id; per-query work is bounded by
   * probed-cell occupancy — the same bounded-bucket argument as AnnLsh,
   * but cells track the data distribution so occupancy stays balanced
-  * where random hyperplanes would not. More Lloyd rounds would repeat
-  * the refinement stage; one round keeps the oracle replay tractable
-  * while exercising the full shape.
+  * where random hyperplanes would not. Refinement runs
+  * [[AnnIvf.LloydRounds]] Lloyd rounds: each round is one corpus scan
+  * (assignment is a projection against the collected centroids of the
+  * previous round, the mean one compiled VectorDecimalMean aggregate)
+  * and stays engine-replayable — the oracle chains the identical
+  * assign→mean SQL once per round.
   */
 object AnnIvf {
+
+  /** Lloyd refinement rounds. 3 (not 1): with the mean compiled into
+    * one aggregate kernel each round costs a fraction of a second at
+    * bench scale, and the extra rounds measurably tighten cell balance
+    * (emb_ivf_quality's max squared error) — which every IVF consumer
+    * (probe paths, SemDeDup cells, cluster sampling) inherits. The
+    * oracle replay generates one assign/mean CTE pair per round, so
+    * the count lives HERE, shared by both engines.
+    */
+  val LloydRounds = 3
 
   /** Deterministic seeded initial centroids (same xorshift family as
     * AnnLsh.hyperplanes, different seed) — stable across runs and
@@ -45,26 +58,46 @@ object AnnIvf {
     Array.fill(cells, dim)(next())
   }
 
-  /** One Lloyd refinement: assign to the nearest seeded centroid
-    * (ties → lowest cell, via the NearestCell argmin projection), then
-    * per-cell per-dimension means through ONE compiled vector-sum
-    * aggregate kernel (VectorDecimalMean: decimal-exact accumulation,
-    * map-side partial merge, no row explosion). The kernel pins the
-    * exact NULL semantics of the `try_element_at(v, i).cast(DECIMAL)`
-    * formulation it replaced — a degenerate (empty/short/NaN) vector
-    * contributes NULL to dims it lacks, an all-NULL dim pins to 0.0 on
-    * BOTH engines (EdgeCaseSpec embeddings sweep) — without that
+  /** Lloyd refinement, [[LloydRounds]] rounds: assign to the nearest
+    * centroid (ties → lowest cell, via the NearestCell argmin
+    * projection; round 1 starts from the seeded centroids, later
+    * rounds from the previous round's collected means), then per-cell
+    * per-dimension means through ONE compiled vector-sum aggregate
+    * kernel (VectorDecimalMean: decimal-exact accumulation, map-side
+    * partial merge, no row explosion). The kernel pins the exact NULL
+    * semantics of the `try_element_at(v, i).cast(DECIMAL)` formulation
+    * it replaced — a degenerate (empty/short/NaN) vector contributes
+    * NULL to dims it lacks, an all-NULL dim pins to 0.0 on BOTH
+    * engines (EdgeCaseSpec embeddings sweep) — without that
     * formulation's 64 independent aggregate expressions per row (the
     * r5 bench regression). Returns (cell, centroid: array<double>);
-    * empty cells vanish (no members → no mean), deterministically.
+    * empty cells vanish (no members → no mean), deterministically, in
+    * every round.
+    *
+    * Between rounds the centroid table (≤ cells×dim doubles) is
+    * collected and shipped back as a codegen reference object, so each
+    * round is exactly one corpus scan + one hash aggregate — the means
+    * are exact decimals cast to double identically on both engines, so
+    * round r+1's assignment compares bit-identical distances to the
+    * oracle's.
     */
-  def refinedCentroids(corpus: DataFrame, cells: Int, dim: Int): DataFrame = {
-    val cents = centroids0(cells, dim)
-    corpus
-      .withColumn("cell",
-        GraftFunctions.nearestCell(col("v"), cents, Array.tabulate(cells)(identity)))
-      .groupBy(col("cell"))
-      .agg(GraftFunctions.vectorDecimalMean(col("v"), dim).as("centroid"))
+  def refinedCentroids(corpus: DataFrame, cells: Int, dim: Int,
+      rounds: Int = LloydRounds): DataFrame = {
+    require(rounds >= 1, "at least one Lloyd round")
+    var cents = centroids0(cells, dim)
+    var ids = Array.tabulate(cells)(identity)
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      out = corpus
+        .withColumn("cell", GraftFunctions.nearestCell(col("v"), cents, ids))
+        .groupBy(col("cell"))
+        .agg(GraftFunctions.vectorDecimalMean(col("v"), dim).as("centroid"))
+      if (r < rounds) {
+        val (i2, c2) = collectCentroids(out)
+        ids = i2; cents = c2
+      }
+    }
+    out
   }
 
   /** Driver-side materialization of the refined centroids, ascending

@@ -586,7 +586,7 @@ object ScaleOps {
     WITH ${ivfCtes(16, 64)},
     err AS (
       SELECT iv.cell, iv.vec_id, ${ivfSqDist("iv.v", "c1.c", 64)} AS sq
-      FROM inverted iv JOIN cent1 c1 ON c1.cell = iv.cell)
+      FROM inverted iv JOIN centf c1 ON c1.cell = iv.cell)
     SELECT cell, COUNT(*) AS n_vecs,
       ROUND(CAST(SUM(CAST(sq AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
         AS mean_sq_err,
@@ -1122,30 +1122,36 @@ object ScaleOps {
     val centRows = cents.zipWithIndex.map { case (c, i) =>
       s"($i, ${c.map(java.lang.Double.toString).mkString("[", ", ", "]")}::DOUBLE[])"
     }.mkString(", ")
-    s"""e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    cents0(cell, c) AS (VALUES $centRows),
-    assign0 AS (
+    // one assign→mean CTE pair per Lloyd round (round count lives in
+    // AnnIvf.LloydRounds, shared with the Spark side); `centf` is the
+    // final centroid table every downstream oracle probes against
+    def assignCte(name: String, centTable: String): String = s"""
+    $name AS (
       SELECT vec_id, v, cell FROM (
-        SELECT e.vec_id, e.v, c0.cell,
+        SELECT e.vec_id, e.v, c.cell,
           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-            ORDER BY ${ivfSqDist("e.v", "c0.c", dim)}, c0.cell) AS rn
-        FROM e CROSS JOIN cents0 c0)
-      WHERE rn = 1),
-    cent1 AS (
+            ORDER BY ${ivfSqDist("e.v", "c.c", dim)}, c.cell) AS rn
+        FROM e CROSS JOIN $centTable c)
+      WHERE rn = 1)"""
+    def meanCte(name: String, assignTable: String): String = s"""
+    $name AS (
       SELECT cell, list(m ORDER BY i) AS c FROM (
         SELECT a.cell, i,
           CAST(COALESCE(SUM(CAST(a.v[CAST(i AS INT)] AS DECIMAL(18,6))), 0) AS DOUBLE) / COUNT(*) AS m
-        FROM assign0 a CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i)
+        FROM $assignTable a CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i)
         GROUP BY a.cell, i)
-      GROUP BY cell),
-    inverted AS (
-      SELECT vec_id, v, cell FROM (
-        SELECT e.vec_id, e.v, c1.cell,
-          ROW_NUMBER() OVER (PARTITION BY e.vec_id
-            ORDER BY ${ivfSqDist("e.v", "c1.c", dim)}, c1.cell) AS rn
-        FROM e CROSS JOIN cent1 c1)
-      WHERE rn = 1)"""
+      GROUP BY cell)"""
+    val rounds = AnnIvf.LloydRounds
+    val sb = new StringBuilder(s"""e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents0(cell, c) AS (VALUES $centRows),${assignCte("assign0", "cents0")}""")
+    for (r <- 1 to rounds) {
+      sb.append(",").append(meanCte(s"cent$r", s"assign${r - 1}"))
+      if (r < rounds) sb.append(",").append(assignCte(s"assign$r", s"cent$r"))
+    }
+    sb.append(s""",
+    centf AS (SELECT cell, c FROM cent$rounds),${assignCte("inverted", "centf")}""")
+    sb.toString
   }
 
   private val embAnnIvfSql: String = {
@@ -1163,7 +1169,7 @@ object ScaleOps {
         SELECT e.vec_id AS query_id, e.v AS qv, c1.cell,
           ROW_NUMBER() OVER (PARTITION BY e.vec_id
             ORDER BY ${sqDist("e.v", "c1.c")}, c1.cell) AS rn
-        FROM e CROSS JOIN cent1 c1
+        FROM e CROSS JOIN centf c1
         WHERE e.vec_id < 5)
       WHERE rn <= $nprobe),
     scored AS (
