@@ -376,11 +376,21 @@ object Fleet {
     // REINTRODUCE flap risk (engines disagree on ties at scale 4)
     val z = when(col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0,
       (meanB - meanA) / sqrt(se2))
+    // the z statistic is reported from n≥2, but the SIGNIFICANT flag
+    // additionally requires n≥30 per half: Welch's test is a t-test,
+    // and below ~30 the asymptotic 1.96 cutoff is far smaller than the
+    // t critical value (≈4.3 at df≈2) — exactly the low-n noise this
+    // view exists to suppress. At n≥30, z≈t and the normal cutoff is
+    // valid; tiny units keep their z_score for inspection but can
+    // never be flagged. (The alternative — Welch–Satterthwaite df +
+    // a t quantile — needs an inverse-t neither engine exposes as a
+    // replayable scalar; the n-gate is the documented choice.)
     agg.select(col("user_id"), col("event_type"), col("n_a"), col("n_b"),
         when(col("n_a") > 0, meanA).as("mean_a"),
         when(col("n_b") > 0, meanB).as("mean_b"),
         z.as("z_score"),
-        coalesce(abs(z) > 1.96, lit(false)).as("significant"))
+        coalesce(col("n_a") >= 30 && col("n_b") >= 30 && abs(z) > 1.96,
+          lit(false)).as("significant"))
       .orderBy(col("user_id"), col("event_type"))
   }
 
@@ -417,7 +427,7 @@ object Fleet {
       CASE WHEN n_a > 0 THEN CAST(sa AS DOUBLE) / nad END AS mean_a,
       CASE WHEN n_b > 0 THEN CAST(sb AS DOUBLE) / nbd END AS mean_b,
       z_score,
-      COALESCE(abs(z_score) > 1.96, FALSE) AS significant
+      COALESCE(n_a >= 30 AND n_b >= 30 AND abs(z_score) > 1.96, FALSE) AS significant
     FROM zed
     ORDER BY 1, 2"""
 
@@ -517,13 +527,17 @@ object Fleet {
       .agg((sum(col("v")).cast(DoubleType) / sum(col("calls")).cast(DoubleType))
         .as("fleet_vpc"))
     val vpc = col("v").cast(DoubleType) / col("calls").cast(DoubleType)
+    // ANSI double division raises on /0 — an all-zero-value digest has
+    // fleet_vpc = 0, so the fleet-relative ratio is NULL there (and
+    // the hot flag false), never an error
+    val ratio = when(col("fleet_vpc") =!= 0.0, round(vpc / col("fleet_vpc"), 6))
     byVer.join(broadcast(fleet), Seq("event_type"))
       .select(col("server_version"), col("event_type"), col("n_instances"),
         col("n_configs"), col("calls"),
         round(col("v").cast(DoubleType), 4).as("total_value"),
         round(vpc, 6).as("value_per_call"),
-        round(vpc / col("fleet_vpc"), 6).as("vs_fleet"),
-        (round(vpc / col("fleet_vpc"), 6) > 1.25).as("version_hot"))
+        ratio.as("vs_fleet"),
+        coalesce(ratio > 1.25, lit(false)).as("version_hot"))
       .orderBy(col("server_version"), col("event_type"))
   }
 
@@ -551,8 +565,12 @@ object Fleet {
     SELECT b.server_version, b.event_type, b.n_instances, b.n_configs, b.calls,
       ROUND(CAST(b.v AS DOUBLE), 4) AS total_value,
       ROUND(CAST(b.v AS DOUBLE) / CAST(b.calls AS DOUBLE), 6) AS value_per_call,
-      ROUND(CAST(b.v AS DOUBLE) / CAST(b.calls AS DOUBLE) / f.fleet_vpc, 6) AS vs_fleet,
-      ROUND(CAST(b.v AS DOUBLE) / CAST(b.calls AS DOUBLE) / f.fleet_vpc, 6) > 1.25 AS version_hot
+      CASE WHEN f.fleet_vpc <> 0
+        THEN ROUND(CAST(b.v AS DOUBLE) / CAST(b.calls AS DOUBLE) / f.fleet_vpc, 6)
+      END AS vs_fleet,
+      COALESCE(CASE WHEN f.fleet_vpc <> 0
+        THEN ROUND(CAST(b.v AS DOUBLE) / CAST(b.calls AS DOUBLE) / f.fleet_vpc, 6)
+      END > 1.25, FALSE) AS version_hot
     FROM by_ver b JOIN fleet f USING (event_type)
     ORDER BY 1, 2"""
 
