@@ -350,12 +350,15 @@ object Streaming {
   // Left-outer form of the interval join — "which clicks had NO view
   // in the preceding hour": matches emit immediately; a null-extended
   // row for an unmatched click emits only when the watermark proves
-  // no future view can match it (click_ts ≤ wm ⇒ any future view has
-  // view_ts > wm ≥ click_ts, violating view_ts ≤ click_ts), at which
-  // point its state is dropped. The oracle replays exactly that rule:
-  // all matched pairs, plus unmatched clicks whose click_ts ≤ the
-  // final watermark (per-input max-event-time − delay, ms-truncated,
-  // min across inputs) — the same eviction-replay shape as
+  // no future view can match it — STRICTLY past the click (click_ts <
+  // wm ⇒ any future view has view_ts ≥ wm > click_ts, violating
+  // view_ts ≤ click_ts; a view exactly AT the watermark is not yet
+  // late, so equality keeps the click open — StreamingSpec pins this
+  // boundary with a MemoryStream click placed exactly at
+  // max_event_time − 1h). The oracle replays exactly that rule: all
+  // matched pairs, plus unmatched clicks whose click_ts < the final
+  // watermark (per-input max-event-time − delay, ms-truncated, min
+  // across inputs) — the same eviction-replay shape as
   // st_session_append.
   private val stIntervalJoinOuter: Q = (s, d) => {
     val clicks = QanStream.eventsStream(s, d)
@@ -400,7 +403,7 @@ object Streaming {
         CAST(NULL AS BIGINT) AS view_id, CAST(NULL AS TIMESTAMP) AS view_ts
       FROM events c, wm
       WHERE c.event_type = 'click'
-        AND epoch_us(c.ts) <= wm.wm_us
+        AND epoch_us(c.ts) < wm.wm_us
         AND (SELECT COUNT(*) FROM events WHERE event_type = 'view') > 0
         AND NOT EXISTS (SELECT 1 FROM events v
           WHERE v.event_type = 'view' AND v.user_id = c.user_id

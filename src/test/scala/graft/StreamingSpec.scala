@@ -313,4 +313,65 @@ class StreamingSpec extends SparkSpec {
       assert(d1.getBoolean(7), "a +67% day-over-day jump must alert")
     } finally out.query.stop()
   }
+
+  test("outer interval join: null row needs the watermark STRICTLY past the click") {
+    // Pins the eviction boundary the st_interval_join_outer oracle
+    // must encode: an unmatched click whose event time EQUALS the
+    // derived watermark (max event time − 1h) is still open — a view
+    // exactly at the watermark is not yet late, so the click cannot
+    // be proven matchless at equality. The null-extended row emits
+    // only once the watermark moves strictly past the click's event
+    // time (click_ts < wm).
+    import spark.implicits._
+    import graft.streaming.QanStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val views = MemoryStream[(java.sql.Timestamp, Long, Long)]  // (ts, user, view_id)
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, Long)] // (ts, user, click_id)
+    val vdf = views.toDF().toDF("view_ts", "view_user", "view_id")
+      .withWatermark("view_ts", "1 hour")
+    val cdf = clicks.toDF().toDF("click_ts", "user_id", "click_id")
+      .withWatermark("click_ts", "1 hour")
+    val joined = cdf.join(vdf,
+      col("user_id") === col("view_user") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("view_ts") <= col("click_ts"),
+      "left_outer")
+      .select(col("click_id"), col("view_id"))
+    val out = QanStream.runToMemoryQuery(joined, OutputMode.Append())
+    try {
+      def ts(min: Long) = new java.sql.Timestamp((100000 + min) * 60000L)
+      // batch 1: the probe click at minute 0, user 1 — no view ever
+      // matches it; a view for another user keeps the view input
+      // non-empty (an empty input pins the global watermark at 0)
+      clicks.addData((ts(0), 1L, 900L))
+      views.addData((ts(0), 99L, 100L))
+      out.query.processAllAvailable()
+      // batch 2: advance BOTH inputs' max event time to minute 60 —
+      // after this batch the global watermark is exactly minute 0,
+      // the probe click's own event time
+      clicks.addData((ts(60), 2L, 901L))
+      views.addData((ts(60), 98L, 101L))
+      out.query.processAllAvailable()
+      // batch 3: one more trigger at the SAME event time executes
+      // eviction under wm == click_ts without advancing the watermark
+      views.addData((ts(60), 97L, 102L))
+      out.query.processAllAvailable()
+      val atBoundary = spark.table(out.name).as[(Long, Option[Long])].collect().toSet
+      assert(!atBoundary.contains((900L, None)),
+        s"click AT the watermark must still be open (strict <): $atBoundary")
+      // batch 4: advance the watermark one minute PAST the click —
+      // now the null row must emit
+      clicks.addData((ts(61), 3L, 902L))
+      views.addData((ts(61), 96L, 103L))
+      out.query.processAllAvailable()
+      views.addData((ts(61), 95L, 104L)) // extra trigger to flush eviction
+      out.query.processAllAvailable()
+      val past = spark.table(out.name).as[(Long, Option[Long])].collect().toSet
+      assert(past.contains((900L, None)),
+        s"null row must emit once wm strictly exceeds click_ts: $past")
+      assert(!past.contains((901L, None)), s"click above the watermark emitted early: $past")
+    } finally out.query.stop()
+  }
 }
