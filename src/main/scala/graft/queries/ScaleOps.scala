@@ -445,6 +445,12 @@ object ScaleOps {
   // Near-dups straddling a cell boundary are missed BY DESIGN
   // (SemDeDup accepts this recall trade; emb_ann_recall audits the
   // analogous loss for the LSH index).
+  //
+  // Cell-count sizing (the BENCH_SF1 superlinear finding): pair work
+  // is Σ|cell|², so a FIXED cell count turns a 10× corpus into 100×
+  // per-cell work (measured 23× wall-clock at sf1). Production sizes
+  // cells ∝ corpus / target-occupancy so per-cell work stays constant;
+  // only this demo pins cells=16, for oracle parity.
   private val embCellDedup: Q = (s, d) => {
     val tau = 0.4
     val e = embeddings(s, d).withColumn("v", col("embedding").cast(ArrayType(DoubleType)))

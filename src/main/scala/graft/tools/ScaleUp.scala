@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus scaler: tiles the driver-generated testdata
+  * R× with per-replica key offsets, producing an order-of-magnitude
+  * scale point (sf1 from sf0.1) for empirical plan-shape checks — do
+  * the near-linear claims (banded LSH, bucketed ANN, hash aggregates)
+  * actually hold at 10×?
+  *
+  * Distribution fidelity choices:
+  *  - id keys get disjoint per-replica offsets (joins/groups see 10×
+  *    keys, same per-key density);
+  *  - document TEXT is caesar-shifted per replica (lowercase ring):
+  *    length, gram counts and WITHIN-replica near-dup structure are
+  *    preserved exactly, while cross-replica shingle sets are disjoint
+  *    — so candidate-pair volume scales linearly like a real corpus,
+  *    instead of exploding quadratically (verbatim tiling would make
+  *    every doc a 10-way near-dup);
+  *  - event timestamps are unchanged: 10× rows per time bucket, the
+  *    "denser fleet" reading of scale;
+  *  - dims (region, nation) stay as-is.
+  *
+  * Output mimics the testdata layout (one `<table>.parquet` FILE per
+  * table) so the file-stream glob replay works unchanged.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> [replicas=10]
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val reps = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    def shifted(r: Int): String = {
+      val k = r % 26
+      lower.substring(k) + lower.substring(0, k)
+    }
+
+    def tile(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
+      // events goes through the nanos-aware reader; the output is
+      // re-written as plain MICROS, which the same reader handles
+      val base = if (name == "events") graft.Tables.events(spark, src)
+        else graft.Tables.table(spark, src, name)
+      val tiled = (0 until reps).map(r => f(base, r)).reduce(_ unionByName _)
+      val tmp = s"$out/_tmp_$name"
+      tiled.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val dir = new java.io.File(tmp)
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$out/$name.parquet")
+      if (dst.exists()) dst.delete()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dir.listFiles().foreach(_.delete()); dir.delete()
+      println(s"[scaleup] $name -> ${spark.read.parquet(dst.getPath).count()} rows")
+    }
+    def copy(name: String): Unit = tile(name, (df, r) => if (r == 0) df else df.limit(0))
+
+    new java.io.File(out).mkdirs()
+    copy("region"); copy("nation")
+    tile("customer", (df, r) => df.withColumn("c_custkey", col("c_custkey") + r * 1000000L))
+    tile("supplier", (df, r) => df.withColumn("s_suppkey", col("s_suppkey") + r * 1000000L))
+    tile("part", (df, r) => df.withColumn("p_partkey", col("p_partkey") + r * 1000000L))
+    tile("orders", (df, r) => df
+      .withColumn("o_orderkey", col("o_orderkey") + r * 10000000L)
+      .withColumn("o_custkey", col("o_custkey") + r * 1000000L))
+    tile("lineitem", (df, r) => df
+      .withColumn("l_orderkey", col("l_orderkey") + r * 10000000L)
+      .withColumn("l_partkey", col("l_partkey") + r * 1000000L)
+      .withColumn("l_suppkey", col("l_suppkey") + r * 1000000L))
+    tile("events", (df, r) => df
+      .withColumn("event_id", col("event_id") + r * 100000000L)
+      .withColumn("user_id", col("user_id") + r * 1000000L))
+    tile("documents", (df, r) => df
+      .withColumn("doc_id", col("doc_id") + r * 10000000L)
+      .withColumn("text",
+        if (r == 0) col("text") else translate(col("text"), lower, shifted(r))))
+    tile("embeddings", (df, r) => df.withColumn("vec_id", col("vec_id") + r * 1000000L))
+    spark.stop()
+  }
+}
