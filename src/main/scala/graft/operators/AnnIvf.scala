@@ -45,6 +45,17 @@ object AnnIvf {
     */
   val LloydRounds = 3
 
+  /** Production cell-count rule: cells ∝ corpus size / target mean
+    * occupancy, floored at 16. SemDeDup's candidate work is Σ|cell|²,
+    * so a FIXED cell count turns a 10× corpus into 100× per-cell work
+    * (BENCH_SF1 measured 23× wall-clock); scaling cells with the
+    * corpus keeps per-cell work constant. At every oracle-checked
+    * scale (≤ 2000 vectors) this resolves to exactly 16, so the
+    * static centroid-literal replay stays valid where it is used.
+    */
+  def adaptiveCells(n: Long, targetOccupancy: Int = 125): Int =
+    math.max(16, (n / targetOccupancy).toInt)
+
   /** Deterministic seeded initial centroids (same xorshift family as
     * AnnLsh.hyperplanes, different seed) — stable across runs and
     * engines, no RNG state.

@@ -448,15 +448,17 @@ object ScaleOps {
   //
   // Cell-count sizing (the BENCH_SF1 superlinear finding): pair work
   // is Σ|cell|², so a FIXED cell count turns a 10× corpus into 100×
-  // per-cell work (measured 23× wall-clock at sf1). Production sizes
-  // cells ∝ corpus / target-occupancy so per-cell work stays constant;
-  // only this demo pins cells=16, for oracle parity.
+  // per-cell work (fixed 16 cells measured 23× wall-clock at sf1).
+  // Cells scale with the corpus (AnnIvf.adaptiveCells: n / target
+  // occupancy, floored at 16) so per-cell work stays constant; at
+  // every oracle-checked scale (≤ 2000 vectors) the rule resolves to
+  // exactly 16, the count the centroid-literal replay inlines.
   private val embCellDedup: Q = (s, d) => {
     val tau = 0.4
     val e = embeddings(s, d).withColumn("v", col("embedding").cast(ArrayType(DoubleType)))
     val corpus = e.select(col("vec_id").as("id"), col("v"))
     val (cellIds, cents) = AnnIvf.collectCentroids(
-      AnnIvf.refinedCentroids(corpus, cells = 16, dim = 64))
+      AnnIvf.refinedCentroids(corpus, cells = AnnIvf.adaptiveCells(corpus.count()), dim = 64))
     val inverted = AnnIvf.invertedFile(corpus, cellIds, cents)
     val a = inverted.select(col("cell"), col("id").as("a_id"), col("v").as("av"))
     val b = inverted.select(col("cell"), col("id").as("b_id"), col("v").as("bv"))
@@ -518,8 +520,10 @@ object ScaleOps {
       .withColumn("cos_sim", GraftFunctions.cosineSimilarity(col("av"), col("bv")))
       .filter(col("cos_sim") >= tau)
       .select(col("a_id"), col("b_id"), col("cos_sim"))
+    // same adaptive cell count as emb_cell_dedup — the audit must
+    // measure the index the dedup actually uses
     val (cellIds, cents) = AnnIvf.collectCentroids(
-      AnnIvf.refinedCentroids(corpus, cells = 16, dim = 64))
+      AnnIvf.refinedCentroids(corpus, cells = AnnIvf.adaptiveCells(corpus.count()), dim = 64))
     val inv = AnnIvf.invertedFile(corpus, cellIds, cents).select(col("id"), col("cell"))
     exact
       .join(inv.select(col("id").as("a_id"), col("cell").as("cell_a")), Seq("a_id"))

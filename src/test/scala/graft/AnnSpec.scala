@@ -112,6 +112,17 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("adaptiveCells: exactly 16 at every oracle-checked scale, linear beyond") {
+    import graft.operators.AnnIvf
+    // <= 2000 vectors (sf0.001 / sf0.01 / sf0.1 embeddings) must all
+    // resolve to the 16 the centroid-literal oracle replay inlines
+    for (n <- Seq(20L, 200L, 2000L)) assert(AnnIvf.adaptiveCells(n) == 16, s"n=$n")
+    // beyond the oracle range, cells grow with the corpus so SemDeDup
+    // per-cell work (sum of |cell|^2) stays constant
+    assert(AnnIvf.adaptiveCells(20000L) == 160)
+    assert(AnnIvf.adaptiveCells(2000000L) == 16000)
+  }
+
   test("ivf quality audit: cells partition the corpus, errors consistent with the kernel") {
     val out = SparkEntry.queries("emb_ivf_quality")(spark, sf).collect()
     assert(out.nonEmpty)
