@@ -16,12 +16,50 @@ import graft.functions.expressions.GraftFunctions
   */
 object Dedup {
 
+  /** Pipeline defaults — ONE definition shared by the operators, the
+    * oracle constants inlined in ScaleOps, the specs, and the
+    * MinhashProbe diagnostic (which must attribute cost for the same
+    * pipeline production runs).
+    */
+  val DefaultNgram = 3
+  val DefaultK = 36
+  val DefaultBands = 6
+  val DefaultTau = 0.8
+  val DefaultBucketCap = 1000
+
   /** MinHash signature: k permutations via the native
     * MinHashSignature expression (one compiled loop per row — see its
     * scaladoc for why the HOF formulation was replaced).
     */
   def minhashSignature(grams: String, k: Int): Column =
     GraftFunctions.minhashSignature(col(grams), k)
+
+  // one listener per session surfaces the candidate stage's observe()
+  // metrics (capped-bucket drops = silent recall loss) to stderr —
+  // without it the metric reaches no one. Weak set: don't pin sessions.
+  private val metricsListenerSessions =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
+
+  private def ensureMetricsListener(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (metricsListenerSessions.add(spark))
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_minhash_lsh")) {
+              val capped = Option(row.getAs[Any]("capped_bucket_rows"))
+                .map(_.toString.toLong).getOrElse(0L)
+              if (capped > 0)
+                System.err.println(s"[graft] minhash LSH: dropped $capped band-bucket " +
+                  s"rows over the occupancy cap (max_occupancy=" +
+                  s"${row.getAs[Any]("max_occupancy")}, n_buckets=${row.getAs[Any]("n_buckets")})")
+            }
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+      })
 
   /** LSH banding: split the signature into `bands` bands of `rows`
     * values; the band's raw signature slice IS the bucket key (an
@@ -41,22 +79,28 @@ object Dedup {
   /** Band-bucket candidate generation with an occupancy cap and an
     * optional in-join signature prefilter.
     *
-    * Buckets holding more than `bucketCap` docs are DROPPED (count
-    * published as an `observe` metric, no extra job): a bucket of m
-    * near-identical docs collides in every band and would emit O(m²)
-    * candidates — the failure mode of boilerplate clusters in web
-    * corpora. Exact duplicates never reach here (the caller collapses
-    * them first); docs that were near- but not exact-identical lose
-    * recall only against the rest of the oversized bucket, and at
-    * 100 TB the cap is what keeps the shuffle bounded. The cap
-    * defaults high enough that a verify-scale corpus never trips it
-    * (oracle equivalence holds); production callers tune it to
-    * executor memory.
+    * Buckets holding more than `bucketCap` docs are DROPPED: a bucket
+    * of m near-identical docs collides in every band and would emit
+    * O(m²) candidates — the failure mode of boilerplate clusters in
+    * web corpora. Exact duplicates never reach here (the caller
+    * collapses them first); docs that were near- but not
+    * exact-identical lose recall only against the rest of the
+    * oversized bucket, and at 100 TB the cap is what keeps the
+    * shuffle bounded. The cap defaults high enough that a verify-scale
+    * corpus never trips it (oracle equivalence holds); production
+    * callers tune it to executor memory.
     *
-    * Occupancy is a count window over (band, bucket) — the SAME key
-    * the bucket self-join below hashes on, so the window's shuffle is
-    * reused by the join: one exchange covers cap enforcement and
-    * candidate generation.
+    * Cap enforcement is a map-side-partial count aggregate plus an
+    * anti-join — deliberately NOT a count window over (band, bucket):
+    * the window would shuffle and sort the pathological bucket's rows
+    * into ONE task before the filter could drop them, re-creating the
+    * exact straggler the cap exists to prevent. With the aggregate,
+    * only per-partition partial counts shuffle; the oversized-key set
+    * (small by construction) anti-joins back and the join exchange
+    * below carries kept rows only. Dropped volume surfaces through
+    * `observe` metrics on the occupancy aggregate — no extra job, and
+    * a per-session listener (ensureMetricsListener) prints any capped
+    * drops to stderr so the recall loss is never silent.
     *
     * `minEst` ≥ 0 applies the MinHash-estimate prefilter (fraction of
     * equal signature slots ≥ minEst) INSIDE the bucket join, before
@@ -70,10 +114,11 @@ object Dedup {
     * Cost-attribution for this exact shift lives in
     * [[graft.tools.MinhashProbe]].
     */
-  private[operators] def minhashCandidates(reps: DataFrame, textCol: String,
+  private[graft] def minhashCandidates(reps: DataFrame, textCol: String,
       n: Int, k: Int, bands: Int, bucketCap: Int,
       minEst: Double = -1.0): MinhashStage = {
     require(k == bands * (k / bands), "k must divide into bands evenly")
+    ensureMetricsListener(reps.sparkSession)
     val rows = k / bands
     // banding S-curve: P(candidate | jaccard j) = 1-(1-j^rows)^bands.
     // rows=6 keeps sub-threshold pairs (j≈0.4-0.6, common in repetitive
@@ -95,16 +140,17 @@ object Dedup {
     val buckets = base
       .select(col("id"), col("sig"), explode(lshBands("sig", bands, rows)).as("b"))
       .select(col("id"), col("sig"), col("b.band").as("band"), col("b.bucket").as("bucket"))
-    import org.apache.spark.sql.expressions.Window
-    val kept = buckets
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
-      // dropped-bucket volume surfaces through the execution's observed
-      // metrics (QueryExecutionListener) — no separate count() job
-      .observe("graft_minhash_lsh",
-        sum(when(col("occ") > bucketCap, lit(1L)).otherwise(lit(0L)))
+    // observation names must be unique within a query, and one query
+    // may compose several LSH passes — hence the per-instance suffix
+    val occ = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("occ"))
+      .observe(s"graft_minhash_lsh_${java.util.UUID.randomUUID.toString.take(8)}",
+        sum(when(col("occ") > bucketCap, col("occ")).otherwise(lit(0L)))
           .as("capped_bucket_rows"),
-        count(lit(1)).as("bucket_rows"))
-      .filter(col("occ") <= bucketCap)
+        max(col("occ")).as("max_occupancy"),
+        count(lit(1)).as("n_buckets"))
+    val oversized = occ.filter(col("occ") > bucketCap).select(col("band"), col("bucket"))
+    val kept = buckets.join(oversized, Seq("band", "bucket"), "left_anti")
     val joined = kept
       .select(col("band"), col("bucket"), col("id").as("a_id"), col("sig").as("a_sig"))
       .join(kept.select(col("band"), col("bucket"), col("id").as("b_id"),
@@ -125,7 +171,8 @@ object Dedup {
     * emits for this corpus (after the exact-dedup pre-pass and the
     * bucket cap). */
   def lshCandidateCount(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 36, bands: Int = 6, bucketCap: Int = 1000): Long = {
+      n: Int = DefaultNgram, k: Int = DefaultK, bands: Int = DefaultBands,
+      bucketCap: Int = DefaultBucketCap): Long = {
     val reps = df.groupBy(col(textCol).as("__text"))
       .agg(min(col(idCol)).as("id"))
     minhashCandidates(reps, "__text", n, k, bands, bucketCap).candidates.count()
@@ -140,8 +187,8 @@ object Dedup {
     * decisions.
     */
   def minhashNearDupRepPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 36, bands: Int = 6, tau: Double = 0.8,
-      bucketCap: Int = 1000): (DataFrame, DataFrame) = {
+      n: Int = DefaultNgram, k: Int = DefaultK, bands: Int = DefaultBands,
+      tau: Double = DefaultTau, bucketCap: Int = DefaultBucketCap): (DataFrame, DataFrame) = {
     // exact-dedup pre-pass: one representative per distinct text;
     // keyed by the text itself (exact, and the text is shuffled into
     // the shingle stage anyway — no extra pass)
@@ -193,8 +240,8 @@ object Dedup {
     * pipeline.
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 36, bands: Int = 6, tau: Double = 0.8,
-      bucketCap: Int = 1000): DataFrame = {
+      n: Int = DefaultNgram, k: Int = DefaultK, bands: Int = DefaultBands,
+      tau: Double = DefaultTau, bucketCap: Int = DefaultBucketCap): DataFrame = {
     val (repPairs, mem) = minhashNearDupRepPairs(df, idCol, textCol, n, k, bands, tau, bucketCap)
     val within = mem.as("x")
       .join(mem.as("y"),

@@ -509,10 +509,15 @@ object Fleet {
 
   private val qanServerMetadata: Q = (s, d) => {
     val ev = events(s, d)
+    // persisted: the bounded per-instance aggregate is the ONLY thing
+    // read from the corpus — the dim derivation, the version rollup
+    // and the fleet totals all reuse it, so the raw events table is
+    // scanned exactly once per run
     val perInst = ev.groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("calls"),
         sum(col("value").cast(DecimalType(18, 6))).as("v"))
-    val dim = ev.select(col("user_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dim = perInst.select(col("user_id")).distinct()
       .withColumn("server_version",
         element_at(array(ServerVersions.map(lit): _*),
           (col("user_id") % ServerVersions.size).cast("int") + 1))

@@ -456,7 +456,10 @@ object ScaleOps {
   private val embCellDedup: Q = (s, d) => {
     val tau = 0.4
     val e = embeddings(s, d).withColumn("v", col("embedding").cast(ArrayType(DoubleType)))
+    // persisted: the sizing count, the Lloyd rounds and the inverted
+    // file all rescan the corpus — cache the projection once
     val corpus = e.select(col("vec_id").as("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (cellIds, cents) = AnnIvf.collectCentroids(
       AnnIvf.refinedCentroids(corpus, cells = AnnIvf.adaptiveCells(corpus.count()), dim = 64))
     val inverted = AnnIvf.invertedFile(corpus, cellIds, cents)
@@ -513,6 +516,7 @@ object ScaleOps {
     val tau = 0.4
     val e = embeddings(s, d).withColumn("v", col("embedding").cast(ArrayType(DoubleType)))
     val corpus = e.select(col("vec_id").as("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sub = corpus.filter(col("id") < 500)
     val a = sub.select(col("id").as("a_id"), col("v").as("av"))
     val b = sub.select(col("id").as("b_id"), col("v").as("bv"))

@@ -32,6 +32,10 @@ object ScaleUp {
     val src = args(0)
     val out = args(1)
     val reps = if (args.length > 2) args(2).toInt else 10
+    // the caesar ring wraps at 26: replica 26 would reproduce replica
+    // 0's text verbatim, silently turning the linear near-dup-volume
+    // invariant into a quadratic cross-replica dup explosion
+    require(reps >= 1 && reps <= 26, s"replicas must be in [1, 26], got $reps")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
