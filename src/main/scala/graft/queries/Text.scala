@@ -343,6 +343,50 @@ object Text {
     ORDER BY tf DESC, token
     LIMIT 50"""
 
+  // --------------------------------------------------- doc_heavy_hitters
+  // Exact corpus heavy hitters (tokens with tf > n/200) found WITHOUT
+  // shuffling the vocabulary: pass 1 is one Misra–Gries sketch
+  // aggregate (≤ 200 counters per partition partial, mergeable, a
+  // guaranteed superset of every true heavy hitter — see the
+  // MisraGries scaladoc), pass 2 broadcast-joins the ≤ 200 candidates
+  // back and recounts them exactly. At 100 TB this is the difference
+  // between shuffling billions of distinct n-gram keys and shuffling
+  // 200·partitions counters; the sketch is a prefilter, so the final
+  // answer (and the DuckDB oracle) is exact SQL, not an estimate.
+  // doc_top_tokens answers "the global tf ranking" (full vocabulary
+  // aggregate); this answers "who exceeds a frequency share" with
+  // bounded memory.
+  private val HhK = 200
+
+  private val docHeavyHitters: Q = (s, d) => {
+    val tok = documents(s, d)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+    val sketch = tok
+      .agg(graft.functions.expressions.GraftFunctions.misraGries(col("token"), HhK).as("sk"))
+      .select(col("sk.n").as("n"), explode(col("sk.candidates")).as("token"))
+    val exact = tok
+      .join(broadcast(sketch.select(col("n"), col("token"))), Seq("token"))
+      .groupBy(col("token"), col("n"))
+      .agg(count(lit(1)).as("tf"))
+    exact
+      .filter(col("tf") * HhK > col("n"))
+      .select(col("token"), col("tf"),
+        (col("tf").cast(DoubleType) / col("n").cast(DoubleType)).as("share"))
+      .orderBy(col("tf").desc, col("token"))
+  }
+
+  private val docHeavyHittersSql = s"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT token, COUNT(*) AS tf,
+      CAST(COUNT(*) AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE) AS share
+    FROM tok
+    GROUP BY token
+    HAVING COUNT(*) * $HhK > (SELECT n FROM tot)
+    ORDER BY tf DESC, token"""
+
   // ---------------------------------------------- doc_repetition_stats
   // Repetition-based quality filter, the published pretraining rule
   // family (Gopher/MassiveText heuristics): the share of all word
@@ -1077,6 +1121,7 @@ object Text {
     "doc_token_count" -> docTokenCount,
     "doc_hash_split" -> docHashSplit,
     "doc_top_tokens" -> docTopTokens,
+    "doc_heavy_hitters" -> docHeavyHitters,
     "doc_quality_histogram" -> docQualityHistogram,
     "doc_repetition_stats" -> docRepetitionStats,
     "doc_seq_pack" -> docSeqPack,
@@ -1104,6 +1149,7 @@ object Text {
     "doc_token_count" -> docTokenCountSql,
     "doc_hash_split" -> docHashSplitSql,
     "doc_top_tokens" -> docTopTokensSql,
+    "doc_heavy_hitters" -> docHeavyHittersSql,
     "doc_quality_histogram" -> docQualityHistogramSql,
     "doc_repetition_stats" -> docRepetitionStatsSql,
     "doc_seq_pack" -> docSeqPackSql,

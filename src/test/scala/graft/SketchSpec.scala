@@ -57,4 +57,62 @@ class SketchSpec extends SparkSpec {
       } finally li.unpersist(blocking = true)
     }
   }
+
+  // ------------------------------------------------------- Misra–Gries
+  // doc_heavy_hitters itself is oracle-exact (the sketch is only a
+  // prefilter); these specs pin the sketch property that exactness
+  // RELIES on — no heavy hitter is ever evicted — on a corpus whose
+  // vocabulary (50k keys) vastly exceeds the counter budget, which the
+  // synthetic documents table (31-word vocabulary) never exercises.
+
+  private def mgCandidates(df: org.apache.spark.sql.DataFrame, k: Int)
+      : (Long, Set[String]) = {
+    val r = df.agg(graft.functions.expressions.GraftFunctions
+        .misraGries(col("token"), k).as("sk"))
+      .select(col("sk.n"), col("sk.candidates")).head()
+    (r.getLong(0), r.getSeq[String](1).toSet)
+  }
+
+  test("misra_gries: candidate set is a superset of true heavy hitters at high cardinality") {
+    import spark.implicits._
+    val k = 100
+    // 3 hot keys at ~2% each inside 50k distinct uniform cold keys,
+    // spread over 8 partitions so partial buffers churn and merge
+    val rows = (0 until 200000).map { i =>
+      if (i % 50 < 3) s"hot_${i % 50}" else s"cold_${i % 49999}_${i % 7}"
+    }
+    val df = spark.createDataset(rows).toDF("token").repartition(8)
+    val (n, cands) = mgCandidates(df, k)
+    assert(n == 200000L)
+    assert(cands.size <= k, s"bound violated: ${cands.size} > $k")
+    val exactHot = df.groupBy(col("token")).count()
+      .filter(col("count") * k > lit(n)).collect().map(_.getString(0)).toSet
+    assert(exactHot.nonEmpty && exactHot.subsetOf(cands),
+      s"missed heavy hitters: ${exactHot.diff(cands)}")
+  }
+
+  test("misra_gries: nulls are ignored and a uniform stream still respects the k bound") {
+    import spark.implicits._
+    val rows: Seq[Option[String]] =
+      (0 until 20000).map(i => if (i % 5 == 0) None else Some(s"u_${i % 6000}"))
+    val df = spark.createDataset(rows).toDF("token").repartition(5)
+    val (n, cands) = mgCandidates(df, 20)
+    assert(n == 16000L, s"nulls must not count: n=$n")
+    assert(cands.size <= 20)
+  }
+
+  test("doc_heavy_hitters: equals the exact full-vocabulary aggregate") {
+    // end-to-end equality at the gate scale: sketch-prefiltered +
+    // recounted answer == naive exact heavy hitters
+    val got = SparkEntry.queries("doc_heavy_hitters")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val tok = Tables.documents(spark, sf)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+    val n = tok.count()
+    val want = tok.groupBy(col("token")).count()
+      .filter(col("count") * 200 > lit(n))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }.toSeq
+    assert(got == want)
+  }
 }
