@@ -670,6 +670,120 @@ object Corpus {
     FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
     ORDER BY d.doc_id"""
 
+  // ------------------------------------------------- doc_dup_spans
+  // Contiguous duplicated-SPAN coverage per document — the geometry
+  // that novelty's per-gram fraction flattens away: which token
+  // positions sit inside at least one cross-document duplicated
+  // 5-gram, merged into maximal contiguous spans. These are exactly
+  // the regions an exact-substring deduplication pass (Lee et al.
+  // 2022, "Deduplicating Training Data Makes Language Models Better")
+  // would cut: one long boilerplate block and fifty scattered shared
+  // phrases can carry the SAME novelty score but demand opposite
+  // treatment (cut the block / keep the doc).
+  //
+  // Plan: pass A is the doc_dup_ngrams aggregate shape reduced to the
+  // duplicated-gram SET (distinct (gram, doc) → per-gram doc count →
+  // df ≥ 2); pass B re-tokenizes with positions (posexplode over the
+  // compiled WordGrams kernel — the tokenizer stays in whole-stage
+  // codegen both passes; two scans beats caching the exploded gram
+  // table, which is ~5× the corpus) and keeps positions whose gram is
+  // duplicated (shuffle equi-join on the gram key). Interval union is
+  // gaps-and-islands with windows PARTITIONED BY doc (running max of
+  // span end over preceding starts → island break where a start
+  // clears it by ≥ 2 → island id by running sum) — per-doc state, no
+  // global order, survives 1000 executors; the naive alternative
+  // (explode every gram into its 5 positions, COUNT DISTINCT) ships
+  // 5× the rows to do the same union.
+  /** The span computation over any (doc_id, text) frame — public so
+    * CorpusSpec can pin the interval-merge geometry on a crafted
+    * corpus where every island is countable by hand.
+    */
+  def dupSpans(docs: DataFrame): DataFrame = {
+    val grams = (df: DataFrame) => df.select(col("doc_id"),
+      posexplode(GraftFunctions.wordGrams(col("text"), 5)).as(Seq("pos", "gram")))
+    val dupGrams = grams(docs)
+      .select(col("gram"), col("doc_id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("gram"))
+    val hits = grams(docs)
+      .join(dupGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"), (col("pos") + 4).as("end"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = hits
+      .withColumn("prev_end", max(col("end")).over(wPrev))
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("end")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+    docs
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"))
+      .join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast(DoubleType) /
+          col("n_words").cast(DoubleType), 6).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val docDupSpans: Q = (s, d) => dupSpans(documents(s, d))
+
+  // Same gaps-and-islands shape in DuckDB; span positions never reach
+  // the output, so DuckDB's 1-based starts and Spark's 0-based
+  // posexplode cancel out of every emitted column.
+  private val docDupSpansSql = """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, i.i AS pos,
+        array_to_string(toks[CAST(i.i AS INT):CAST(i.i + 4 AS INT)], ' ') AS gram
+      FROM t CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(toks) - 4)) AS i) i
+      WHERE len(toks) >= 5),
+    dup AS (
+      SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g)
+      GROUP BY gram HAVING COUNT(*) >= 2),
+    hits AS (
+      SELECT g.doc_id, g.pos, g.pos + 4 AS e
+      FROM g SEMI JOIN dup ON g.gram = dup.gram),
+    marked AS (
+      SELECT doc_id, pos, e,
+        MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM hits),
+    isl AS (
+      SELECT doc_id, pos, e,
+        SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+          THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM marked),
+    spans AS (
+      SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e
+      FROM isl GROUP BY 1, 2),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_spans,
+        CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY 1)
+    SELECT d.doc_id,
+      CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS n_words,
+      COALESCE(p.n_spans, 0) AS n_spans,
+      COALESCE(p.dup_tokens, 0) AS dup_tokens,
+      ROUND(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) /
+        CAST(len(string_split_regex(trim(d.text), '\s+')) AS DOUBLE), 6) AS dup_frac
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    ORDER BY d.doc_id"""
+
   val entries: Map[String, Q] = Map(
     "doc_winnowing" -> docWinnowing,
     "doc_mixture_apply" -> docMixtureApply,
@@ -680,7 +794,8 @@ object Corpus {
     "doc_segment_dedup" -> docSegmentDedup,
     "doc_mixture_plan" -> docMixturePlan,
     "doc_dup_ngrams" -> docDupNgrams,
-    "doc_ngram_novelty" -> docNgramNovelty)
+    "doc_ngram_novelty" -> docNgramNovelty,
+    "doc_dup_spans" -> docDupSpans)
 
   val oracles: Map[String, String] = Map(
     "doc_winnowing" -> docWinnowingSql,
@@ -692,5 +807,6 @@ object Corpus {
     "doc_segment_dedup" -> docSegmentDedupSql,
     "doc_mixture_plan" -> docMixturePlanSql,
     "doc_dup_ngrams" -> docDupNgramsSql,
-    "doc_ngram_novelty" -> docNgramNoveltySql)
+    "doc_ngram_novelty" -> docNgramNoveltySql,
+    "doc_dup_spans" -> docDupSpansSql)
 }

@@ -198,4 +198,35 @@ class CorpusSpec extends SparkSpec {
       assert(ov > 0 && ov <= 1.0)
     }
   }
+
+  test("dup spans: one boilerplate block merges to ONE span, scattered phrases stay separate") {
+    import spark.implicits._
+    // tokens are single letters; the 10-token block B0..B9 is shared
+    // by docs 1 and 2 (one contiguous island each); doc 3 shares two
+    // NON-adjacent 5-gram phrases with doc 4 (two islands); doc 5 is
+    // all-novel text (zero spans)
+    val block = (0 until 10).map(i => s"B$i").mkString(" ")
+    val p1 = "p q r s t"
+    val p2 = "v w x y z"
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $block a4 a5 a6 a7"),
+      (2L, s"c1 c2 $block c3 c4 c5 c6 c7"),
+      (3L, s"d1 d2 $p1 d3 d4 d5 d6 $p2 d7 d8"),
+      (4L, s"e1 $p1 e2 e3 e4 e5 e6 e7 $p2 e8"),
+      (5L, "f1 f2 f3 f4 f5 f6 f7 f8 f9")
+    ).toDF("doc_id", "text").createOrReplaceTempView("dup_span_docs")
+    val out = graft.queries.Corpus.dupSpans(spark.table("dup_span_docs"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // docs 1/2: the shared block is 10 tokens = six 5-gram starts that
+    // chain into exactly one island of exactly 10 covered tokens
+    assert(out(1L) == ((17L, 1L, 10L)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((17L, 1L, 10L)), s"doc2: ${out(2L)}")
+    // docs 3/4: two disjoint 5-token phrases, far enough apart that
+    // the islands never touch → 2 spans, 5 tokens each
+    assert(out(3L)._2 == 2L && out(3L)._3 == 10L, s"doc3: ${out(3L)}")
+    assert(out(4L)._2 == 2L && out(4L)._3 == 10L, s"doc4: ${out(4L)}")
+    // doc 5: nothing shared
+    assert(out(5L) == ((9L, 0L, 0L)), s"doc5: ${out(5L)}")
+  }
 }
