@@ -610,6 +610,43 @@ object ScaleOps {
     GROUP BY 1
     ORDER BY cell"""
 
+  // ------------------------------------------------- emb_ood_score
+  // Embedding-space outlier pruning — the curation pass that drops
+  // corrupt/off-distribution vectors before they poison ANN indexes
+  // or semantic-dedup cells: distance to the NEAREST IVF centroid as
+  // an out-of-distribution score, reported as the top-50 farthest
+  // vectors (junk-candidate review list). One codegen'd scan — the
+  // centroid table rides inside the compiled NearestCellDist kernel
+  // (a broadcast-by-construction literal, never a join) — and the
+  // global ranking is a bounded TakeOrderedAndProject, so at 100 TB
+  // the cost is exactly one pass over the vectors plus a 50-row
+  // merge. Shares the Lloyd-refined centroids (and their DuckDB
+  // replay CTEs) with emb_ivf_quality/emb_cell_dedup.
+  private val embOodScore: Q = (s, d) => {
+    val e = embeddings(s, d)
+      .withColumn("v", col("embedding").cast(ArrayType(DoubleType)))
+    val corpus = e.select(col("vec_id").as("id"), col("v"))
+    val (ids, cents) = AnnIvf.collectCentroids(
+      AnnIvf.refinedCentroids(corpus, cells = 16, dim = 64))
+    AnnIvf.invertedFile(corpus, ids, cents)
+      .withColumn("sq", GraftFunctions.nearestCellDist(col("v"), cents))
+      .select(col("id").as("vec_id"), col("cell"),
+        round(sqrt(col("sq")), 6).as("ood_dist"))
+      .orderBy(col("ood_dist").desc, col("vec_id"))
+      .limit(50)
+  }
+
+  private lazy val embOodScoreSql: String = s"""
+    WITH ${ivfCtes(16, 64)},
+    scored AS (
+      SELECT iv.vec_id, iv.cell,
+        ROUND(SQRT(${ivfSqDist("iv.v", "c1.c", 64)}), 6) AS ood_dist
+      FROM inverted iv JOIN centf c1 ON c1.cell = iv.cell)
+    SELECT vec_id, cell, ood_dist
+    FROM scored
+    ORDER BY ood_dist DESC, vec_id
+    LIMIT 50"""
+
   // Multimodal: frame sampling over an opaque binary payload — the
   // video-pipeline shape (decode is elsewhere; THIS op is the offset
   // arithmetic that picks every k-th fixed-size frame out of a byte
@@ -686,6 +723,7 @@ object ScaleOps {
     "emb_ann_ivf" -> embAnnIvf,
     "emb_cluster_sample" -> embClusterSample,
     "emb_ivf_quality" -> embIvfQuality,
+    "emb_ood_score" -> embOodScore,
     "emb_cell_dedup" -> embCellDedup,
     "emb_cell_recall" -> embCellRecall,
     "doc_minhash_lsh" -> docMinhashLsh,
@@ -1247,6 +1285,7 @@ object ScaleOps {
     "emb_ann_ivf" -> embAnnIvfSql,
     "emb_cluster_sample" -> embClusterSampleSql,
     "emb_ivf_quality" -> embIvfQualitySql,
+    "emb_ood_score" -> embOodScoreSql,
     "emb_cell_dedup" -> embCellDedupSql,
     "emb_cell_recall" -> embCellRecallSql,
     "emb_ann_lsh" -> embAnnLshSql,

@@ -251,6 +251,30 @@ class AnnSpec extends SparkSpec {
     assert(viaKernel.toSeq === viaExprs.toSeq)
   }
 
+  test("ood score: descending, nonnegative, and the top-1 is the true global max") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.operators.AnnIvf
+    import graft.functions.expressions.GraftFunctions
+    val out = SparkEntry.queries("emb_ood_score")(spark, sf).collect()
+    assert(out.length == 50)
+    val dists = out.map(_.getDouble(2))
+    assert(dists.forall(_ >= 0.0))
+    assert(dists.sameElements(dists.sorted(Ordering[Double].reverse)),
+      "scores must be sorted descending")
+    // independent recomputation of the global max nearest-centroid
+    // distance (same refined centroids, brute-force max, no top-N path)
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val (_, cents) = AnnIvf.collectCentroids(
+      AnnIvf.refinedCentroids(corpus, cells = 16, dim = 64))
+    val trueMax = corpus
+      .select(sqrt(GraftFunctions.nearestCellDist(col("v"), cents)).as("d"))
+      .agg(max(col("d"))).head.getDouble(0)
+    assert(math.abs(dists.head - trueMax) < 1e-6,
+      s"top-1 ${dists.head} vs brute-force max $trueMax")
+  }
+
   test("multimodal stub: features deterministic and shaped") {
     val out = SparkEntry.queries("mm_feature_stub")(spark, sf).collect()
     assert(out.length == Tables.documents(spark, sf).count())
