@@ -1,3 +1,5 @@
+package graft.tools
+
 // scratch probe (not part of the build)
 object ExplainProbe {
   def main(args: Array[String]): Unit = {

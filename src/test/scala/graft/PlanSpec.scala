@@ -383,6 +383,43 @@ class PlanSpec extends SparkSpec {
       s"no map-side partial aggregation of the role winners:\n$p")
   }
 
+  test("doc_heavy_hitters: sketch aggregate partials, broadcast recount, no vocabulary sort-merge") {
+    val p = executedPlan("doc_heavy_hitters")
+    // the MG sketch must run as an ObjectHashAggregate with a map-side
+    // partial (the ≤k-counter buffers are what shuffles, not tokens)
+    assert(p.contains("ObjectHashAggregate"), s"sketch not an object hash aggregate:\n$p")
+    // candidates join back by broadcast — the recount side must never
+    // plan a sort-merge join against a ≤k-row candidate set
+    assert(p.contains("BroadcastHashJoin"), s"candidate join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"sort-merge on the candidate join:\n$p")
+  }
+
+  test("doc_dup_spans: doc-partitioned windows only, equi-joins only") {
+    val df = SparkEntry.queries("doc_dup_spans")(spark, sf)
+    val offenders = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(offenders.isEmpty,
+      s"partition-less window(s) in dup_spans:\n${offenders.mkString("\n")}")
+    val p = executedPlan("doc_dup_spans")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"gram match must be an equi-join:\n$p")
+  }
+
+  test("emb_ood_score: one codegen'd scan + bounded TakeOrderedAndProject, no join, no window") {
+    // the centroids live INSIDE the compiled kernel (literal), so the
+    // scoring query itself must plan as scan → project → top-N: any
+    // Exchange/Join/Window would mean the centroid table leaked out
+    // into the plan as a relation
+    val p = executedPlan("emb_ood_score")
+    assert(p.contains("TakeOrderedAndProject"), s"global top-N not bounded:\n$p")
+    assert(!p.contains("Window"), s"window in scoring scan:\n$p")
+    assert(!p.contains("Join"), s"join in scoring scan:\n$p")
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(p).isDefined,
+      s"scoring projection not codegen'd:\n$p")
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     // the "*(n)" prefix marks codegen spans; the fingerprint/simhash
     // projections must carry it (no CodegenFallback breaking the span)
