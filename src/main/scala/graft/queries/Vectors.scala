@@ -571,7 +571,47 @@ object Vectors {
     WHERE fused_rank <= 10
     ORDER BY query_id, fused_rank"""
 
+  // --------------------------------------------------- emb_dim_profile
+  // Per-dimension embedding profile — the q28-style data-validation
+  // pass for the vector column: per dim, how many vectors carry it
+  // (short/degenerate vectors surface as uneven counts), decimal-
+  // exact mean (drift), min/max (range/clipping), and the dead-dim
+  // flag (a dimension whose min == max carries no information —
+  // a truncated-write or all-zero-pad symptom). 100 TB shape: the
+  // ×dim posexplode looks expensive but aggregates MAP-SIDE onto
+  // `dim` keys, so the shuffle is dim × partitions partial rows —
+  // independent of corpus size; the scan and explode stay in one
+  // codegen span.
+  private val embDimProfile: Q = (s, d) =>
+    vecs(s, d)
+      .select(posexplode(col("v")).as(Seq("p", "x")))
+      .select((col("p") + 1).cast("long").as("dim"), col("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast(DoubleType) / count(lit(1)), 6).as("mean"),
+        round(min(col("x")), 6).as("min_x"),
+        round(max(col("x")), 6).as("max_x"))
+      .withColumn("dead", (col("min_x") === col("max_x")).cast("int"))
+      .orderBy(col("dim"))
+
+  private val embDimProfileSql = """
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    x AS (
+      SELECT i.i AS dim, v[CAST(i.i AS INT)] AS x
+      FROM e CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(v))) AS i) i)
+    SELECT dim, COUNT(*) AS n,
+      ROUND(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean,
+      ROUND(MIN(x), 6) AS min_x,
+      ROUND(MAX(x), 6) AS max_x,
+      CAST(ROUND(MIN(x), 6) = ROUND(MAX(x), 6) AS INT) AS dead
+    FROM x
+    GROUP BY dim
+    ORDER BY dim"""
+
   val entries: Map[String, Q] = Map(
+    "emb_dim_profile" -> embDimProfile,
     "emb_rrf_fusion" -> embRrfFusion,
     "emb_matryoshka_recall" -> embMatryoshkaRecall,
     "emb_matryoshka_demo" -> embMatryoshkaDemo,
@@ -584,6 +624,7 @@ object Vectors {
     "emb_dedup_clusters" -> embDedupClusters)
 
   val oracles: Map[String, String] = Map(
+    "emb_dim_profile" -> embDimProfileSql,
     "emb_rrf_fusion" -> embRrfFusionSql,
     "emb_matryoshka_recall" -> embMatryoshkaRecallSql,
     "emb_matryoshka_demo" -> embMatryoshkaDemoSql,

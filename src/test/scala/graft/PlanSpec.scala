@@ -420,6 +420,16 @@ class PlanSpec extends SparkSpec {
       s"scoring projection not codegen'd:\n$p")
   }
 
+  test("emb_dim_profile: the ×dim explode aggregates map-side, no join, no window") {
+    // the explode multiplies rows by dim, but only dim × partitions
+    // PARTIAL rows may shuffle — the aggregate must carry map-side
+    // partial min/max (combine before the exchange)
+    val p = executedPlan("emb_dim_profile")
+    assert(p.contains("partial_min") && p.contains("partial_max"),
+      s"no map-side partial aggregation after the explode:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"), s"unexpected join/window:\n$p")
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     // the "*(n)" prefix marks codegen spans; the fingerprint/simhash
     // projections must carry it (no CodegenFallback breaking the span)
