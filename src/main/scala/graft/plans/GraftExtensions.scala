@@ -73,6 +73,13 @@ object GraftExtensions {
       else WinnowFingerprints(es(0), intLit(es(1), "k"), intLit(es(2), "w"))
     }),
     "char_entropy" -> (es => { arity("char_entropy", es, 1); CharEntropy(es.head) }),
+    // aggregate: the analyzer wraps the bare AggregateFunction (same
+    // treatment as bloom_agg below)
+    "misra_gries" -> (es => {
+      arity("misra_gries", es, 1, 2)
+      if (es.length == 1) MisraGries(es.head, 200)
+      else MisraGries(es(0), intLit(es(1), "k"))
+    }),
     "word_grams" -> (es => {
       arity("word_grams", es, 1, 2)
       if (es.length == 1) WordGrams(es.head, 5)

@@ -1165,11 +1165,11 @@ object ScaleOps {
     * `inverted(vec_id, v, cell)`. Distances use the same sequential
     * fold shape as the Spark kernels.
     */
-  private def ivfSqDist(a: String, b: String, dim: Int): String =
+  private[queries] def ivfSqDist(a: String, b: String, dim: Int): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
       s"i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))), (acc, x) -> acc + x)"
 
-  private def ivfCtes(cells: Int, dim: Int): String = {
+  private[queries] def ivfCtes(cells: Int, dim: Int): String = {
     val cents = AnnIvf.centroids0(cells, dim)
     val centRows = cents.zipWithIndex.map { case (c, i) =>
       s"($i, ${c.map(java.lang.Double.toString).mkString("[", ", ", "]")}::DOUBLE[])"

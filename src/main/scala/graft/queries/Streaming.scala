@@ -260,6 +260,60 @@ object Streaming {
         Text.exactDedupAgg(QanStream.documentsStream(s, d)), OutputMode.Complete())
       .orderBy(col("keep_doc_id"))
 
+  // Streaming embedding OOD filter — the ingestion-time form of
+  // emb_ood_score, and the production calibrate-offline/apply-online
+  // split: centroids AND the decimal-exact mean squared quantization
+  // error are computed on the static corpus (the offline index build),
+  // then the arriving vector stream is scored by the compiled
+  // NearestCell/NearestCellDist kernels and filtered against the
+  // frozen 1.05×mean threshold (this corpus is near-uniform — max sq
+  // is only ~1.08×mean — so the calibration sits where a tail exists;
+  // production would freeze a quantile from the same offline pass) — a STATELESS scan-level stream (no
+  // state store, no watermark, no shuffle), so it scales to any
+  // ingestion rate by adding executors. Emits the flagged outliers in
+  // append mode as they arrive.
+  private val stOodFilter: Q = (s, d) => {
+    import graft.operators.AnnIvf
+    import org.apache.spark.sql.types.ArrayType
+    val corpus = graft.Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val (ids, cents) = AnnIvf.collectCentroids(
+      AnnIvf.refinedCentroids(corpus, cells = 16, dim = 64))
+    val meanSq = corpus
+      .select(graft.functions.expressions.GraftFunctions
+        .nearestCellDist(col("v"), cents).as("sq"))
+      .agg((sum(col("sq").cast(DecimalType(28, 12))).cast(DoubleType)
+        / count(lit(1))).as("m"))
+      .head.getDouble(0)
+    val scored = QanStream.embeddingsStream(s, d)
+      .select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .select(col("vec_id"),
+        graft.functions.expressions.GraftFunctions
+          .nearestCell(col("v"), cents, ids).as("cell"),
+        graft.functions.expressions.GraftFunctions
+          .nearestCellDist(col("v"), cents).as("sq"))
+      .filter(col("sq") > lit(1.05 * meanSq))
+      .select(col("vec_id"), col("cell"), round(sqrt(col("sq")), 6).as("ood_dist"))
+    QanStream.runToMemory(scored, OutputMode.Append())
+      .orderBy(col("vec_id"))
+  }
+
+  private lazy val stOodFilterSql: String = s"""
+    WITH ${ScaleOps.ivfCtes(16, 64)},
+    scored AS (
+      SELECT iv.vec_id, iv.cell,
+        ${ScaleOps.ivfSqDist("iv.v", "c1.c", 64)} AS sq
+      FROM inverted iv JOIN centf c1 ON c1.cell = iv.cell),
+    thr AS (
+      SELECT 1.05 * (CAST(SUM(CAST(sq AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)) AS t
+      FROM scored)
+    SELECT vec_id, cell, ROUND(SQRT(sq), 6) AS ood_dist
+    FROM scored
+    WHERE sq > (SELECT t FROM thr)
+    ORDER BY vec_id"""
+
   // Streaming ingestion-time NEAR-dup detection (DedupStream): as docs
   // arrive, each is checked against resident (band, bucket) signature
   // state; (older, newer, signature-estimate) pairs stream out, with
@@ -418,6 +472,7 @@ object Streaming {
     "st_interval_join_outer" -> stIntervalJoinOuter,
     "st_funnel_stream" -> stFunnel,
     "st_minhash_stream" -> stMinhash,
+    "st_ood_filter" -> stOodFilter,
     "st_exact_dedup_stream" -> stExactDedup,
     "st_multi_counter_stream" -> stMultiCounter,
     "st_delta_stream" -> stDelta,
@@ -435,6 +490,7 @@ object Streaming {
   val oracles: Map[String, String] = Map(
     "st_funnel_stream" -> Timeseries.oracles("qan_funnel"),
     "st_minhash_stream" -> stMinhashSql,
+    "st_ood_filter" -> stOodFilterSql,
     "st_exact_dedup_stream" -> Text.oracles("doc_exact_dedup"),
     "st_multi_counter_stream" -> Qan.oracles("qan_multi_counter_delta"),
     "st_session_stream" -> stSessionSql,

@@ -348,6 +348,17 @@ object QanStream {
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
   }
 
+  /** File-source stream over the embeddings table (same single-file
+    * glob trick as [[eventsStream]]) — the ingestion shape of vectors
+    * arriving from an embedding service.
+    */
+  def embeddingsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (test/verify scaffolding).
     */

@@ -47,6 +47,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(r4.getSeq[String](2).isEmpty, "<n tokens must yield empty, not throw")
     // n <= 0 must error at construction, not silently emit empty grams
     intercept[Exception](spark.sql("SELECT word_grams('a b c', 0)").collect())
+    // round-7 addition: the Misra–Gries sketch aggregate through SQL —
+    // analyzer must wrap the bare AggregateFunction (bloom_agg path);
+    // 7 distinct values under k=10 means the sketch is exact here
+    val r5 = spark.sql(
+      """SELECT misra_gries(t, 10) AS sk
+         FROM (SELECT concat('v', cast(id % 7 AS STRING)) AS t
+               FROM range(0, 700))""").collect()(0)
+    val sk = r5.getStruct(0)
+    assert(sk.getLong(0) == 700L)
+    assert(sk.getSeq[String](1).toSet == (0 until 7).map(i => s"v$i").toSet)
+    intercept[Exception](spark.sql("SELECT misra_gries('x', 0)").collect())
   }
 
   test("withExtensions sessions get the functions and strategy declaratively") {

@@ -374,4 +374,34 @@ class StreamingSpec extends SparkSpec {
       assert(!past.contains((901L, None)), s"click above the watermark emitted early: $past")
     } finally out.query.stop()
   }
+
+  test("ood filter stream is stateless: no state store, no aggregation in the streaming plan") {
+    // the calibrate-offline/apply-online split means the streaming
+    // side must be a pure scan-level projection+filter — any stateful
+    // operator here would mean the threshold leaked into the stream
+    // as a computation instead of a frozen literal
+    val df = SparkEntry.queries("st_ood_filter")(spark, sf)
+    assert(df.collect().nonEmpty || true) // ran to completion
+    import graft.streaming.QanStream
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val (ids, cents) = graft.operators.AnnIvf.collectCentroids(
+      graft.operators.AnnIvf.refinedCentroids(corpus, cells = 16, dim = 64))
+    val scored = QanStream.embeddingsStream(spark, sf)
+      .select(col("vec_id"),
+        graft.functions.expressions.GraftFunctions
+          .nearestCellDist(col("embedding").cast(ArrayType(DoubleType)), cents).as("sq"))
+      .filter(col("sq") > lit(1e9)) // any literal; plan shape is the point
+    val h = QanStream.runToMemoryQuery(scored)
+    try {
+      h.query.processAllAvailable()
+      val p = h.query.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery]
+      val progress = p.lastProgress
+      assert(progress.stateOperators.isEmpty,
+        s"stateless stream must have no state operators: ${progress.json}")
+    } finally h.query.stop()
+  }
 }
