@@ -579,7 +579,60 @@ object Fleet {
     FROM by_ver b JOIN fleet f USING (event_type)
     ORDER BY 1, 2"""
 
+  // --------------------------------------------------- qan_tree_rollup
+  // Variable-depth hierarchy rollup via WITH RECURSIVE (Spark 4's
+  // recursive CTE): instances roll up a parent chain (the synthetic
+  // tree is encoded in the id — parent = id div 10, root 0; a
+  // production fleet supplies a real parent table), and every
+  // ancestor — including purely virtual aggregation nodes — reports
+  // its subtree's instance count, call volume and exact-decimal value
+  // total. This is the org-chart/resource-accounting shape that flat
+  // GROUP BY and fixed-level ROLLUP can't express when depth varies
+  // per node. Distributed shape: the recursion's per-iteration work is
+  // one join on the frontier (iterations = tree height, ~log n), the
+  // ancestor closure is n × height rows, and the final rollup is one
+  // hash aggregate over it; the per-instance base aggregate collapses
+  // the raw events FIRST so the closure never touches event-grain
+  // rows.
+  private val qanTreeRollup: Q = (s, d) => {
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("calls"),
+        sum(col("value").cast(DecimalType(18, 6))).as("v"))
+      .createOrReplaceTempView("graft_tree_per_inst")
+    s.sql("""
+      WITH RECURSIVE anc(node, a) AS (
+        SELECT user_id, user_id FROM graft_tree_per_inst
+        UNION ALL
+        SELECT node, a DIV 10 FROM anc WHERE a > 0)
+      SELECT a.a AS ancestor,
+        COUNT(*) AS n_instances,
+        CAST(SUM(p.calls) AS BIGINT) AS subtree_calls,
+        CAST(SUM(p.v) AS DOUBLE) AS subtree_value
+      FROM anc a JOIN graft_tree_per_inst p ON p.user_id = a.node
+      GROUP BY a.a
+      ORDER BY ancestor""")
+  }
+
+  private val qanTreeRollupSql = """
+    WITH RECURSIVE per_inst AS (
+      SELECT user_id, COUNT(*) AS calls,
+        SUM(CAST(value AS DECIMAL(18,6))) AS v
+      FROM events GROUP BY 1),
+    anc(node, a) AS (
+      SELECT user_id, user_id FROM per_inst
+      UNION ALL
+      SELECT node, a // 10 FROM anc WHERE a > 0)
+    SELECT a.a AS ancestor,
+      COUNT(*) AS n_instances,
+      CAST(SUM(p.calls) AS BIGINT) AS subtree_calls,
+      CAST(SUM(p.v) AS DOUBLE) AS subtree_value
+    FROM anc a JOIN per_inst p ON p.user_id = a.node
+    GROUP BY a.a
+    ORDER BY ancestor"""
+
   val entries: Map[String, Q] = Map(
+    "qan_tree_rollup" -> qanTreeRollup,
     "qan_server_metadata" -> qanServerMetadata,
     "qan_cluster_rollup" -> qanClusterRollup,
     "qan_replica_compare" -> qanReplicaCompare,
@@ -590,6 +643,7 @@ object Fleet {
     "qan_retention_tiering" -> qanRetentionTiering)
 
   val oracles: Map[String, String] = Map(
+    "qan_tree_rollup" -> qanTreeRollupSql,
     "qan_server_metadata" -> qanServerMetadataSql,
     "qan_cluster_rollup" -> qanClusterRollupSql,
     "qan_replica_compare" -> qanReplicaCompareSql,

@@ -72,4 +72,25 @@ class QanOpsSpec extends SparkSpec {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(shuffles == 1, s"expected a single hash shuffle, plan:\n$plan")
   }
+
+  test("tree rollup: root covers the fleet, every subtree equals its children plus itself") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("qan_tree_rollup")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // root (ancestor 0) must cover every instance and every call
+    val ev = Tables.events(spark, sfDir)
+    val totalCalls = ev.count()
+    val nInst = ev.select(col("user_id")).distinct().count()
+    assert(rows(0L) == ((nInst, totalCalls)), s"root ${rows(0L)} vs ($nInst, $totalCalls)")
+    // conservation at every internal node: subtree(a) = Σ subtree(c)
+    // over children c (c div 10 == a, c != a) + a's own leaf stats
+    val own = ev.groupBy(col("user_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.keys.filter(_ > 0).foreach { a =>
+      val children = rows.keys.filter(c => c != a && c / 10 == a)
+      val expect = children.map(rows(_)._2).sum + own.getOrElse(a, 0L)
+      assert(rows(a)._2 == expect,
+        s"node $a: subtree_calls ${rows(a)._2} != children+own $expect")
+    }
+  }
 }
