@@ -387,6 +387,68 @@ object Text {
     HAVING COUNT(*) * $HhK > (SELECT n FROM tot)
     ORDER BY tf DESC, token"""
 
+  // --------------------------------------------------- doc_dist_drift
+  // Token-distribution drift between the train and val splits — the
+  // "did this slice come from the same distribution" audit a pipeline
+  // runs when a new crawl lands or a split rule changes: per-token
+  // KL-divergence contribution p·ln(p/q) under Laplace smoothing
+  // (p = train, q = val), reporting the top-20 drift tokens by
+  // |contribution|. Per-token math only — NEVER a cross-token double
+  // sum, whose fold order would differ between engines; the total KL
+  // is the consumer's trivial reduction of the full per-token frame.
+  // One conditional aggregate computes both splits' tf in one pass
+  // over the tokenized scan; the three scalars (totals + vocab) ride
+  // back on a broadcast one-row frame; top-20 is a bounded
+  // TakeOrderedAndProject.
+  private val docDistDrift: Q = (s, d) => {
+    val tok = splitDf(documents(s, d))
+      .filter(col("split").isin("train", "val"))
+      .select(col("split"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+    val counts = tok.groupBy(col("token"))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("tf_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("tf_val"))
+    val totals = counts.agg(sum(col("tf_train")).as("n_train"),
+      sum(col("tf_val")).as("n_val"), count(lit(1)).as("vocab"))
+    val p = (col("tf_train") + 1).cast(DoubleType) /
+      (col("n_train") + col("vocab")).cast(DoubleType)
+    val q = (col("tf_val") + 1).cast(DoubleType) /
+      (col("n_val") + col("vocab")).cast(DoubleType)
+    counts.crossJoin(broadcast(totals))
+      .select(col("token"), col("tf_train"), col("tf_val"),
+        round(p, 8).as("p_train"), round(q, 8).as("p_val"),
+        round(p * log(p / q), 8).as("kl_contrib"))
+      .orderBy(abs(col("kl_contrib")).desc, col("token"))
+      .limit(20)
+  }
+
+  private val docDistDriftSql = """
+    WITH tok AS (
+      SELECT CASE WHEN b < 90 THEN 'train' ELSE 'val' END AS split,
+        unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM (SELECT text,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split-v1'), 1, 8)) AS BIGINT) % 100 AS b
+        FROM documents)
+      WHERE b < 95),
+    counts AS (
+      SELECT token,
+        CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS tf_train,
+        CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS tf_val
+      FROM tok GROUP BY token),
+    totals AS (
+      SELECT CAST(SUM(tf_train) AS BIGINT) AS n_train,
+        CAST(SUM(tf_val) AS BIGINT) AS n_val, COUNT(*) AS vocab
+      FROM counts)
+    SELECT token, tf_train, tf_val,
+      ROUND(CAST(tf_train + 1 AS DOUBLE) / CAST(n_train + vocab AS DOUBLE), 8) AS p_train,
+      ROUND(CAST(tf_val + 1 AS DOUBLE) / CAST(n_val + vocab AS DOUBLE), 8) AS p_val,
+      ROUND((CAST(tf_train + 1 AS DOUBLE) / CAST(n_train + vocab AS DOUBLE))
+        * LN((CAST(tf_train + 1 AS DOUBLE) / CAST(n_train + vocab AS DOUBLE))
+            / (CAST(tf_val + 1 AS DOUBLE) / CAST(n_val + vocab AS DOUBLE))), 8) AS kl_contrib
+    FROM counts, totals
+    ORDER BY abs(kl_contrib) DESC, token
+    LIMIT 20"""
+
   // ---------------------------------------------- doc_repetition_stats
   // Repetition-based quality filter, the published pretraining rule
   // family (Gopher/MassiveText heuristics): the share of all word
@@ -1122,6 +1184,7 @@ object Text {
     "doc_hash_split" -> docHashSplit,
     "doc_top_tokens" -> docTopTokens,
     "doc_heavy_hitters" -> docHeavyHitters,
+    "doc_dist_drift" -> docDistDrift,
     "doc_quality_histogram" -> docQualityHistogram,
     "doc_repetition_stats" -> docRepetitionStats,
     "doc_seq_pack" -> docSeqPack,
@@ -1150,6 +1213,7 @@ object Text {
     "doc_hash_split" -> docHashSplitSql,
     "doc_top_tokens" -> docTopTokensSql,
     "doc_heavy_hitters" -> docHeavyHittersSql,
+    "doc_dist_drift" -> docDistDriftSql,
     "doc_quality_histogram" -> docQualityHistogramSql,
     "doc_repetition_stats" -> docRepetitionStatsSql,
     "doc_seq_pack" -> docSeqPackSql,

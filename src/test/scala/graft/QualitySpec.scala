@@ -93,4 +93,28 @@ class QualitySpec extends SparkSpec {
     val want = counts.values.map(k => -(k / n) * (math.log(k / n) / math.log(2.0))).sum
     assert(math.abs(ExprKernels.charEntropyBits(UTF8String.fromString(s)) - want) < 1e-9)
   }
+
+  test("dist drift: per-token KL contribution reproduces from the tf counts and smoothing rule") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("doc_dist_drift")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // recompute the scalars independently from the split rule
+    val tok = graft.queries.Text.splitDf(Tables.documents(spark, sf))
+      .filter(col("split").isin("train", "val"))
+      .select(col("split"), explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+    val nTrain = tok.filter(col("split") === "train").count()
+    val nVal = tok.filter(col("split") === "val").count()
+    val vocab = tok.select(col("token")).distinct().count()
+    rows.foreach { r =>
+      val (tfT, tfV) = (r.getLong(1), r.getLong(2))
+      val p = (tfT + 1).toDouble / (nTrain + vocab)
+      val q = (tfV + 1).toDouble / (nVal + vocab)
+      assert(math.abs(r.getDouble(3) - p) < 1e-7, s"p_train off for ${r.getString(0)}")
+      assert(math.abs(r.getDouble(5) - p * math.log(p / q)) < 1e-7,
+        s"kl_contrib off for ${r.getString(0)}")
+    }
+    // |contribution| ordering is what the top-20 claims
+    val contribs = rows.map(r => math.abs(r.getDouble(5)))
+    assert(contribs.zip(contribs.tail).forall { case (a, b) => a >= b - 1e-12 })
+  }
 }
