@@ -381,6 +381,64 @@ object Timeseries {
     GROUP BY 1, 2
     ORDER BY 1, 2"""
 
+  // --------------------------------------------------- qan_drift_psi
+  // Population Stability Index of the value distribution between the
+  // first and second half of the observation window, per digest — the
+  // ML-monitoring/SRE "did this metric's distribution shift" check
+  // (the ops twin of doc_dist_drift). Buckets reuse the
+  // qan_value_histogram width-5 rule; the period boundary is the
+  // midpoint of the epoch-µs range (integer arithmetic, engine-
+  // exact). Per-BUCKET contributions (p−q)·ln(p/q) under add-1
+  // smoothing only — never a cross-bucket double sum (fold order
+  // differs between engines); the per-digest PSI is the consumer's
+  // reduction. Shape: ONE conditional hash aggregate over the scan
+  // (both periods in one pass), per-type totals re-aggregated from
+  // the tiny bucket frame and joined back broadcast.
+  private val qanDriftPsi: Q = (s, d) => {
+    val ev = events(s, d)
+    val mid = ev.agg(((min(unix_micros(col("ts"))) + max(unix_micros(col("ts")))) / 2)
+      .as("mid_us"))
+    val counts = ev.crossJoin(broadcast(mid))
+      .withColumn("bin", floor(col("value") / 5.0).cast("long"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(unix_micros(col("ts")) < col("mid_us"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(unix_micros(col("ts")) >= col("mid_us"), 1L).otherwise(0L)).as("n_b"))
+    val totals = counts.groupBy(col("event_type"))
+      .agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"),
+        count(lit(1)).as("n_bins"))
+    val p = (col("n_a") + 1).cast(DoubleType) / (col("tot_a") + col("n_bins")).cast(DoubleType)
+    val q = (col("n_b") + 1).cast(DoubleType) / (col("tot_b") + col("n_bins")).cast(DoubleType)
+    counts.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("bin"), col("n_a"), col("n_b"),
+        round(p, 8).as("p_a"), round(q, 8).as("p_b"),
+        round((p - q) * log(p / q), 8).as("psi_contrib"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
+  private val qanDriftPsiSql = """
+    WITH mid AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid_us FROM events),
+    counts AS (
+      SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin,
+        CAST(SUM(CASE WHEN epoch_us(ts) < mid_us THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN epoch_us(ts) >= mid_us THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM events, mid
+      GROUP BY 1, 2),
+    totals AS (
+      SELECT event_type, CAST(SUM(n_a) AS BIGINT) AS tot_a,
+        CAST(SUM(n_b) AS BIGINT) AS tot_b, COUNT(*) AS n_bins
+      FROM counts GROUP BY 1)
+    SELECT c.event_type, c.bin, c.n_a, c.n_b,
+      ROUND(CAST(c.n_a + 1 AS DOUBLE) / CAST(t.tot_a + t.n_bins AS DOUBLE), 8) AS p_a,
+      ROUND(CAST(c.n_b + 1 AS DOUBLE) / CAST(t.tot_b + t.n_bins AS DOUBLE), 8) AS p_b,
+      ROUND((CAST(c.n_a + 1 AS DOUBLE) / CAST(t.tot_a + t.n_bins AS DOUBLE)
+           - CAST(c.n_b + 1 AS DOUBLE) / CAST(t.tot_b + t.n_bins AS DOUBLE))
+        * LN((CAST(c.n_a + 1 AS DOUBLE) / CAST(t.tot_a + t.n_bins AS DOUBLE))
+           / (CAST(c.n_b + 1 AS DOUBLE) / CAST(t.tot_b + t.n_bins AS DOUBLE))), 8)
+        AS psi_contrib
+    FROM counts c JOIN totals t USING (event_type)
+    ORDER BY 1, 2"""
+
   // ------------------------------------------- qan_time_weighted_avg
   // Time-weighted average (TimescaleDB's time_weight, LOCF weighting):
   // per (instance, digest) the integral of the last-observed value
@@ -1216,6 +1274,7 @@ object Timeseries {
     "qan_time_weighted_avg" -> qanTimeWeightedAvg,
     "qan_sla_burn" -> qanSlaBurn,
     "qan_value_histogram" -> qanValueHistogram,
+    "qan_drift_psi" -> qanDriftPsi,
     "qan_gapfill" -> qanGapfill,
     "qan_topn_others" -> qanTopnOthers,
     "qan_percent_change" -> qanPercentChange,
@@ -1239,6 +1298,7 @@ object Timeseries {
     "qan_time_weighted_avg" -> qanTimeWeightedAvgSql,
     "qan_sla_burn" -> qanSlaBurnSql,
     "qan_value_histogram" -> qanValueHistogramSql,
+    "qan_drift_psi" -> qanDriftPsiSql,
     "qan_gapfill" -> qanGapfillSql,
     "qan_topn_others" -> qanTopnOthersSql,
     "qan_percent_change" -> qanPercentChangeSql,

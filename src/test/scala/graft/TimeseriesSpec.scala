@@ -356,4 +356,26 @@ class TimeseriesSpec extends SparkSpec {
       else assert(r.isNullAt(4))
     }
   }
+  test("drift psi: contributions reproduce from bucket counts; periods partition every bucket") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("qan_drift_psi")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the two periods partition the histogram exactly
+    val ev = Tables.events(spark, sf)
+    val total = ev.count()
+    assert(rows.map(r => r.getLong(2) + r.getLong(3)).sum == total,
+      "n_a + n_b over all buckets must cover every event")
+    // per event_type: recompute totals and every psi contribution
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val totA = rs.map(_.getLong(2)).sum
+      val totB = rs.map(_.getLong(3)).sum
+      val nBins = rs.length
+      rs.foreach { r =>
+        val p = (r.getLong(2) + 1).toDouble / (totA + nBins)
+        val q = (r.getLong(3) + 1).toDouble / (totB + nBins)
+        assert(math.abs(r.getDouble(6) - (p - q) * math.log(p / q)) < 1e-7,
+          s"psi contrib off for ${r.getString(0)} bin ${r.getLong(1)}")
+      }
+    }
+  }
 }
