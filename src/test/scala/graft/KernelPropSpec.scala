@@ -243,4 +243,42 @@ class KernelPropSpec extends AnyFunSuite {
       BigInt(PolyHash.mulMod(a, b)) == (BigInt(a) * BigInt(b)) .mod (BigInt(PolyHash.Mod))
     })
   }
+
+  test("misra-gries: no heavy hitter lost under arbitrary streams, partitionings and merge order") {
+    // the doc_heavy_hitters exactness proof rests entirely on this
+    // property: after per-partition updates and any sequence of
+    // partial merges, the candidate set still contains EVERY value
+    // with true frequency > n/k, and never exceeds k entries
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    import graft.functions.expressions.MisraGries
+    val streamGen: Gen[List[String]] = for {
+      n <- Gen.chooseNum(1, 400)
+      // skewed alphabet: a few hot keys + a long uniform tail
+      xs <- Gen.listOfN(n, Gen.frequency(
+        3 -> Gen.oneOf("hot1", "hot2", "hot3"),
+        7 -> Gen.chooseNum(0, 999).map(i => s"c$i")))
+    } yield xs
+    check(Prop.forAll(streamGen, Gen.chooseNum(2, 30), Gen.chooseNum(1, 6)) {
+      (xs, k, nParts) =>
+        val agg = MisraGries(BoundReference(0, StringType, nullable = true), k)
+        // partition round-robin, update each partial, merge left-to-right
+        val partials = xs.zipWithIndex.groupBy(_._2 % nParts).values.map { part =>
+          part.map(_._1).foldLeft(agg.createAggregationBuffer()) { (b, s) =>
+            agg.update(b, InternalRow(UTF8String.fromString(s)))
+          }
+        }
+        val merged = partials.reduce(agg.merge)
+        val row = agg.eval(merged).asInstanceOf[InternalRow]
+        val n = row.getLong(0)
+        val got = row.getArray(1)
+        val cands = (0 until got.numElements()).map(got.getUTF8String(_).toString).toSet
+        val freq = xs.groupBy(identity).view.mapValues(_.size.toLong)
+        val heavy = freq.filter { case (_, f) => f * k > n }.keySet
+        (n == xs.length.toLong: Prop) &&
+          (cands.size <= k: Prop) &&
+          (heavy.subsetOf(cands): Prop)
+    })
+  }
 }
