@@ -563,6 +563,27 @@ object AnnKernels {
     bestD
   }
 
+  /** One sweep, both answers: (nearest cell id, squared L2 to it) —
+    * the argmin pass already holds the min distance, so callers that
+    * need the assignment AND the quantization error (OOD scoring)
+    * must not pay the centroid sweep twice. Same argmin/tie/NaN rule
+    * as [[nearestCell]]/[[nearestCellDist]].
+    */
+  def nearestCellWithDist(v: ArrayData, cents: Array[Array[Double]],
+      cellIds: Array[Int]): org.apache.spark.sql.catalyst.InternalRow = {
+    require(cents.nonEmpty, "nearestCellWithDist: empty centroid set")
+    var best = -1
+    var bestD = 0.0
+    var j = 0
+    while (j < cents.length) {
+      val d = sqDist(v, cents(j))
+      if (best < 0 || java.lang.Double.compare(d, bestD) < 0) { bestD = d; best = j }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](cellIds(best), bestD))
+  }
+
   /** The `nprobe` nearest cell ids, ordered by (dist asc, cell asc) —
     * repeated argmin under Double.compare's total order (ties resolve
     * to the lower cell; NaN distances rank last but never crash).
@@ -725,6 +746,32 @@ case class NearestCellDist(child: Expression, cents: Seq[Seq[Double]])
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "nearest_cell_dist"
+}
+
+/** (nearest cell, squared distance to it) in ONE compiled centroid
+  * sweep — for consumers needing assignment + quantization error
+  * together (OOD scoring): composing [[NearestCell]] with
+  * [[NearestCellDist]] would run the identical argmin twice.
+  */
+case class NearestCellWithDist(child: Expression, cents: Seq[Seq[Double]],
+    cellIds: Seq[Int]) extends UnaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  @transient private lazy val centArr: Array[Array[Double]] = cents.map(_.toArray).toArray
+  @transient private lazy val idArr: Array[Int] = cellIds.toArray
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("sq", DoubleType, nullable = false)))
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def nullSafeEval(v: Any): Any =
+    AnnKernels.nearestCellWithDist(v.asInstanceOf[ArrayData], centArr, idArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cents", centArr, "double[][]")
+    val iRef = ctx.addReferenceObj("cellIds", idArr, "int[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.AnnKernels.nearestCellWithDist($c, $cRef, $iRef);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "nearest_cell_with_dist"
 }
 
 /** The nprobe nearest cell ids for a query vector, ordered by
@@ -1273,6 +1320,10 @@ case class MisraGries(
       new GenericArrayData(keys.map(s => UTF8String.fromString(s): Any)))
   }
 
+  // length-prefixed UTF-8, not writeUTF: writeUTF caps keys at 64 KiB
+  // encoded and a web corpus routinely carries longer unbroken tokens
+  // (minified JS, base64 blobs) — a partial buffer holding one must
+  // still round-trip through the shuffle
   override def serialize(b: MGBuffer): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
@@ -1281,7 +1332,9 @@ case class MisraGries(
     val it = b.counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey)
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
       out.writeLong(e.getValue)
     }
     out.flush()
@@ -1295,8 +1348,10 @@ case class MisraGries(
     val sz = in.readInt()
     var i = 0
     while (i < sz) {
-      val key = in.readUTF()
-      b.counts.put(key, in.readLong())
+      val len = in.readInt()
+      val kb = new Array[Byte](len)
+      in.readFully(kb)
+      b.counts.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
       i += 1
     }
     b
@@ -1345,6 +1400,8 @@ object GraftFunctions {
     column(NearestCells(expression(v), cents.toSeq.map(_.toSeq), cellIds.toSeq, nprobe))
   def nearestCellDist(v: Column, cents: Array[Array[Double]]): Column =
     column(NearestCellDist(expression(v), cents.toSeq.map(_.toSeq)))
+  def nearestCellWithDist(v: Column, cents: Array[Array[Double]], cellIds: Array[Int]): Column =
+    column(NearestCellWithDist(expression(v), cents.toSeq.map(_.toSeq), cellIds.toSeq))
   def int8QuantStats(v: Column): Column = column(Int8QuantStats(expression(v)))
   def int8Recon(v: Column): Column = column(Int8Recon(expression(v)))
   def vectorDecimalMean(v: Column, dim: Int): Column =

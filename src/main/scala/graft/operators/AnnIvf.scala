@@ -54,7 +54,10 @@ object AnnIvf {
     * static centroid-literal replay stays valid where it is used.
     */
   def adaptiveCells(n: Long, targetOccupancy: Int = 125): Int =
-    math.max(16, (n / targetOccupancy).toInt)
+    // clamp BEFORE narrowing: past ~2.7e11 vectors the raw .toInt
+    // would wrap negative and max(16, …) would silently revert to the
+    // fixed-16 pathology this function exists to prevent
+    math.max(16L, math.min(n / targetOccupancy, Int.MaxValue.toLong)).toInt
 
   /** Deterministic seeded initial centroids (same xorshift family as
     * AnnLsh.hyperplanes, different seed) — stable across runs and

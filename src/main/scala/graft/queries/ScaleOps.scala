@@ -626,12 +626,18 @@ object ScaleOps {
     val e = embeddings(s, d)
       .withColumn("v", col("embedding").cast(ArrayType(DoubleType)))
     val corpus = e.select(col("vec_id").as("id"), col("v"))
+    // adaptiveCells (= 16 at every oracle-checked scale): the OOD
+    // score must audit the SAME index emb_cell_dedup prunes against,
+    // or outlier pruning and semantic dedup silently diverge at scale
     val (ids, cents) = AnnIvf.collectCentroids(
-      AnnIvf.refinedCentroids(corpus, cells = 16, dim = 64))
-    AnnIvf.invertedFile(corpus, ids, cents)
-      .withColumn("sq", GraftFunctions.nearestCellDist(col("v"), cents))
-      .select(col("id").as("vec_id"), col("cell"),
-        round(sqrt(col("sq")), 6).as("ood_dist"))
+      AnnIvf.refinedCentroids(corpus,
+        cells = AnnIvf.adaptiveCells(corpus.count()), dim = 64))
+    // one compiled sweep yields assignment AND quantization error —
+    // NearestCell + NearestCellDist would argmin the centroids twice
+    corpus
+      .withColumn("cd", GraftFunctions.nearestCellWithDist(col("v"), cents, ids))
+      .select(col("id").as("vec_id"), col("cd.cell").as("cell"),
+        round(sqrt(col("cd.sq")), 6).as("ood_dist"))
       .orderBy(col("ood_dist").desc, col("vec_id"))
       .limit(50)
   }

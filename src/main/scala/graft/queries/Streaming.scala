@@ -278,8 +278,11 @@ object Streaming {
     val corpus = graft.Tables.embeddings(s, d)
       .select(col("vec_id").as("id"),
         col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    // adaptiveCells (= 16 at oracle scales): the online filter must
+    // score against the same index the batch dedup/audit family uses
     val (ids, cents) = AnnIvf.collectCentroids(
-      AnnIvf.refinedCentroids(corpus, cells = 16, dim = 64))
+      AnnIvf.refinedCentroids(corpus,
+        cells = AnnIvf.adaptiveCells(corpus.count()), dim = 64))
     val meanSq = corpus
       .select(graft.functions.expressions.GraftFunctions
         .nearestCellDist(col("v"), cents).as("sq"))
@@ -289,11 +292,11 @@ object Streaming {
     val scored = QanStream.embeddingsStream(s, d)
       .select(col("vec_id"),
         col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      // one compiled sweep per arriving vector (assignment + error)
       .select(col("vec_id"),
         graft.functions.expressions.GraftFunctions
-          .nearestCell(col("v"), cents, ids).as("cell"),
-        graft.functions.expressions.GraftFunctions
-          .nearestCellDist(col("v"), cents).as("sq"))
+          .nearestCellWithDist(col("v"), cents, ids).as("cd"))
+      .select(col("vec_id"), col("cd.cell").as("cell"), col("cd.sq").as("sq"))
       .filter(col("sq") > lit(1.05 * meanSq))
       .select(col("vec_id"), col("cell"), round(sqrt(col("sq")), 6).as("ood_dist"))
     QanStream.runToMemory(scored, OutputMode.Append())

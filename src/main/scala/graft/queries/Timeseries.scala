@@ -396,8 +396,12 @@ object Timeseries {
   // the tiny bucket frame and joined back broadcast.
   private val qanDriftPsi: Q = (s, d) => {
     val ev = events(s, d)
-    val mid = ev.agg(((min(unix_micros(col("ts"))) + max(unix_micros(col("ts")))) / 2)
-      .as("mid_us"))
+    // integer div, not `/`: Column `/` on longs is DOUBLE division, and
+    // an odd min+max would put the boundary at x.5 where the oracle's
+    // `// 2` puts it at x — an event exactly at the midpoint would
+    // then land in different periods on the two engines
+    val mid = ev.agg(expr(
+      "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("mid_us"))
     val counts = ev.crossJoin(broadcast(mid))
       .withColumn("bin", floor(col("value") / 5.0).cast("long"))
       .groupBy(col("event_type"), col("bin"))
