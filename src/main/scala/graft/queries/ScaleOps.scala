@@ -653,6 +653,104 @@ object ScaleOps {
     ORDER BY ood_dist DESC, vec_id
     LIMIT 50"""
 
+  // ------------------------------------------------- emb_recall_curve
+  // The IVF tuning curve: recall@10 AND scanned-corpus fraction as a
+  // function of nprobe (1..4) in ONE pass — the recall/cost trade
+  // table an operator reads before picking nprobe for a 100 TB
+  // deployment. The trick that keeps it one pass: every corpus vector
+  // lives in exactly one cell, so a candidate found at probe rank r
+  // is a candidate for every nprobe ≥ r — probe once at maxProbe,
+  // tag each candidate with its cell's probe rank, and explode
+  // sequence(rank, maxProbe) instead of re-probing per setting. All
+  // recalls/fractions derive from integer counts (one double division
+  // each), so the curve replays exactly in DuckDB.
+  private val embRecallCurve: Q = (s, d) => {
+    val maxProbe = 4
+    val e = embeddings(s, d).withColumn("v", col("embedding").cast(ArrayType(DoubleType)))
+    val corpus = e.select(col("vec_id").as("id"), col("v"))
+    val n = corpus.count()
+    val (ids, cents) = AnnIvf.collectCentroids(
+      AnnIvf.refinedCentroids(corpus, cells = AnnIvf.adaptiveCells(n), dim = 64))
+    val inv = AnnIvf.invertedFile(corpus, ids, cents)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val expanded = queries
+      .select(col("query_id"), col("qv"),
+        posexplode(GraftFunctions.nearestCells(col("qv"), cents, ids, maxProbe))
+          .as(Seq("pr", "cell")))
+      .join(inv, Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cos_sim", GraftFunctions.cosineSimilarity(col("qv"), col("v")))
+      .withColumn("nprobe", explode(expr(s"sequence(pr + 1, $maxProbe)")))
+      .select(col("query_id"), col("id"), col("nprobe"), col("cos_sim"))
+    val ann10 = expanded
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"), col("nprobe"))
+          .orderBy(col("cos_sim").desc, col("id"))))
+      .filter(col("rnk") <= 10)
+    val exact = graft.queries.Vectors.entries("emb_cosine_topk")(s, d)
+      .select(col("query_id"), col("neighbor_id").as("id"))
+    val nExact = exact.count()
+    val found = exact.join(ann10, Seq("query_id", "id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_found"))
+    val scanned = expanded.groupBy(col("nprobe")).agg(count(lit(1)).as("n_scanned"))
+    s.range(1, maxProbe + 1).select(col("id").cast("int").as("nprobe"))
+      .join(found, Seq("nprobe"), "left")
+      .join(scanned, Seq("nprobe"), "left")
+      .select(col("nprobe"), lit(nExact).as("n_exact"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        round(coalesce(col("n_found"), lit(0L)).cast(DoubleType)
+          / lit(nExact).cast(DoubleType), 4).as("recall"),
+        coalesce(col("n_scanned"), lit(0L)).as("n_scanned"),
+        round(coalesce(col("n_scanned"), lit(0L)).cast(DoubleType)
+          / lit(5L * (n - 1)).cast(DoubleType), 6).as("scan_frac"))
+      .orderBy(col("nprobe"))
+  }
+
+  private lazy val embRecallCurveSql: String = s"""
+    WITH ${ivfCtes(16, 64)},
+    ${graft.queries.Vectors.cosineTopkCtes.trim},
+    exact AS (SELECT query_id, neighbor_id AS id FROM ex_r WHERE rank <= 10),
+    probes AS (
+      SELECT q.vec_id AS query_id, q.v AS qv, c1.cell,
+        ROW_NUMBER() OVER (PARTITION BY q.vec_id
+          ORDER BY ${ivfSqDist("q.v", "c1.c", 64)}, c1.cell) AS probe_rank
+      FROM (SELECT vec_id, v FROM e WHERE vec_id < 5) q CROSS JOIN centf c1),
+    expanded AS (
+      SELECT p.query_id, iv.vec_id AS id, k.k AS nprobe,
+        list_cosine_similarity(p.qv, iv.v) AS cos
+      FROM probes p
+      JOIN inverted iv ON iv.cell = p.cell AND iv.vec_id <> p.query_id
+      CROSS JOIN LATERAL (SELECT unnest(generate_series(probe_rank, 4)) AS k) k
+      WHERE p.probe_rank <= 4),
+    ann10 AS (
+      SELECT query_id, nprobe, id FROM (
+        SELECT query_id, nprobe, id,
+          ROW_NUMBER() OVER (PARTITION BY query_id, nprobe
+            ORDER BY cos DESC, id) AS rnk
+        FROM expanded)
+      WHERE rnk <= 10),
+    found AS (
+      SELECT a.nprobe, COUNT(*) AS n_found
+      FROM exact x JOIN ann10 a ON a.query_id = x.query_id AND a.id = x.id
+      GROUP BY 1),
+    scanned AS (SELECT nprobe, COUNT(*) AS n_scanned FROM expanded GROUP BY 1),
+    ks AS (SELECT unnest(generate_series(1, 4)) AS nprobe),
+    tot AS (SELECT COUNT(*) AS n_exact FROM exact),
+    corp AS (SELECT COUNT(*) AS cnt FROM e)
+    SELECT CAST(ks.nprobe AS INT) AS nprobe,
+      tot.n_exact AS n_exact,
+      CAST(COALESCE(f.n_found, 0) AS BIGINT) AS n_found,
+      ROUND(CAST(COALESCE(f.n_found, 0) AS DOUBLE) / CAST(tot.n_exact AS DOUBLE), 4)
+        AS recall,
+      CAST(COALESCE(sc.n_scanned, 0) AS BIGINT) AS n_scanned,
+      ROUND(CAST(COALESCE(sc.n_scanned, 0) AS DOUBLE)
+        / CAST(5 * (corp.cnt - 1) AS DOUBLE), 6) AS scan_frac
+    FROM ks CROSS JOIN tot CROSS JOIN corp
+    LEFT JOIN found f ON f.nprobe = ks.nprobe
+    LEFT JOIN scanned sc ON sc.nprobe = ks.nprobe
+    ORDER BY nprobe"""
+
   // Multimodal: frame sampling over an opaque binary payload — the
   // video-pipeline shape (decode is elsewhere; THIS op is the offset
   // arithmetic that picks every k-th fixed-size frame out of a byte
@@ -729,6 +827,7 @@ object ScaleOps {
     "emb_ann_ivf" -> embAnnIvf,
     "emb_cluster_sample" -> embClusterSample,
     "emb_ivf_quality" -> embIvfQuality,
+    "emb_recall_curve" -> embRecallCurve,
     "emb_ood_score" -> embOodScore,
     "emb_cell_dedup" -> embCellDedup,
     "emb_cell_recall" -> embCellRecall,
@@ -1291,6 +1390,7 @@ object ScaleOps {
     "emb_ann_ivf" -> embAnnIvfSql,
     "emb_cluster_sample" -> embClusterSampleSql,
     "emb_ivf_quality" -> embIvfQualitySql,
+    "emb_recall_curve" -> embRecallCurveSql,
     "emb_ood_score" -> embOodScoreSql,
     "emb_cell_dedup" -> embCellDedupSql,
     "emb_cell_recall" -> embCellRecallSql,

@@ -275,6 +275,23 @@ class AnnSpec extends SparkSpec {
       s"top-1 ${dists.head} vs brute-force max $trueMax")
   }
 
+  test("recall curve: monotone in nprobe, counts conserved, fractions bounded") {
+    val rows = SparkEntry.queries("emb_recall_curve")(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    val recalls = rows.map(_.getDouble(3))
+    val scans = rows.map(_.getLong(4))
+    // probing more cells can only add candidates: recall and scanned
+    // volume are non-decreasing in nprobe by construction
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a - 1e-12 },
+      s"recall not monotone: ${recalls.toSeq}")
+    assert(scans.zip(scans.tail).forall { case (a, b) => b >= a },
+      s"scan volume not monotone: ${scans.toSeq}")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "found cannot exceed exact")
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0, "scan_frac in (0, 1]")
+    }
+  }
+
   test("multimodal stub: features deterministic and shaped") {
     val out = SparkEntry.queries("mm_feature_stub")(spark, sf).collect()
     assert(out.length == Tables.documents(spark, sf).count())
