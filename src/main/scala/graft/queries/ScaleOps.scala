@@ -694,16 +694,26 @@ object ScaleOps {
     val found = exact.join(ann10, Seq("query_id", "id"))
       .groupBy(col("nprobe")).agg(count(lit(1)).as("n_found"))
     val scanned = expanded.groupBy(col("nprobe")).agg(count(lit(1)).as("n_scanned"))
+    // empty-corpus totality (EmptyInputSpec): zero exact neighbors /
+    // a <=1-vector corpus must yield a zero curve, not an ANSI
+    // divide-by-zero — the denominators are driver-side literals, so
+    // the guard is a plain branch
+    val recall =
+      if (nExact == 0L) lit(0.0)
+      else round(coalesce(col("n_found"), lit(0L)).cast(DoubleType)
+        / lit(nExact).cast(DoubleType), 4)
+    val scanFrac =
+      if (n <= 1L) lit(0.0)
+      else round(coalesce(col("n_scanned"), lit(0L)).cast(DoubleType)
+        / lit(5L * (n - 1)).cast(DoubleType), 6)
     s.range(1, maxProbe + 1).select(col("id").cast("int").as("nprobe"))
       .join(found, Seq("nprobe"), "left")
       .join(scanned, Seq("nprobe"), "left")
       .select(col("nprobe"), lit(nExact).as("n_exact"),
         coalesce(col("n_found"), lit(0L)).as("n_found"),
-        round(coalesce(col("n_found"), lit(0L)).cast(DoubleType)
-          / lit(nExact).cast(DoubleType), 4).as("recall"),
+        recall.as("recall"),
         coalesce(col("n_scanned"), lit(0L)).as("n_scanned"),
-        round(coalesce(col("n_scanned"), lit(0L)).cast(DoubleType)
-          / lit(5L * (n - 1)).cast(DoubleType), 6).as("scan_frac"))
+        scanFrac.as("scan_frac"))
       .orderBy(col("nprobe"))
   }
 
