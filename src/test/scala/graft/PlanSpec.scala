@@ -430,6 +430,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"), s"unexpected join/window:\n$p")
   }
 
+  test("drift pair: per-row math over broadcast scalars — no window, no nested loop") {
+    // doc_dist_drift and qan_drift_psi both promise fold-order-free
+    // emitted doubles: totals ride back on broadcast one-row/tiny
+    // frames and every contribution is per-token/per-bucket math
+    for (q <- Seq("doc_dist_drift", "qan_drift_psi")) {
+      val p = executedPlan(q)
+      assert(!p.contains("Window"), s"$q: window over the scan:\n$p")
+      assert(p.contains("BroadcastExchange"), s"$q: totals not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q: totals join degraded to SMJ:\n$p")
+    }
+  }
+
+  test("tree rollup: recursion joins the frontier, never a nested loop; rollup is a hash agg") {
+    val p = executedPlan("qan_tree_rollup")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"ancestor closure must join by key:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"subtree rollup must be a hash aggregate:\n$p")
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     // the "*(n)" prefix marks codegen spans; the fingerprint/simhash
     // projections must carry it (no CodegenFallback breaking the span)
