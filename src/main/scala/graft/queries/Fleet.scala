@@ -631,7 +631,67 @@ object Fleet {
     GROUP BY a.a
     ORDER BY ancestor"""
 
+  // ----------------------------------------------- qan_workload_outlier
+  // Workload-mix outliers: each instance's per-digest call-count
+  // vector (dense over the globally-sorted digest list, zeros filled)
+  // compared against the FLEET's aggregate mix by cosine — "which
+  // instances run a different workload than the fleet", the signal
+  // behind routing/grouping decisions and mis-configured-client
+  // hunts. Deliberately O(n): one pass builds the per-instance
+  // vectors, the fleet centroid is a broadcast one-row frame, and
+  // the report is a bounded bottom-20 (all-pairs instance similarity
+  // is the trap at fleet scale — cosine-to-centroid finds the same
+  // outliers in one scan). Cosine runs in the compiled
+  // CosineSimilarity kernel; counts are exact longs, so both engines
+  // fold the identical per-index products.
+  private val qanWorkloadOutlier: Q = (s, d) => {
+    val ev = events(s, d)
+    val types = ev.select(col("event_type").as("t")).distinct()
+    val inst = ev.select(col("user_id")).distinct()
+    val counts = ev.groupBy(col("user_id"), col("event_type").as("t"))
+      .agg(count(lit(1)).as("c"))
+    val vecs = inst.crossJoin(broadcast(types))
+      .join(counts, Seq("user_id", "t"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .groupBy(col("user_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(t, c))), x -> cast(x.c AS DOUBLE))")
+        .as("v"), sum(col("c")).as("calls"))
+    val fleet = ev.groupBy(col("event_type").as("t")).agg(count(lit(1)).as("c"))
+      .agg(expr("transform(array_sort(collect_list(struct(t, c))), x -> cast(x.c AS DOUBLE))")
+        .as("fv"))
+    vecs.crossJoin(broadcast(fleet))
+      .select(col("user_id"), col("calls"),
+        round(graft.functions.expressions.GraftFunctions
+          .cosineSimilarity(col("v"), col("fv")), 4).as("fleet_cosine"))
+      .orderBy(col("fleet_cosine").asc, col("user_id"))
+      .limit(20)
+  }
+
+  private val qanWorkloadOutlierSql = """
+    WITH types AS (SELECT DISTINCT event_type AS t FROM events),
+    inst AS (SELECT DISTINCT user_id FROM events),
+    counts AS (
+      SELECT user_id, event_type AS t, COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    grid AS (
+      SELECT i.user_id, ty.t, COALESCE(c.c, 0) AS c
+      FROM inst i CROSS JOIN types ty
+      LEFT JOIN counts c ON c.user_id = i.user_id AND c.t = ty.t),
+    vecs AS (
+      SELECT user_id, list(CAST(c AS DOUBLE) ORDER BY t) AS v,
+        CAST(SUM(c) AS BIGINT) AS calls
+      FROM grid GROUP BY 1),
+    fleet AS (
+      SELECT list(CAST(c AS DOUBLE) ORDER BY t) AS fv
+      FROM (SELECT event_type AS t, COUNT(*) AS c FROM events GROUP BY 1))
+    SELECT user_id, calls,
+      ROUND(list_cosine_similarity(v, fv), 4) AS fleet_cosine
+    FROM vecs, fleet
+    ORDER BY fleet_cosine, user_id
+    LIMIT 20"""
+
   val entries: Map[String, Q] = Map(
+    "qan_workload_outlier" -> qanWorkloadOutlier,
     "qan_tree_rollup" -> qanTreeRollup,
     "qan_server_metadata" -> qanServerMetadata,
     "qan_cluster_rollup" -> qanClusterRollup,
@@ -643,6 +703,7 @@ object Fleet {
     "qan_retention_tiering" -> qanRetentionTiering)
 
   val oracles: Map[String, String] = Map(
+    "qan_workload_outlier" -> qanWorkloadOutlierSql,
     "qan_tree_rollup" -> qanTreeRollupSql,
     "qan_server_metadata" -> qanServerMetadataSql,
     "qan_cluster_rollup" -> qanClusterRollupSql,
