@@ -367,10 +367,17 @@ object ScaleOps {
   // refinement; see AnnIvf for the 100 TB argument).
   private val embAnnIvf: Q = (s, d) => {
     val e = embeddings(s, d).withColumn("v", col("embedding").cast(ArrayType(DoubleType)))
+    // persisted: sizing count + Lloyd rounds + inverted file rescan it
     val corpus = e.select(col("vec_id").as("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    AnnIvf.topK(corpus, queries, k = 10, cells = 16, dim = 64, nprobe = 2)
+    // adaptiveCells everywhere an IVF index is built (= 16 at every
+    // oracle-checked scale): ALL IVF consumers — search, audit,
+    // sampling, dedup, OOD — must share one index shape or they
+    // silently describe different partitions of the corpus at scale
+    AnnIvf.topK(corpus, queries, k = 10,
+        cells = AnnIvf.adaptiveCells(corpus.count()), dim = 64, nprobe = 2)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -390,8 +397,10 @@ object ScaleOps {
   private val embClusterSample: Q = (s, d) => {
     val e = embeddings(s, d).withColumn("v", col("embedding").cast(ArrayType(DoubleType)))
     val corpus = e.select(col("vec_id").as("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (ids, cents) = AnnIvf.collectCentroids(
-      AnnIvf.refinedCentroids(corpus, cells = 16, dim = 64))
+      AnnIvf.refinedCentroids(corpus,
+        cells = AnnIvf.adaptiveCells(corpus.count()), dim = 64))
     val inverted = AnnIvf.invertedFile(corpus, ids, cents)
     val thresholds = inverted.groupBy(col("cell"))
       .agg(count(lit(1)).as("cell_n"))
@@ -583,10 +592,16 @@ object ScaleOps {
     val e = embeddings(s, d)
       .withColumn("v", col("embedding").cast(ArrayType(DoubleType)))
     val corpus = e.select(col("vec_id").as("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the audit must describe the SAME index every other IVF consumer
+    // builds (adaptiveCells), and one combined kernel sweep yields
+    // assignment + quantization error together
     val (ids, cents) = AnnIvf.collectCentroids(
-      AnnIvf.refinedCentroids(corpus, cells = 16, dim = 64))
-    AnnIvf.invertedFile(corpus, ids, cents)
-      .withColumn("sq", GraftFunctions.nearestCellDist(col("v"), cents))
+      AnnIvf.refinedCentroids(corpus,
+        cells = AnnIvf.adaptiveCells(corpus.count()), dim = 64))
+    corpus
+      .withColumn("cd", GraftFunctions.nearestCellWithDist(col("v"), cents, ids))
+      .select(col("id"), col("cd.cell").as("cell"), col("cd.sq").as("sq"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vecs"),
         round(sum(col("sq").cast(DecimalType(28, 12))).cast(DoubleType)
@@ -626,6 +641,7 @@ object ScaleOps {
     val e = embeddings(s, d)
       .withColumn("v", col("embedding").cast(ArrayType(DoubleType)))
     val corpus = e.select(col("vec_id").as("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // adaptiveCells (= 16 at every oracle-checked scale): the OOD
     // score must audit the SAME index emb_cell_dedup prunes against,
     // or outlier pruning and semantic dedup silently diverge at scale
@@ -667,7 +683,10 @@ object ScaleOps {
   private val embRecallCurve: Q = (s, d) => {
     val maxProbe = 4
     val e = embeddings(s, d).withColumn("v", col("embedding").cast(ArrayType(DoubleType)))
+    // persisted: the sizing count, Lloyd rounds, inverted file and the
+    // probe join all rescan the cast projection otherwise
     val corpus = e.select(col("vec_id").as("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = corpus.count()
     val (ids, cents) = AnnIvf.collectCentroids(
       AnnIvf.refinedCentroids(corpus, cells = AnnIvf.adaptiveCells(n), dim = 64))
@@ -683,13 +702,20 @@ object ScaleOps {
       .withColumn("cos_sim", GraftFunctions.cosineSimilarity(col("qv"), col("v")))
       .withColumn("nprobe", explode(expr(s"sequence(pr + 1, $maxProbe)")))
       .select(col("query_id"), col("id"), col("nprobe"), col("cos_sim"))
+      // persisted: `found` (via ann10) and `scanned` are two branches
+      // of this same probe-join subtree — without the persist the
+      // whole probe+cosine pass executes twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ann10 = expanded
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id"), col("nprobe"))
           .orderBy(col("cos_sim").desc, col("id"))))
       .filter(col("rnk") <= 10)
+    // persisted: counted here and joined below — the brute-force
+    // cosine ranking is the most expensive subtree in the query
     val exact = graft.queries.Vectors.entries("emb_cosine_topk")(s, d)
       .select(col("query_id"), col("neighbor_id").as("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nExact = exact.count()
     val found = exact.join(ann10, Seq("query_id", "id"))
       .groupBy(col("nprobe")).agg(count(lit(1)).as("n_found"))
@@ -751,11 +777,14 @@ object ScaleOps {
     SELECT CAST(ks.nprobe AS INT) AS nprobe,
       tot.n_exact AS n_exact,
       CAST(COALESCE(f.n_found, 0) AS BIGINT) AS n_found,
-      ROUND(CAST(COALESCE(f.n_found, 0) AS DOUBLE) / CAST(tot.n_exact AS DOUBLE), 4)
-        AS recall,
+      CASE WHEN tot.n_exact = 0 THEN 0.0 ELSE
+        ROUND(CAST(COALESCE(f.n_found, 0) AS DOUBLE) / CAST(tot.n_exact AS DOUBLE), 4)
+      END AS recall,
       CAST(COALESCE(sc.n_scanned, 0) AS BIGINT) AS n_scanned,
-      ROUND(CAST(COALESCE(sc.n_scanned, 0) AS DOUBLE)
-        / CAST(5 * (corp.cnt - 1) AS DOUBLE), 6) AS scan_frac
+      CASE WHEN corp.cnt <= 1 THEN 0.0 ELSE
+        ROUND(CAST(COALESCE(sc.n_scanned, 0) AS DOUBLE)
+          / CAST(5 * (corp.cnt - 1) AS DOUBLE), 6)
+      END AS scan_frac
     FROM ks CROSS JOIN tot CROSS JOIN corp
     LEFT JOIN found f ON f.nprobe = ks.nprobe
     LEFT JOIN scanned sc ON sc.nprobe = ks.nprobe

@@ -278,8 +278,11 @@ object Streaming {
     val corpus = graft.Tables.embeddings(s, d)
       .select(col("vec_id").as("id"),
         col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // adaptiveCells (= 16 at oracle scales): the online filter must
-    // score against the same index the batch dedup/audit family uses
+    // score against the same index the batch dedup/audit family uses.
+    // corpus persisted: the sizing count, Lloyd rounds and the
+    // threshold calibration all rescan it before the stream starts
     val (ids, cents) = AnnIvf.collectCentroids(
       AnnIvf.refinedCentroids(corpus,
         cells = AnnIvf.adaptiveCells(corpus.count()), dim = 64))
