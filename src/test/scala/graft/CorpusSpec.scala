@@ -229,4 +229,28 @@ class CorpusSpec extends SparkSpec {
     // doc 5: nothing shared
     assert(out(5L) == ((9L, 0L, 0L)), s"doc5: ${out(5L)}")
   }
+
+  test("dup spans: EXACTLY-adjacent spans merge, a one-token gap splits") {
+    import spark.implicits._
+    val x = (1 to 5).map(i => s"x$i").mkString(" ")
+    val y = (1 to 5).map(i => s"y$i").mkString(" ")
+    // doc 1: phrases back-to-back → spans [1,5] and [6,10] are
+    // adjacent (start == prev_end + 1) and must merge to ONE island;
+    // doc 2: one token between them → gap at position 6 → TWO islands;
+    // doc 3: far apart, provides the df≥2 partner for both phrases
+    // (its own contexts make the bridging grams of docs 1/2 unique)
+    Seq(
+      (1L, s"a1 $x $y a2"),
+      (2L, s"c1 $x c2 $y c3"),
+      (3L, s"$x d1 d2 d3 d4 d5 d6 $y")
+    ).toDF("doc_id", "text").createOrReplaceTempView("adj_span_docs")
+    val out = graft.queries.Corpus.dupSpans(spark.table("adj_span_docs"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((12L, 1L, 10L)),
+      s"adjacent spans must merge to one island: ${out(1L)}")
+    assert(out(2L) == ((13L, 2L, 10L)),
+      s"a one-token gap must keep two islands: ${out(2L)}")
+    assert(out(3L) == ((16L, 2L, 10L)), s"doc3: ${out(3L)}")
+  }
 }
