@@ -47,8 +47,17 @@ object Bench {
     // footer reads — so per-query timings below measure the queries,
     // not first-use JVM costs. Failures here are non-fatal (sf0.001 may
     // be absent) but logged — a silent warm-up crash hid real breakage.
+    // SORTED-BY-NAME execution order. SparkEntry.queries is a HashMap:
+    // its iteration order is hash-trie order, stable for a fixed key
+    // set but RESHUFFLED by every key addition — so each round's new
+    // operators silently moved every query to a different slot (=
+    // different wall-clock offset into the run), which made
+    // round-over-round per-query deltas unreadable whenever anything
+    // time-localized (external load, GC adjacency) touched part of the
+    // window. Sorted order pins each query's slot across rounds.
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .toSeq.sortBy(_._1)
     selected.foreach { case (name, fn) =>
       try run(fn, "/root/testdata/sf0.001") catch {
         case e: Throwable => System.err.println(s"[bench warm-up] $name: ${e.getMessage}")
@@ -79,6 +88,33 @@ object Bench {
     }
     clearState()
     System.gc()
+    // Per-query JVM-state probe: an r7-vs-r6 audit showed 5-7x
+    // tight-band cost shifts on byte-identical code+data that vanished
+    // when the same queries ran isolated — i.e. cumulative in-run JVM
+    // state, not the plans. These counters (JIT code cache occupancy,
+    // loaded-class count, cumulative GC time) printed per slot turn
+    // "query X got slower" into "the code cache crossed its limit at
+    // slot N" without a re-run.
+    def jvmProbe(): (Double, Long, Double, String) = {
+      import java.lang.management.ManagementFactory
+      import scala.jdk.CollectionConverters._
+      val codeMb = ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .map(_.getUsage.getUsed).sum / 1e6
+      val classes = ManagementFactory.getClassLoadingMXBean.getLoadedClassCount.toLong
+      val gcSec = ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum / 1e3
+      // 1-min system load: a slot timed while load >> cpus was timed
+      // under EXTERNAL contention (the r7 post-mortem: three 5-7x
+      // "regressions" on byte-identical code+data that vanished in a
+      // clean re-run — only attributable because nothing logged the
+      // machine state at the moment each slot ran)
+      val load = try {
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0)
+      } catch { case _: Throwable => "?" }
+      (codeMb, classes, gcSec, load)
+    }
     // Timed section: median of `runs` repetitions per query, PLUS the
     // per-query min/max across those runs — an 11× flap with a tight
     // [min,max] band is a plan cost; a wide band on an unchanged plan
@@ -86,6 +122,7 @@ object Bench {
     // glance without a re-run. A failure is recorded explicitly
     // (never a ~0s success) and fails the run.
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    var slot = 0
     val results = selected.map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         if (failures.contains(name)) None
@@ -100,6 +137,11 @@ object Bench {
           }
         }
       }
+      slot += 1
+      val (ccMb, nCls, gcS, load) = jvmProbe()
+      System.err.println(f"[bench-probe] slot=$slot%3d $name%-34s " +
+        f"med=${if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)}%7.2f " +
+        f"codecache=${ccMb}%6.1fMB classes=$nCls%6d gc_cum=${gcS}%7.1fs load=$load%s")
       val median =
         if (times.isEmpty) -1.0
         else {
@@ -123,7 +165,7 @@ object Bench {
         case c if c < ' ' => " "; case c => c.toString } + "\""
     val fails = failures.map { case (k, v) => s"${jstr(k)}:${jstr(v).take(120)}" }
       .mkString("{", ",", "}")
-    val total = results.values.map(_._1).filter(_ >= 0).sum
+    val total = results.map(_._2._1).filter(_ >= 0).sum
     val fullQs = results.map { case (k, (med, _, _)) => s"\"" + k + "\":" + r3(med) }
       .mkString("{", ",", "}")
     // per-query dispersion across the runs: [min, max] seconds — the

@@ -22,6 +22,25 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // comma-separated query-name filter for single-query iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // The IVF-family oracles inline SIXTEEN-cell centroid literals
+    // (ScaleOps.ivfCtes) while the Spark side sizes the index with
+    // AnnIvf.adaptiveCells(count) — the coupling holds only while the
+    // verify corpus keeps adaptiveCells at 16 (≤ ~2.1k embeddings).
+    // Fail HERE with the real cause rather than letting a grown corpus
+    // surface as an opaque per-query hash mismatch. (Oracle queries
+    // are identified structurally: every IVF replay starts from the
+    // cents0 literal CTE.)
+    val ivfFamily = SparkEntry.oracleSql.collect {
+      case (name, sql) if sql.contains("cents0(cell, c)") => name
+    }.toSet
+    if (ivfFamily.exists(n => only.forall(_.contains(n)))) {
+      val nEmb = Tables.table(spark, sfDir, "embeddings").count()
+      val cells = graft.operators.AnnIvf.adaptiveCells(nEmb)
+      require(cells == 16,
+        s"IVF oracles assume 16 cells but adaptiveCells($nEmb) = $cells — " +
+          "the verify corpus outgrew the static centroid-literal replay; " +
+          s"regenerate ScaleOps.ivfCtes sizing for ${ivfFamily.mkString(", ")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

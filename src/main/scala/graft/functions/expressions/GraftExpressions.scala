@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
@@ -617,6 +617,82 @@ object AnnKernels {
     new GenericArrayData(out)
   }
 
+  private def sqDistPacked(v: ArrayData, c: ArrayData): Double = {
+    val n = math.min(v.numElements(), c.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val d = v.getDouble(i) - c.getDouble(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** [[nearestCell]] over a PACKED centroid group (array<array<double>>
+    * column) — the two-level IVF fine-assignment kernel. The coarse
+    * quantizer prunes the centroid table to a per-row neighborhood that
+    * arrives as DATA through a broadcast join, not as a codegen
+    * reference object — at 10⁸ vectors the full fine table (~400 MB)
+    * never ships on the codegen classpath and the per-row sweep is the
+    * neighborhood, not all cells. Same (dist, cell) argmin total order
+    * (Double.compare, ties → earliest row = lowest cell when ids are
+    * ascending) as [[nearestCell]].
+    */
+  def nearestCellPacked(v: ArrayData, cents: ArrayData, ids: ArrayData): Int = {
+    val m = cents.numElements()
+    require(m > 0, "nearestCellPacked: empty centroid group")
+    // tie → LOWEST CELL ID, not earliest row: the concatenated probe
+    // groups arrive in probe order, not globally id-ascending, so
+    // "earliest row" would diverge from the oracle's
+    // ROW_NUMBER(ORDER BY dist, cell) on an exact distance tie
+    // (possible when two cells hold identical centroids)
+    var bestId = 0
+    var bestD = 0.0
+    var found = false
+    var j = 0
+    while (j < m) {
+      val d = sqDistPacked(v, cents.getArray(j))
+      val id = ids.getInt(j)
+      val cmp = if (found) java.lang.Double.compare(d, bestD) else -1
+      if (cmp < 0 || (cmp == 0 && id < bestId)) { bestD = d; bestId = id; found = true }
+      j += 1
+    }
+    bestId
+  }
+
+  /** The `nprobe` nearest cell ids within a packed group — the
+    * two-level probe set (see [[nearestCellPacked]]); same repeated
+    * argmin under Double.compare as [[nearestCells]].
+    */
+  def nearestCellsPacked(v: ArrayData, cents: ArrayData, ids: ArrayData,
+      nprobe: Int): ArrayData = {
+    val m = cents.numElements()
+    val dists = new Array[Double](m)
+    var j = 0
+    while (j < m) { dists(j) = sqDistPacked(v, cents.getArray(j)); j += 1 }
+    val taken = new Array[Boolean](m)
+    val k = math.min(nprobe, m)
+    val out = new Array[Int](k)
+    var r = 0
+    while (r < k) {
+      // same (dist, LOWEST id) total order as nearestCellPacked — see
+      // the tie note there
+      var best = -1
+      var bestD = 0.0
+      var bestId = 0
+      j = 0
+      while (j < m) {
+        if (!taken(j)) {
+          val id = ids.getInt(j)
+          val cmp = if (best < 0) -1 else java.lang.Double.compare(dists(j), bestD)
+          if (cmp < 0 || (cmp == 0 && id < bestId)) { bestD = dists(j); best = j; bestId = id }
+        }
+        j += 1
+      }
+      taken(best) = true
+      out(r) = bestId
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Symmetric int8 quantization code for one element: round-half-up
     * toward +∞ via floor(x/scale + 0.5) — the same expression DuckDB
     * replays exactly (round()'s half-rule differs between engines;
@@ -710,6 +786,14 @@ case class HyperplaneCode(child: Expression, planes: Seq[Seq[Double]])
   */
 case class NearestCell(child: Expression, cents: Seq[Seq[Double]], cellIds: Seq[Int])
     extends UnaryExpression with ImplicitCastInputTypes {
+  // construction-time, not per-row: a cells/ids length mismatch would
+  // otherwise surface as a silent wrong id or a per-row AIOOBE deep in
+  // codegen. EMPTY centroids stay legal at construction — a zero-row
+  // corpus produces zero centroids and evaluates zero rows
+  // (EmptyInputSpec totality); the kernel's per-row require guards the
+  // only case where emptiness is actually reachable.
+  require(cellIds.length == cents.length,
+    s"nearest_cell: ${cellIds.length} cell ids for ${cents.length} centroids")
   import org.apache.spark.sql.catalyst.util.ArrayData
   @transient private lazy val centArr: Array[Array[Double]] = cents.map(_.toArray).toArray
   @transient private lazy val idArr: Array[Int] = cellIds.toArray
@@ -755,6 +839,8 @@ case class NearestCellDist(child: Expression, cents: Seq[Seq[Double]])
   */
 case class NearestCellWithDist(child: Expression, cents: Seq[Seq[Double]],
     cellIds: Seq[Int]) extends UnaryExpression with ImplicitCastInputTypes {
+  require(cellIds.length == cents.length,
+    s"nearest_cell_with_dist: ${cellIds.length} cell ids for ${cents.length} centroids")
   import org.apache.spark.sql.catalyst.util.ArrayData
   @transient private lazy val centArr: Array[Array[Double]] = cents.map(_.toArray).toArray
   @transient private lazy val idArr: Array[Int] = cellIds.toArray
@@ -779,6 +865,9 @@ case class NearestCellWithDist(child: Expression, cents: Seq[Seq[Double]],
   */
 case class NearestCells(child: Expression, cents: Seq[Seq[Double]], cellIds: Seq[Int],
     nprobe: Int) extends UnaryExpression with ImplicitCastInputTypes {
+  require(cellIds.length == cents.length,
+    s"nearest_cells: ${cellIds.length} cell ids for ${cents.length} centroids")
+  require(nprobe >= 1, s"nearest_cells: nprobe must be >= 1, got $nprobe")
   import org.apache.spark.sql.catalyst.util.ArrayData
   @transient private lazy val centArr: Array[Array[Double]] = cents.map(_.toArray).toArray
   @transient private lazy val idArr: Array[Int] = cellIds.toArray
@@ -795,6 +884,52 @@ case class NearestCells(child: Expression, cents: Seq[Seq[Double]], cellIds: Seq
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "nearest_cells"
+}
+
+/** IVF fine assignment against a PACKED centroid group column
+  * (array<array<double>> + array<int> ids) — the two-level form's
+  * inner argmin. Unlike [[NearestCell]], the centroids are DATA (from
+  * a broadcast join on the coarse cell), not a codegen reference
+  * object, so the fine table never ships on the codegen classpath
+  * and per-row work is the pruned neighborhood, not all cells.
+  */
+case class NearestCellInGroup(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType),
+    ArrayType(ArrayType(DoubleType)), ArrayType(org.apache.spark.sql.types.IntegerType))
+  override def nullSafeEval(v: Any, cents: Any, ids: Any): Any =
+    AnnKernels.nearestCellPacked(v.asInstanceOf[ArrayData],
+      cents.asInstanceOf[ArrayData], ids.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c, i) =>
+      s"${ev.value} = graft.functions.expressions.AnnKernels.nearestCellPacked($v, $c, $i);")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+  override def prettyName: String = "nearest_cell_in_group"
+}
+
+/** The `nprobe` nearest fine cells within a packed group — the
+  * two-level probe set (pairs with [[NearestCellInGroup]]).
+  */
+case class NearestCellsInGroup(first: Expression, second: Expression, third: Expression,
+    nprobe: Int) extends TernaryExpression with ImplicitCastInputTypes {
+  require(nprobe >= 1, s"nearest_cells_in_group: nprobe must be >= 1, got $nprobe")
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType),
+    ArrayType(ArrayType(DoubleType)), ArrayType(org.apache.spark.sql.types.IntegerType))
+  override def nullSafeEval(v: Any, cents: Any, ids: Any): Any =
+    AnnKernels.nearestCellsPacked(v.asInstanceOf[ArrayData],
+      cents.asInstanceOf[ArrayData], ids.asInstanceOf[ArrayData], nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c, i) =>
+      s"${ev.value} = graft.functions.expressions.AnnKernels.nearestCellsPacked($v, $c, $i, $nprobe);")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+  override def prettyName: String = "nearest_cells_in_group"
 }
 
 /** MinHash signature (k slots) of a pre-hashed shingle set
@@ -1402,6 +1537,10 @@ object GraftFunctions {
     column(NearestCellDist(expression(v), cents.toSeq.map(_.toSeq)))
   def nearestCellWithDist(v: Column, cents: Array[Array[Double]], cellIds: Array[Int]): Column =
     column(NearestCellWithDist(expression(v), cents.toSeq.map(_.toSeq), cellIds.toSeq))
+  def nearestCellInGroup(v: Column, cents: Column, ids: Column): Column =
+    column(NearestCellInGroup(expression(v), expression(cents), expression(ids)))
+  def nearestCellsInGroup(v: Column, cents: Column, ids: Column, nprobe: Int): Column =
+    column(NearestCellsInGroup(expression(v), expression(cents), expression(ids), nprobe))
   def int8QuantStats(v: Column): Column = column(Int8QuantStats(expression(v)))
   def int8Recon(v: Column): Column = column(Int8Recon(expression(v)))
   def vectorDecimalMean(v: Column, dim: Int): Column =

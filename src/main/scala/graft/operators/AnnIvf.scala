@@ -96,9 +96,9 @@ object AnnIvf {
     * oracle's.
     */
   def refinedCentroids(corpus: DataFrame, cells: Int, dim: Int,
-      rounds: Int = LloydRounds): DataFrame = {
+      rounds: Int = LloydRounds, seed: Long = 7L): DataFrame = {
     require(rounds >= 1, "at least one Lloyd round")
-    var cents = centroids0(cells, dim)
+    var cents = centroids0(cells, dim, seed)
     var ids = Array.tabulate(cells)(identity)
     var out: DataFrame = null
     for (r <- 1 to rounds) {
@@ -134,6 +134,161 @@ object AnnIvf {
       cents: Array[Array[Double]]): DataFrame =
     vecs.select(col("id"), col("v"),
       GraftFunctions.nearestCell(col("v"), cents, cellIds).as("cell"))
+
+  // ------------------------------------------------------- two-level
+  // The one-level path above collects ALL fine centroids to the driver
+  // and ships them as codegen reference objects, and NearestCell is an
+  // O(cells) per-row sweep. With adaptiveCells that is fine to
+  // ~10⁶–10⁷ vectors (≲10⁵ cells ≈ 50 MB of constants, a 10⁵-way
+  // argmin per row) and then it is NOT: at 10⁸ vectors, 8×10⁵ cells ×
+  // 64 dims ≈ 400 MB of centroid constants on the codegen classpath
+  // and an 800k-way linear scan per row. The two-level form below is
+  // the regime past that ceiling (the FAISS IVF shape):
+  //
+  //  - fine centroids are trained on a DETERMINISTIC HASH SAMPLE of
+  //    the corpus (training cost bounded by the sample, not the
+  //    corpus — the standard IVF training discipline);
+  //  - a COARSE quantizer (≈√cells seeded+Lloyd centroids over the
+  //    fine-centroid table) partitions the fine cells into
+  //    neighborhoods. Only the coarse table (√cells×dim — KBs) ships
+  //    as a codegen constant;
+  //  - each vector argmins over the coarse table (O(√cells)), then
+  //    over the fine members of its `wProbe` nearest coarse groups,
+  //    which arrive as DATA through a broadcast hash join on the
+  //    coarse id (NearestCellInGroup) — per-row work
+  //    O(√cells·wProbe + wProbe·cells/√cells) ≈ O(√cells), and the
+  //    fine table rides Spark's torrent broadcast, never the codegen
+  //    classpath.
+  //
+  // Assignment is still projection + broadcast-join only — no corpus
+  // shuffle, no window (PlanSpec-asserted). With wProbe covering every
+  // coarse cell the assignment equals the one-level argmin EXACTLY
+  // (same (dist, cell) total order — property-proven in AnnSpec); with
+  // small wProbe it is the standard IVF approximation, replayed
+  // bit-identically by the DuckDB oracle.
+
+  /** Deterministic training-sample predicate (salted md5 bucket, the
+    * cluster-sample rule): replayable in any engine, stable under
+    * re-partitioning and corpus growth.
+    */
+  def trainingSample(idCol: Column, pct: Int, salt: String = "|graft-ivf2-train"): Column =
+    conv(substring(md5(concat(idCol.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long") % 100 < pct
+
+  /** Two-level index: coarse centroids (codegen constants, √cells-
+    * sized) + the fine-centroid groups keyed by coarse cell (a
+    * broadcast-join table). `groups` columns: coarse, gcents
+    * array<array<double>>, gids array<int> — both ascending by fine
+    * cell id so the packed argmin's tie rule matches ROW_NUMBER's.
+    */
+  final case class TwoLevelIndex(coarseIds: Array[Int],
+      coarseCents: Array[Array[Double]], groups: DataFrame)
+
+  /** Build the two-level index: fine Lloyd on the training sample,
+    * coarse Lloyd ([[CoarseRounds]] rounds, seed [[CoarseSeed]]) over
+    * the fine-centroid table itself (≤ cells rows — the "corpus" of
+    * the coarse quantizer), fine cells grouped under their nearest
+    * coarse cell.
+    */
+  val CoarseSeed = 11L
+  val CoarseRounds = 2
+
+  def coarseK(cells: Int): Int = math.max(1, math.ceil(math.sqrt(cells.toDouble)).toInt)
+
+  def twoLevelIndex(corpus: DataFrame, cells: Int, dim: Int,
+      samplePct: Int = 60): TwoLevelIndex = {
+    val train = corpus.where(trainingSample(col("id"), samplePct))
+    val (fineIds, fineCents) = collectCentroids(refinedCentroids(train, cells, dim))
+    // the fine-centroid table as a (tiny, local) corpus for the coarse
+    // quantizer — the same decimal-exact Lloyd kernels, so the oracle
+    // replays coarse training with the identical assign/mean CTEs
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val fineDf = fineIds.zip(fineCents.map(_.toSeq)).toSeq
+      .toDF("id", "v").select(col("id"), col("v").cast("array<double>"))
+    val (cIds, cCents) = collectCentroids(
+      refinedCentroids(fineDf, coarseK(cells), dim, CoarseRounds, CoarseSeed))
+    val groups = fineDf
+      .withColumn("coarse", GraftFunctions.nearestCell(col("v"), cCents, cIds))
+      .groupBy(col("coarse"))
+      .agg(expr("array_sort(collect_list(struct(id, v)))").as("m"))
+      .select(col("coarse"),
+        expr("transform(m, x -> x.v)").as("gcents"),
+        expr("transform(m, x -> x.id)").as("gids"))
+    TwoLevelIndex(cIds, cCents, groups)
+  }
+
+  /** The two-level inverted file: coarse probe (projection against the
+    * √cells constants) → broadcast join per probed group → packed
+    * argmin over the unioned neighborhood. `wProbe` coarse groups
+    * bound the boundary loss (wProbe = all coarse cells ⇒ exactly the
+    * one-level assignment).
+    */
+  def invertedFileTwoLevel(vecs: DataFrame, idx: TwoLevelIndex,
+      wProbe: Int = 2): DataFrame = {
+    val emptyC = expr("CAST(array() AS ARRAY<ARRAY<DOUBLE>>)")
+    val emptyI = expr("CAST(array() AS ARRAY<INT>)")
+    var out = vecs.withColumn("__probes",
+      GraftFunctions.nearestCells(col("v"), idx.coarseCents, idx.coarseIds, wProbe))
+    var cs: Column = null
+    var is: Column = null
+    for (p <- 0 until wProbe) {
+      val g = idx.groups.select(col("coarse").as(s"__c$p"),
+        col("gcents").as(s"__gc$p"), col("gids").as(s"__gi$p"))
+      // probe 1 always resolves (coarse ids come from the index);
+      // later probes may not exist when fewer coarse cells survive
+      out = out.join(broadcast(g),
+        expr(s"try_element_at(__probes, ${p + 1})") === col(s"__c$p"),
+        if (p == 0) "inner" else "left")
+      val c = if (p == 0) col(s"__gc$p") else coalesce(col(s"__gc$p"), emptyC)
+      val i = if (p == 0) col(s"__gi$p") else coalesce(col(s"__gi$p"), emptyI)
+      cs = if (cs == null) c else concat(cs, c)
+      is = if (is == null) i else concat(is, i)
+    }
+    out.withColumn("cell", GraftFunctions.nearestCellInGroup(col("v"), cs, is))
+      .select(col("id"), col("v"), col("cell"))
+  }
+
+  /** Top-k approximate neighbours through the two-level index: both
+    * the corpus assignment and the query probes argmin over coarse
+    * neighborhoods; re-rank is the same exact-cosine stage as
+    * [[topK]].
+    */
+  def topKTwoLevel(vecs: DataFrame, queries: DataFrame, k: Int, cells: Int,
+      dim: Int, nprobe: Int = 2, wProbe: Int = 2,
+      samplePct: Int = 60): DataFrame = {
+    val idx = twoLevelIndex(vecs, cells, dim, samplePct)
+    val inverted = invertedFileTwoLevel(vecs, idx, wProbe)
+    val emptyC = expr("CAST(array() AS ARRAY<ARRAY<DOUBLE>>)")
+    val emptyI = expr("CAST(array() AS ARRAY<INT>)")
+    var q = queries.withColumn("__probes",
+      GraftFunctions.nearestCells(col("qv"), idx.coarseCents, idx.coarseIds, wProbe))
+    var cs: Column = null
+    var is: Column = null
+    for (p <- 0 until wProbe) {
+      val g = idx.groups.select(col("coarse").as(s"__qc$p"),
+        col("gcents").as(s"__qgc$p"), col("gids").as(s"__qgi$p"))
+      q = q.join(broadcast(g),
+        expr(s"try_element_at(__probes, ${p + 1})") === col(s"__qc$p"),
+        if (p == 0) "inner" else "left")
+      val c = if (p == 0) col(s"__qgc$p") else coalesce(col(s"__qgc$p"), emptyC)
+      val i = if (p == 0) col(s"__qgi$p") else coalesce(col(s"__qgi$p"), emptyI)
+      cs = if (cs == null) c else concat(cs, c)
+      is = if (is == null) i else concat(is, i)
+    }
+    val probes = q
+      .withColumn("cell",
+        explode(GraftFunctions.nearestCellsInGroup(col("qv"), cs, is, nprobe)))
+      .select(col("query_id"), col("qv"), col("cell"))
+    probes.join(inverted, Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("cos_sim", GraftFunctions.cosineSimilarity(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
 
   /** Top-k approximate neighbours per query through the inverted file.
     *

@@ -595,23 +595,31 @@ object Fleet {
   // the raw events FIRST so the closure never touches event-grain
   // rows.
   private val qanTreeRollup: Q = (s, d) => {
+    // unique per-invocation view name (the st_sink_ pattern): a fixed
+    // name would race createOrReplaceTempView across concurrent runs
+    // on one session and leak into the catalog afterwards. sql() is
+    // analyzed EAGERLY, so the view can be dropped before returning —
+    // the returned plan no longer references the catalog entry.
+    val view = s"graft_tree_per_inst_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     events(s, d)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("calls"),
         sum(col("value").cast(DecimalType(18, 6))).as("v"))
-      .createOrReplaceTempView("graft_tree_per_inst")
-    s.sql("""
+      .createOrReplaceTempView(view)
+    val out = s.sql(s"""
       WITH RECURSIVE anc(node, a) AS (
-        SELECT user_id, user_id FROM graft_tree_per_inst
+        SELECT user_id, user_id FROM $view
         UNION ALL
         SELECT node, a DIV 10 FROM anc WHERE a > 0)
       SELECT a.a AS ancestor,
         COUNT(*) AS n_instances,
         CAST(SUM(p.calls) AS BIGINT) AS subtree_calls,
         CAST(SUM(p.v) AS DOUBLE) AS subtree_value
-      FROM anc a JOIN graft_tree_per_inst p ON p.user_id = a.node
+      FROM anc a JOIN $view p ON p.user_id = a.node
       GROUP BY a.a
       ORDER BY ancestor""")
+    s.catalog.dropTempView(view)
+    out
   }
 
   private val qanTreeRollupSql = """
@@ -633,60 +641,61 @@ object Fleet {
 
   // ----------------------------------------------- qan_workload_outlier
   // Workload-mix outliers: each instance's per-digest call-count
-  // vector (dense over the globally-sorted digest list, zeros filled)
-  // compared against the FLEET's aggregate mix by cosine — "which
-  // instances run a different workload than the fleet", the signal
-  // behind routing/grouping decisions and mis-configured-client
-  // hunts. Deliberately O(n): one pass builds the per-instance
-  // vectors, the fleet centroid is a broadcast one-row frame, and
-  // the report is a bounded bottom-20 (all-pairs instance similarity
-  // is the trap at fleet scale — cosine-to-centroid finds the same
-  // outliers in one scan). Cosine runs in the compiled
-  // CosineSimilarity kernel; counts are exact longs, so both engines
-  // fold the identical per-index products.
+  // vector compared against the FLEET's aggregate mix by cosine —
+  // "which instances run a different workload than the fleet", the
+  // signal behind routing/grouping decisions and mis-configured-client
+  // hunts. Deliberately O(n): cosine-to-centroid in one scan, bounded
+  // bottom-20 (all-pairs instance similarity is the trap at fleet
+  // scale). SPARSE form: zeros contribute nothing to a dot product,
+  // so the per-instance vector is never materialized — dot = Σ c·f
+  // over the digests the instance actually ran (an equi-join between
+  // the per-(instance, digest) counts and the broadcast fleet mix),
+  // and each norm comes from its own side's aggregate. No
+  // |instances|×|digests| grid, no collect_list, no dense arrays — at
+  // a 10⁵-digest fleet the dense grid would build 10⁵-element
+  // zero-filled vectors per instance purely to feed aligned arrays to
+  // a kernel that ignores the zeros. All sums are exact longs
+  // (products of counts), so both engines derive bit-identical
+  // doubles at the final division.
   private val qanWorkloadOutlier: Q = (s, d) => {
     val ev = events(s, d)
-    val types = ev.select(col("event_type").as("t")).distinct()
-    val inst = ev.select(col("user_id")).distinct()
     val counts = ev.groupBy(col("user_id"), col("event_type").as("t"))
       .agg(count(lit(1)).as("c"))
-    val vecs = inst.crossJoin(broadcast(types))
-      .join(counts, Seq("user_id", "t"), "left")
-      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val fleet = ev.groupBy(col("event_type").as("t")).agg(count(lit(1)).as("f"))
+    // one-row broadcast: the fleet vector's squared norm (exact long)
+    val fleetNorm = fleet.agg(sum(col("f") * col("f")).as("ssf"))
+    counts.join(broadcast(fleet), Seq("t"))
       .groupBy(col("user_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(t, c))), x -> cast(x.c AS DOUBLE))")
-        .as("v"), sum(col("c")).as("calls"))
-    val fleet = ev.groupBy(col("event_type").as("t")).agg(count(lit(1)).as("c"))
-      .agg(expr("transform(array_sort(collect_list(struct(t, c))), x -> cast(x.c AS DOUBLE))")
-        .as("fv"))
-    vecs.crossJoin(broadcast(fleet))
+      .agg(sum(col("c") * col("f")).as("dot"),
+        sum(col("c") * col("c")).as("ss"),
+        sum(col("c")).as("calls"))
+      .crossJoin(broadcast(fleetNorm))
       .select(col("user_id"), col("calls"),
-        round(graft.functions.expressions.GraftFunctions
-          .cosineSimilarity(col("v"), col("fv")), 4).as("fleet_cosine"))
+        round(col("dot").cast(DoubleType) /
+          (sqrt(col("ss").cast(DoubleType)) * sqrt(col("ssf").cast(DoubleType))), 4)
+          .as("fleet_cosine"))
       .orderBy(col("fleet_cosine").asc, col("user_id"))
       .limit(20)
   }
 
   private val qanWorkloadOutlierSql = """
-    WITH types AS (SELECT DISTINCT event_type AS t FROM events),
-    inst AS (SELECT DISTINCT user_id FROM events),
-    counts AS (
+    WITH counts AS (
       SELECT user_id, event_type AS t, COUNT(*) AS c
       FROM events GROUP BY 1, 2),
-    grid AS (
-      SELECT i.user_id, ty.t, COALESCE(c.c, 0) AS c
-      FROM inst i CROSS JOIN types ty
-      LEFT JOIN counts c ON c.user_id = i.user_id AND c.t = ty.t),
-    vecs AS (
-      SELECT user_id, list(CAST(c AS DOUBLE) ORDER BY t) AS v,
-        CAST(SUM(c) AS BIGINT) AS calls
-      FROM grid GROUP BY 1),
     fleet AS (
-      SELECT list(CAST(c AS DOUBLE) ORDER BY t) AS fv
-      FROM (SELECT event_type AS t, COUNT(*) AS c FROM events GROUP BY 1))
+      SELECT event_type AS t, COUNT(*) AS f FROM events GROUP BY 1),
+    fnorm AS (SELECT CAST(SUM(f * f) AS BIGINT) AS ssf FROM fleet),
+    per_inst AS (
+      SELECT c.user_id,
+        CAST(SUM(c.c * f.f) AS BIGINT) AS dot,
+        CAST(SUM(c.c * c.c) AS BIGINT) AS ss,
+        CAST(SUM(c.c) AS BIGINT) AS calls
+      FROM counts c JOIN fleet f USING (t)
+      GROUP BY 1)
     SELECT user_id, calls,
-      ROUND(list_cosine_similarity(v, fv), 4) AS fleet_cosine
-    FROM vecs, fleet
+      ROUND(CAST(dot AS DOUBLE) /
+        (sqrt(CAST(ss AS DOUBLE)) * sqrt(CAST(ssf AS DOUBLE))), 4) AS fleet_cosine
+    FROM per_inst, fnorm
     ORDER BY fleet_cosine, user_id
     LIMIT 20"""
 

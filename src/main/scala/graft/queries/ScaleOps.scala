@@ -381,6 +381,26 @@ object ScaleOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // Two-level IVF top-k — the regime PAST adaptiveCells' ceiling
+  // (~10⁶–10⁷ vectors; see the AnnIvf two-level scaladoc): fine
+  // centroids trained on a deterministic hash SAMPLE, a √cells coarse
+  // quantizer as the only codegen constant, fine neighborhoods
+  // arriving as broadcast-join DATA, per-row assignment O(√cells)
+  // instead of O(cells). Same output shape as emb_ann_ivf; the oracle
+  // replays the full two-level chain (sampled Lloyd, coarse Lloyd over
+  // the fine table, neighborhood argmin) bit-exactly.
+  private val embAnnIvfTwoLevel: Q = (s, d) => {
+    val e = embeddings(s, d).withColumn("v", col("embedding").cast(ArrayType(DoubleType)))
+    val corpus = e.select(col("vec_id").as("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    AnnIvf.topKTwoLevel(corpus, queries, k = 10,
+        cells = AnnIvf.adaptiveCells(corpus.count()), dim = 64,
+        nprobe = 2, wProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ------------------------------------------------ emb_cluster_sample
   // Cluster-balanced data selection (the embedding-space analogue of
   // doc_stratified_sample, the SemDeDup/DC-style "diversify the
@@ -864,6 +884,7 @@ object ScaleOps {
     "doc_chunk_dedup" -> docChunkDedup,
     "doc_pipeline_filter" -> docPipelineFilter,
     "emb_ann_ivf" -> embAnnIvf,
+    "emb_ann_ivf_two_level" -> embAnnIvfTwoLevel,
     "emb_cluster_sample" -> embClusterSample,
     "emb_ivf_quality" -> embIvfQuality,
     "emb_recall_curve" -> embRecallCurve,
@@ -1350,6 +1371,121 @@ object ScaleOps {
     sb.toString
   }
 
+  /** DuckDB replay of the ENTIRE two-level IVF pipeline: sampled fine
+    * Lloyd (same assign/mean shapes as [[ivfCtes]], over the hash-
+    * sampled training set), coarse Lloyd over the fine-centroid table
+    * itself (AnnIvf.CoarseRounds, seed AnnIvf.CoarseSeed), fine cells
+    * grouped under their nearest FINAL coarse centroid, and both the
+    * corpus assignment and the query probes restricted to the wProbe
+    * nearest coarse neighborhoods — every argmin ROW_NUMBER'd by
+    * (dist, cell), the total order the packed kernels implement.
+    */
+  private val embAnnIvfTwoLevelSql: String = {
+    val cells = 16; val dim = 64; val k = 10; val nprobe = 2; val wProbe = 2
+    val samplePct = 60
+    val ck = AnnIvf.coarseK(cells)
+    def litRows(cents: Array[Array[Double]]): String =
+      cents.zipWithIndex.map { case (c, i) =>
+        s"($i, ${c.map(java.lang.Double.toString).mkString("[", ", ", "]")}::DOUBLE[])"
+      }.mkString(", ")
+    // generic assign/mean pair over (src(idCol, vCol)) vs centTable(cell, c)
+    def assignCte(name: String, src: String, idCol: String, vCol: String,
+        centTable: String): String = s"""
+    $name AS (
+      SELECT $idCol, $vCol, cell FROM (
+        SELECT s.$idCol, s.$vCol, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY s.$idCol
+            ORDER BY ${ivfSqDist(s"s.$vCol", "c.c", dim)}, c.cell) AS rn
+        FROM $src s CROSS JOIN $centTable c)
+      WHERE rn = 1)"""
+    def meanCte(name: String, assignTable: String, vCol: String): String = s"""
+    $name AS (
+      SELECT cell, list(m ORDER BY i) AS c FROM (
+        SELECT a.cell, i,
+          CAST(COALESCE(SUM(CAST(a.$vCol[CAST(i AS INT)] AS DECIMAL(18,6))), 0) AS DOUBLE) / COUNT(*) AS m
+        FROM $assignTable a CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i)
+        GROUP BY a.cell, i)
+      GROUP BY cell)"""
+    val sb = new StringBuilder(s"""e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    tr AS (
+      SELECT vec_id, v FROM e
+      WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '|graft-ivf2-train'), 1, 8)) AS BIGINT) % 100 < $samplePct),
+    cents0(cell, c) AS (VALUES ${litRows(AnnIvf.centroids0(cells, dim))}),${assignCte("assign0", "tr", "vec_id", "v", "cents0")}""")
+    for (r <- 1 to AnnIvf.LloydRounds) {
+      sb.append(",").append(meanCte(s"cent$r", s"assign${r - 1}", "v"))
+      if (r < AnnIvf.LloydRounds)
+        sb.append(",").append(assignCte(s"assign$r", "tr", "vec_id", "v", s"cent$r"))
+    }
+    sb.append(s""",
+    centf AS (SELECT cell, c FROM cent${AnnIvf.LloydRounds}),
+    fines AS (SELECT cell AS fid, c AS fv FROM centf),
+    coarse0(cell, c) AS (VALUES ${litRows(AnnIvf.centroids0(ck, dim, AnnIvf.CoarseSeed))})""")
+    // coarse Lloyd over the fine-centroid table (the coarse "corpus")
+    sb.append(",").append(assignCte("cassign0", "fines", "fid", "fv", "coarse0"))
+    for (r <- 1 to AnnIvf.CoarseRounds) {
+      sb.append(",").append(meanCte(s"ccent$r", s"cassign${r - 1}", "fv"))
+      if (r < AnnIvf.CoarseRounds)
+        sb.append(",").append(assignCte(s"cassign$r", "fines", "fid", "fv", s"ccent$r"))
+    }
+    sb.append(s""",
+    coarsef AS (SELECT cell, c FROM ccent${AnnIvf.CoarseRounds}),
+    f2c AS (
+      SELECT fid, cell AS coarse FROM (
+        SELECT f.fid, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY f.fid
+            ORDER BY ${ivfSqDist("f.fv", "c.c", dim)}, c.cell) AS rn
+        FROM fines f CROSS JOIN coarsef c)
+      WHERE rn = 1),
+    probes AS (
+      SELECT vec_id, v, cell AS coarse FROM (
+        SELECT s.vec_id, s.v, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id
+            ORDER BY ${ivfSqDist("s.v", "c.c", dim)}, c.cell) AS rn
+        FROM e s CROSS JOIN coarsef c)
+      WHERE rn <= $wProbe),
+    cand AS (
+      SELECT p.vec_id, p.v, cf.cell AS fcell, cf.c AS fc
+      FROM probes p
+      JOIN f2c ON f2c.coarse = p.coarse
+      JOIN centf cf ON cf.cell = f2c.fid),
+    inverted2 AS (
+      SELECT vec_id, v, fcell AS cell FROM (
+        SELECT vec_id, v, fcell,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY ${ivfSqDist("v", "fc", dim)}, fcell) AS rn
+        FROM cand)
+      WHERE rn = 1),
+    qprobes AS (
+      SELECT query_id, qv, fcell AS cell FROM (
+        SELECT c.vec_id AS query_id, c.v AS qv, c.fcell,
+          ROW_NUMBER() OVER (PARTITION BY c.vec_id
+            ORDER BY ${ivfSqDist("c.v", "c.fc", dim)}, c.fcell) AS rn
+        FROM cand c
+        WHERE c.vec_id < 5)
+      WHERE rn <= $nprobe)""")
+    def sumFold(term: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), i -> $term)), (acc, x) -> acc + x)"
+    val dot = sumFold("qv[CAST(i AS INT)] * cv[CAST(i AS INT)]")
+    val nq = sumFold("qv[CAST(i AS INT)] * qv[CAST(i AS INT)]")
+    val nc = sumFold("cv[CAST(i AS INT)] * cv[CAST(i AS INT)]")
+    s"""
+    WITH ${sb.toString},
+    scored AS (
+      SELECT p.query_id, iv.vec_id AS neighbor_id, p.qv AS qv, iv.v AS cv
+      FROM qprobes p JOIN inverted2 iv ON iv.cell = p.cell AND iv.vec_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+        $dot / (sqrt($nq) * sqrt($nc)) AS cos_raw,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY $dot / (sqrt($nq) * sqrt($nc)) DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 4) AS cos_sim
+    FROM ranked
+    WHERE rank <= $k
+    ORDER BY query_id, rank"""
+  }
+
   private val embAnnIvfSql: String = {
     val cells = 16; val dim = 64; val k = 10; val nprobe = 2
     def sqDist(a: String, b: String): String = ivfSqDist(a, b, dim)
@@ -1427,6 +1563,7 @@ object ScaleOps {
     "doc_chunk_dedup" -> docChunkDedupSql,
     "doc_pipeline_filter" -> docPipelineFilterSql,
     "emb_ann_ivf" -> embAnnIvfSql,
+    "emb_ann_ivf_two_level" -> embAnnIvfTwoLevelSql,
     "emb_cluster_sample" -> embClusterSampleSql,
     "emb_ivf_quality" -> embIvfQualitySql,
     "emb_recall_curve" -> embRecallCurveSql,

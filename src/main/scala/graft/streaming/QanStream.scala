@@ -400,18 +400,29 @@ object QanStream {
     * size this to their own key cardinality — this knob is the
     * replay harness's, not the operators'.
     */
-  def runToMemoryQuery(df: DataFrame, mode: OutputMode = OutputMode.Append()): MemorySink = {
-    val name = s"st_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val spark = df.sparkSession
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "8")
-    val q =
-      try df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-    MemorySink(name, q)
-  }
+  /** Guards the shuffle-partition override window below: the session
+    * conf is shared mutable state, so any OTHER query started between
+    * set and restore would silently snapshot 8 partitions. Every
+    * replay start in this repo goes through [[runToMemoryQuery]], so
+    * serializing the set→start→restore critical section closes the
+    * race within the harness (batch queries are unaffected — they
+    * read the conf at their own start, after restore).
+    */
+  private val startLock = new Object
+
+  def runToMemoryQuery(df: DataFrame, mode: OutputMode = OutputMode.Append()): MemorySink =
+    startLock.synchronized {
+      val name = s"st_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val spark = df.sparkSession
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "8")
+      val q =
+        try df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      MemorySink(name, q)
+    }
 }

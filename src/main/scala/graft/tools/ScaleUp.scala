@@ -88,7 +88,25 @@ object ScaleUp {
       .withColumn("doc_id", col("doc_id") + r * 10000000L)
       .withColumn("text",
         if (r == 0) col("text") else translate(col("text"), lower, shifted(r))))
-    tile("embeddings", (df, r) => df.withColumn("vec_id", col("vec_id") + r * 1000000L))
+    // embeddings get the vector analogue of the caesar shift: a
+    // per-replica circular dimension shift + sign-flip pattern.
+    // Permutation+signs preserve every WITHIN-replica inner product
+    // exactly (both vectors transform identically), so near-dup and
+    // cell structure inside a replica match the base corpus — while
+    // CROSS-replica vectors decorrelate, so near-dup volume scales
+    // linearly. Verbatim tiling (the r7 form) made every vector an
+    // R-way exact dup: quadratic-in-R pair volume for the dedup
+    // family and cos=1.0 saturation for the recall family.
+    tile("embeddings", (df, r) => df
+      .withColumn("vec_id", col("vec_id") + r * 1000000L)
+      .withColumn("embedding",
+        if (r == 0) col("embedding")
+        else expr(
+          s"transform(sequence(0, size(embedding) - 1), i -> CAST(" +
+            s"CASE WHEN (i + $r) % 3 = 0 " +
+            s"THEN -element_at(embedding, ((i + ${r * 7}) % size(embedding)) + 1) " +
+            s"ELSE element_at(embedding, ((i + ${r * 7}) % size(embedding)) + 1) END " +
+            "AS FLOAT))")))
     spark.stop()
   }
 }

@@ -130,6 +130,47 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"exchange in assignment stage:\n$plan")
   }
 
+  test("two-level IVF assignment: corpus side is projection + broadcast joins — no Window, no corpus shuffle") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.operators.AnnIvf
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("v", col("embedding").cast(ArrayType(DoubleType)))
+    val corpus = e.select(col("vec_id").as("id"), col("v"))
+    val idx = AnnIvf.twoLevelIndex(corpus, cells = 16, dim = 64)
+    val inv = AnnIvf.invertedFileTwoLevel(corpus, idx, wProbe = 2)
+    inv.collect()
+    val plan = inv.queryExecution.executedPlan.toString
+    // neighborhoods arrive through broadcast hash joins; the packed
+    // argmin is a compiled projection. The only hash exchanges allowed
+    // are inside the ≤cells-row fine-group broadcast subtree — the
+    // CORPUS must never shuffle, window, or sort-merge.
+    assert(plan.contains("nearest_cell_in_group"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"), s"window in two-level assignment:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffle join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("qan_workload_outlier: sparse cosine — no dense grid, no collect_list, digest equi-join") {
+    // trim to the final AQE plan: the dump repeats the pre-adaptive
+    // "Initial Plan" section, which would double-count join nodes
+    val full = executedPlan("qan_workload_outlier")
+    val plan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    // the r7 form built an |instances|×|digests| zero-filled grid
+    // (inst crossJoin types) + per-instance collect_list dense vectors
+    // purely to feed aligned arrays to the cosine kernel — zeros
+    // contribute nothing to a dot product
+    assert(!plan.contains("collect_list"), s"dense vector build left in plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast digest equi-join:\n$plan")
+    // exactly one nested-loop join: the one-row fleet-norm attach
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnl == 1, s"expected only the one-row norm crossJoin, got $bnl:\n$plan")
+  }
+
   test("PQ coding stage is a pure projection: no Window, no Exchange, native kernels") {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     val e = Tables.embeddings(spark, sf)
