@@ -42,6 +42,11 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
       graft.streaming.QanStream.releaseReplayState(spark)
+      // collect the previous query's garbage OUTSIDE the next timed
+      // window: across 174x3 runs in one JVM, deferred old-gen debt
+      // from persist-heavy queries was a mid-run variance source
+      // (q01 [1.75, 9.80] bands on an unchanged plan)
+      System.gc()
     }
     // Warm-up at the smallest scale factor: JIT, codegen cache, parquet
     // footer reads — so per-query timings below measure the queries,

@@ -171,9 +171,31 @@ object AnnIvf {
     * cluster-sample rule): replayable in any engine, stable under
     * re-partitioning and corpus growth.
     */
-  def trainingSample(idCol: Column, pct: Int, salt: String = "|graft-ivf2-train"): Column =
+  def trainingSample(idCol: Column, rate: Long, salt: String = "|graft-ivf2-train"): Column =
     conv(substring(md5(concat(idCol.cast("string"), lit(salt))), 1, 8), 16, 10)
-      .cast("long") % 100 < pct
+      .cast("long") % SampleModulus < rate
+
+  /** Training-sample rate (per [[SampleModulus]]) with an ABSOLUTE
+    * cap. A fixed rate keeps training O(n·cells) = O(n²/occupancy) —
+    * the 100× point measured exactly that (emb_cell family ~90–114×
+    * at 100× data, one-level Lloyd). Capping the sample at
+    * [[TrainCap]] vectors makes fine training O(cap·cells) — linear
+    * in n with a bounded constant (the FAISS train-on-a-sample
+    * discipline). The bucket granularity is parts-per-million (not
+    * percent): an integer-percent floor of 1% would re-open the cap
+    * past ~10⁷ vectors; the 1-ppm floor holds it to ~10¹¹ (≈ a
+    * 100 TB corpus of 64-dim vectors). At every oracle-checked scale
+    * (n ≤ ~200k) the rate resolves to exactly [[DefaultSampleRate]],
+    * so the inlined-rate oracle replay stays valid — same coupling
+    * argument as adaptiveCells = 16.
+    */
+  val SampleModulus = 1000000L
+  val DefaultSampleRate = 600000L // 60%
+  val TrainCap = 120000L
+  def sampleRateFor(n: Long): Long =
+    if (n <= 0) DefaultSampleRate
+    else math.max(1L, math.min(DefaultSampleRate,
+      (TrainCap * SampleModulus + n - 1) / n))
 
   /** Two-level index: coarse centroids (codegen constants, √cells-
     * sized) + the fine-centroid groups keyed by coarse cell (a
@@ -196,8 +218,11 @@ object AnnIvf {
   def coarseK(cells: Int): Int = math.max(1, math.ceil(math.sqrt(cells.toDouble)).toInt)
 
   def twoLevelIndex(corpus: DataFrame, cells: Int, dim: Int,
-      samplePct: Int = 60): TwoLevelIndex = {
-    val train = corpus.where(trainingSample(col("id"), samplePct))
+      sampleRate: Long = -1L): TwoLevelIndex = {
+    // -1 = auto: capped sample rate (see sampleRateFor) — resolves to
+    // DefaultSampleRate at every oracle-checked scale
+    val rate = if (sampleRate > 0) sampleRate else sampleRateFor(corpus.count())
+    val train = corpus.where(trainingSample(col("id"), rate))
     val (fineIds, fineCents) = collectCentroids(refinedCentroids(train, cells, dim))
     // the fine-centroid table as a (tiny, local) corpus for the coarse
     // quantizer — the same decimal-exact Lloyd kernels, so the oracle
@@ -256,8 +281,8 @@ object AnnIvf {
     */
   def topKTwoLevel(vecs: DataFrame, queries: DataFrame, k: Int, cells: Int,
       dim: Int, nprobe: Int = 2, wProbe: Int = 2,
-      samplePct: Int = 60): DataFrame = {
-    val idx = twoLevelIndex(vecs, cells, dim, samplePct)
+      sampleRate: Long = -1L): DataFrame = {
+    val idx = twoLevelIndex(vecs, cells, dim, sampleRate)
     val inverted = invertedFileTwoLevel(vecs, idx, wProbe)
     val emptyC = expr("CAST(array() AS ARRAY<ARRAY<DOUBLE>>)")
     val emptyI = expr("CAST(array() AS ARRAY<INT>)")

@@ -1382,7 +1382,7 @@ object ScaleOps {
     */
   private val embAnnIvfTwoLevelSql: String = {
     val cells = 16; val dim = 64; val k = 10; val nprobe = 2; val wProbe = 2
-    val samplePct = 60
+    val sampleRate = AnnIvf.DefaultSampleRate; val sampleMod = AnnIvf.SampleModulus
     val ck = AnnIvf.coarseK(cells)
     def litRows(cents: Array[Array[Double]]): String =
       cents.zipWithIndex.map { case (c, i) =>
@@ -1410,7 +1410,7 @@ object ScaleOps {
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     tr AS (
       SELECT vec_id, v FROM e
-      WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '|graft-ivf2-train'), 1, 8)) AS BIGINT) % 100 < $samplePct),
+      WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '|graft-ivf2-train'), 1, 8)) AS BIGINT) % $sampleMod < $sampleRate),
     cents0(cell, c) AS (VALUES ${litRows(AnnIvf.centroids0(cells, dim))}),${assignCte("assign0", "tr", "vec_id", "v", "cents0")}""")
     for (r <- 1 to AnnIvf.LloydRounds) {
       sb.append(",").append(meanCte(s"cent$r", s"assign${r - 1}", "v"))

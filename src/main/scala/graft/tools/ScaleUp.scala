@@ -25,17 +25,29 @@ import org.apache.spark.sql.functions._
   * Output mimics the testdata layout (one `<table>.parquet` FILE per
   * table) so the file-stream glob replay works unchanged.
   *
-  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> [replicas=10]
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> [replicas=10] [table ...]
+  * (an explicit table list materializes only those tables — the
+  * sf10/100× point needs documents+embeddings, not a 60M-row
+  * single-file lineitem)
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
     val reps = if (args.length > 2) args(2).toInt else 10
-    // the caesar ring wraps at 26: replica 26 would reproduce replica
-    // 0's text verbatim, silently turning the linear near-dup-volume
-    // invariant into a quadratic cross-replica dup explosion
-    require(reps >= 1 && reps <= 26, s"replicas must be in [1, 26], got $reps")
+    val onlyTables: Option[Set[String]] =
+      if (args.length > 3) Some(args.drop(3).toSet) else None
+    // Text: per-replica AFFINE substitution c -> a*c + b (mod 26), a
+    // coprime to 26 — 12 units x 26 offsets = 312 distinct alphabet
+    // permutations, so cross-replica gram spaces stay disjoint up to
+    // 312 replicas (a plain caesar ring wraps at 26 — replica 26
+    // would reproduce replica 0 verbatim and silently turn the linear
+    // near-dup-volume invariant into a quadratic cross-replica dup
+    // explosion). r < 26 keeps a = 1: exactly the old caesar shift,
+    // so sf1 tilings are reproducible. Embeddings: the (rotation,
+    // sign) pair is distinct up to 192 replicas (CRT of the 64-cycle
+    // rotation and 3-cycle sign pattern) — the binding cap here.
+    require(reps >= 1 && reps <= 192, s"replicas must be in [1, 192], got $reps")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -46,12 +58,18 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     val lower = "abcdefghijklmnopqrstuvwxyz"
+    // multiplicative units of Z/26 — each (a, b) pair is a distinct
+    // bijection of the alphabet; unit 1 first so r < 26 degenerates to
+    // the caesar shift
+    val units = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
     def shifted(r: Int): String = {
-      val k = r % 26
-      lower.substring(k) + lower.substring(0, k)
+      val a = units((r / 26) % units.length)
+      val b = r % 26
+      new String((0 until 26).map(c => lower((a * c + b) % 26)).toArray)
     }
 
     def tile(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
+      if (onlyTables.exists(!_.contains(name))) return
       // events goes through the nanos-aware reader; the output is
       // re-written as plain MICROS, which the same reader handles
       val base = if (name == "events") graft.Tables.events(spark, src)

@@ -68,6 +68,26 @@ class AnnSpec extends SparkSpec {
     assert(twoLevel.nonEmpty)
   }
 
+  test("two-level training-sample rate: capped, bounded, and constant at oracle-checked scales") {
+    import graft.operators.AnnIvf._
+    // at every oracle-checked scale the rate must resolve to EXACTLY
+    // DefaultSampleRate (the oracle inlines it, same coupling as the
+    // 16-cell centroid literals)
+    for (n <- Seq(200L, 2000L, 20000L, 200000L))
+      assert(sampleRateFor(n) == DefaultSampleRate, s"n=$n")
+    // past the cap the sampled-row count stays ~TrainCap: training is
+    // O(cap x cells), linear in n — not the O(n·cells) the 100x point
+    // measured for the one-level path. The ppm floor holds the cap to
+    // ~10^11 vectors (~a 100 TB corpus of 64-dim vectors).
+    for (n <- Seq(2000000L, 20000000L, 2000000000L, 100000000000L)) {
+      val rate = sampleRateFor(n)
+      assert(rate >= 1 && rate < DefaultSampleRate, s"n=$n rate=$rate")
+      val sampled = n * rate / SampleModulus
+      assert(sampled <= 2 * TrainCap, s"n=$n samples $sampled")
+    }
+    assert(sampleRateFor(0) == DefaultSampleRate)
+  }
+
   test("two-level IVF recall@10 vs brute force") {
     val exact = SparkEntry.queries("emb_cosine_topk")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
