@@ -505,6 +505,59 @@ object ScaleOps {
       .orderBy(col("representative_id"))
   }
 
+  // SemDeDup through the TWO-LEVEL index — the variant for the regime
+  // the 100x point measured out of the one-level path (BENCH_SF10:
+  // emb_cell_dedup 90x at 100x data, dominated by O(cells)-per-row
+  // Lloyd over the full corpus). Same within-cell pair generation and
+  // connected-components labeling; only the index build changes:
+  // capped-sample training (O(cap x cells)) and coarse-pruned
+  // assignment (O(sqrt(cells)) per row) — both linear in the corpus.
+  private val embCellDedupTwoLevel: Q = (s, d) => {
+    val tau = 0.4
+    val e = embeddings(s, d).withColumn("v", col("embedding").cast(ArrayType(DoubleType)))
+    val corpus = e.select(col("vec_id").as("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = AnnIvf.twoLevelIndex(corpus,
+      cells = AnnIvf.adaptiveCells(corpus.count()), dim = 64)
+    val inverted = AnnIvf.invertedFileTwoLevel(corpus, idx, wProbe = 2)
+    val a = inverted.select(col("cell"), col("id").as("a_id"), col("v").as("av"))
+    val b = inverted.select(col("cell"), col("id").as("b_id"), col("v").as("bv"))
+    val pairs = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim", GraftFunctions.cosineSimilarity(col("av"), col("bv")))
+      .filter(col("cos_sim") >= tau)
+      .select(col("a_id"), col("b_id"))
+    Dedup.connectedComponents(corpus.select(col("id")), pairs)
+      .groupBy(col("cluster").as("representative_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .filter(col("cluster_size") >= 2)
+      .orderBy(col("representative_id"))
+  }
+
+  private lazy val embCellDedupTwoLevelSql: String = s"""
+    WITH RECURSIVE ${ivf2Ctes(16, 64, 2)},
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM inverted2 a JOIN inverted2 b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id, a_id FROM pairs),
+    reach(id, lbl) AS (
+      SELECT vec_id, vec_id FROM e
+      UNION
+      SELECT g.dst, r.lbl
+      FROM reach r JOIN edges g ON g.src = r.id
+      WHERE r.lbl < g.dst),
+    labels AS (
+      SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id)
+    SELECT cluster AS representative_id, COUNT(*) AS cluster_size
+    FROM labels
+    GROUP BY 1
+    HAVING COUNT(*) >= 2
+    ORDER BY representative_id"""
+
   private lazy val embCellDedupSql: String = s"""
     WITH RECURSIVE ${ivfCtes(16, 64)},
     pairs AS (
@@ -890,6 +943,7 @@ object ScaleOps {
     "emb_recall_curve" -> embRecallCurve,
     "emb_ood_score" -> embOodScore,
     "emb_cell_dedup" -> embCellDedup,
+    "emb_cell_dedup_two_level" -> embCellDedupTwoLevel,
     "emb_cell_recall" -> embCellRecall,
     "doc_minhash_lsh" -> docMinhashLsh,
     "doc_dedup_clusters" -> docDedupClusters,
@@ -1380,8 +1434,18 @@ object ScaleOps {
     * nearest coarse neighborhoods — every argmin ROW_NUMBER'd by
     * (dist, cell), the total order the packed kernels implement.
     */
-  private val embAnnIvfTwoLevelSql: String = {
-    val cells = 16; val dim = 64; val k = 10; val nprobe = 2; val wProbe = 2
+  /** Shared replay CTE block for every TWO-LEVEL IVF oracle: sampled
+    * training set, fine Lloyd (same assign/mean shapes as [[ivfCtes]]),
+    * coarse Lloyd over the fine-centroid table itself
+    * (AnnIvf.CoarseRounds, seed AnnIvf.CoarseSeed), fine cells grouped
+    * under their nearest FINAL coarse centroid, and the corpus
+    * assignment restricted to the wProbe nearest coarse neighborhoods
+    * — every argmin ROW_NUMBER'd by (dist, cell), the total order the
+    * packed kernels implement. Ends at `inverted2(vec_id, v, cell)`
+    * (plus `cand`, the per-vector neighborhood candidates, for probe
+    * consumers).
+    */
+  private[queries] def ivf2Ctes(cells: Int, dim: Int, wProbe: Int): String = {
     val sampleRate = AnnIvf.DefaultSampleRate; val sampleMod = AnnIvf.SampleModulus
     val ck = AnnIvf.coarseK(cells)
     def litRows(cents: Array[Array[Double]]): String =
@@ -1455,7 +1519,19 @@ object ScaleOps {
           ROW_NUMBER() OVER (PARTITION BY vec_id
             ORDER BY ${ivfSqDist("v", "fc", dim)}, fcell) AS rn
         FROM cand)
-      WHERE rn = 1),
+      WHERE rn = 1)""")
+    sb.toString
+  }
+
+  private val embAnnIvfTwoLevelSql: String = {
+    val cells = 16; val dim = 64; val k = 10; val nprobe = 2; val wProbe = 2
+    def sumFold(term: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), i -> $term)), (acc, x) -> acc + x)"
+    val dot = sumFold("qv[CAST(i AS INT)] * cv[CAST(i AS INT)]")
+    val nq = sumFold("qv[CAST(i AS INT)] * qv[CAST(i AS INT)]")
+    val nc = sumFold("cv[CAST(i AS INT)] * cv[CAST(i AS INT)]")
+    s"""
+    WITH ${ivf2Ctes(cells, dim, wProbe)},
     qprobes AS (
       SELECT query_id, qv, fcell AS cell FROM (
         SELECT c.vec_id AS query_id, c.v AS qv, c.fcell,
@@ -1463,14 +1539,7 @@ object ScaleOps {
             ORDER BY ${ivfSqDist("c.v", "c.fc", dim)}, c.fcell) AS rn
         FROM cand c
         WHERE c.vec_id < 5)
-      WHERE rn <= $nprobe)""")
-    def sumFold(term: String): String =
-      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), i -> $term)), (acc, x) -> acc + x)"
-    val dot = sumFold("qv[CAST(i AS INT)] * cv[CAST(i AS INT)]")
-    val nq = sumFold("qv[CAST(i AS INT)] * qv[CAST(i AS INT)]")
-    val nc = sumFold("cv[CAST(i AS INT)] * cv[CAST(i AS INT)]")
-    s"""
-    WITH ${sb.toString},
+      WHERE rn <= $nprobe),
     scored AS (
       SELECT p.query_id, iv.vec_id AS neighbor_id, p.qv AS qv, iv.v AS cv
       FROM qprobes p JOIN inverted2 iv ON iv.cell = p.cell AND iv.vec_id <> p.query_id),
@@ -1569,6 +1638,7 @@ object ScaleOps {
     "emb_recall_curve" -> embRecallCurveSql,
     "emb_ood_score" -> embOodScoreSql,
     "emb_cell_dedup" -> embCellDedupSql,
+    "emb_cell_dedup_two_level" -> embCellDedupTwoLevelSql,
     "emb_cell_recall" -> embCellRecallSql,
     "emb_ann_lsh" -> embAnnLshSql,
     "doc_fingerprint" -> docFingerprintSql,
