@@ -144,6 +144,48 @@ class KernelPropSpec extends AnyFunSuite {
     })
   }
 
+  test("packed nearest cell == reference-object kernel under any group split, incl. shuffled order and duplicate centroids") {
+    // the two-level packed kernel receives the SAME centroids as the
+    // one-level kernel, but concatenated in probe-group order (not
+    // id-ascending) — its (dist, lowest-id) tie rule must make the
+    // result permutation-invariant and equal to the one-level argmin
+    val centsGen = Gen.chooseNum(1, 8).flatMap(k =>
+      Gen.listOfN(k, Gen.listOfN(4, Gen.chooseNum(-10.0, 10.0))))
+    check(Prop.forAll(Gen.listOfN(4, Gen.chooseNum(-10.0, 10.0)), centsGen,
+        Gen.long) { (v, cents0, seed) =>
+      // duplicate one centroid under a HIGHER id to force distance ties
+      val cents = if (cents0.size > 1) cents0 :+ cents0.head else cents0
+      val cs = cents.map(_.toArray).toArray
+      val ids = Array.tabulate(cs.length)(identity)
+      val oneLevel = AnnKernels.nearestCell(arr(v), cs, ids)
+      val perm = new scala.util.Random(seed).shuffle(ids.toList)
+      val packedCents = new GenericArrayData(perm.map(i => arr(cs(i).toSeq)).toArray[Any])
+      val packedIds = new GenericArrayData(perm.toArray)
+      val packed = AnnKernels.nearestCellPacked(arr(v), packedCents, packedIds)
+      packed == oneLevel
+    })
+  }
+
+  test("packed nearest cellS: ordered by (dist, lowest id), permutation-invariant, bounded by group size") {
+    val centsGen = Gen.chooseNum(1, 8).flatMap(k =>
+      Gen.listOfN(k, Gen.listOfN(4, Gen.chooseNum(-10.0, 10.0))))
+    check(Prop.forAll(Gen.listOfN(4, Gen.chooseNum(-10.0, 10.0)), centsGen,
+        Gen.chooseNum(1, 10), Gen.long) { (v, cents, nprobe, seed) =>
+      val cs = cents.map(_.toArray).toArray
+      val ids = Array.tabulate(cs.length)(identity)
+      def get(perm: List[Int]): Seq[Int] = {
+        val pc = new GenericArrayData(perm.map(i => arr(cs(i).toSeq)).toArray[Any])
+        val pi = new GenericArrayData(perm.toArray)
+        val out = AnnKernels.nearestCellsPacked(arr(v), pc, pi, nprobe)
+        (0 until out.numElements()).map(out.getInt)
+      }
+      val asc = get(ids.toList)
+      val shuffled = get(new scala.util.Random(seed).shuffle(ids.toList))
+      asc == shuffled && asc.size == math.min(nprobe, cs.length) &&
+        asc.headOption.forall(_ == AnnKernels.nearestCell(arr(v), cs, ids))
+    })
+  }
+
   test("int8 stats agree with recon: mae is the mean abs error, codes clamp") {
     check(Prop.forAll(vecGen) { v =>
       val stats = AnnKernels.int8QuantStats(arr(v)).toDoubleArray()
