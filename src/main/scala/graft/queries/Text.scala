@@ -750,8 +750,14 @@ object Text {
   // on the 60-bit gram hash (never on gram text), one hash-aggregate
   // per train doc. Gram hashing is md5-prefix based so DuckDB replays
   // it bit-exactly; the split rule is doc_hash_split's.
-  private val docContamination: Q = (s, d) => {
-    val grams = splitDf(documents(s, d))
+  /** The contamination gram stage — (doc_id, split, gram) with one
+    * row per distinct word-8-gram per document. Public so
+    * tools/CostProbe measures the EXECUTED stage (gram volumes, join
+    * input sizes), not a re-implementation; shared by
+    * doc_contamination and doc_bloom_prefilter.
+    */
+  def contaminationGrams(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    splitDf(docs)
       .withColumn("words", split(trim(col("text")), "\\s+"))
       // guard: <8 words → no 8-grams (two-arg sequence would step backward)
       .where(size(col("words")) >= 8)
@@ -759,6 +765,9 @@ object Text {
         "array_distinct(transform(sequence(0, size(words)-8), " +
           "i -> cast(conv(substring(md5(array_join(slice(words, i+1, 8), ' ')), 1, 15), 16, 10) AS BIGINT)))"))
         .as("gram"))
+
+  private val docContamination: Q = (s, d) => {
+    val grams = contaminationGrams(documents(s, d))
     val testGrams = grams.where(col("split") === "test")
       .select(col("gram")).distinct().withColumn("hit", lit(1))
     grams.where(col("split") === "train")
@@ -806,13 +815,7 @@ object Text {
   // (and BloomSpec asserts row-level equality of the two plans).
   private val docBloomPrefilter: Q = (s, d) => {
     import graft.functions.expressions.GraftFunctions
-    val grams = splitDf(documents(s, d))
-      .withColumn("words", split(trim(col("text")), "\\s+"))
-      .where(size(col("words")) >= 8)
-      .select(col("doc_id"), col("split"), explode(expr(
-        "array_distinct(transform(sequence(0, size(words)-8), " +
-          "i -> cast(conv(substring(md5(array_join(slice(words, i+1, 8), ' ')), 1, 15), 16, 10) AS BIGINT)))"))
-        .as("gram"))
+    val grams = contaminationGrams(documents(s, d))
     val testGrams = grams.where(col("split") === "test").select(col("gram")).distinct()
     // the built filter is a bounded ~1 MB byte array — materialize it
     // once and inline it as a constant (might_contain requires a
