@@ -51,15 +51,10 @@ object CostProbe {
     }
 
     // ------------------------------------------------ doc_contamination
-    // same gram expression as Text.docContamination (md5-prefix 60-bit
-    // hash over word 8-grams, distinct per doc)
-    val grams = graft.queries.Text.splitDf(Tables.documents(spark, sfDir))
-      .withColumn("words", split(trim(col("text")), "\\s+"))
-      .where(size(col("words")) >= 8)
-      .select(col("doc_id"), col("split"), explode(expr(
-        "array_distinct(transform(sequence(0, size(words)-8), " +
-          "i -> cast(conv(substring(md5(array_join(slice(words, i+1, 8), ' ')), 1, 15), 16, 10) AS BIGINT)))"))
-        .as("gram"))
+    // the PRODUCTION gram stage (Text.contaminationGrams — shared with
+    // doc_contamination and doc_bloom_prefilter), so the counts below
+    // describe the executed plan, not a re-implementation
+    val grams = graft.queries.Text.contaminationGrams(Tables.documents(spark, sfDir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bySplit = timed("contamination: gram explode")(
       grams.groupBy(col("split"))
