@@ -332,6 +332,52 @@ object Streaming {
         OutputMode.Append())
       .orderBy(col("a_id"), col("b_id"))
 
+  // Streaming SemDeDup: the minhash stream's semantic sibling —
+  // vectors assigned to offline-calibrated IVF cells scan-side, int8
+  // CODES (not vectors) resident per cell, reconstructed-cosine pairs
+  // emitted at ingest (DedupStream.cellDedupStream scaladoc for the
+  // state-size and determinism arguments).
+  private val stCellDedup: Q = (s, d) => {
+    import graft.operators.AnnIvf
+    import org.apache.spark.sql.types.ArrayType
+    val corpus = graft.Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same index shape as every batch IVF consumer (adaptiveCells)
+    val (ids, cents) = AnnIvf.collectCentroids(
+      AnnIvf.refinedCentroids(corpus,
+        cells = AnnIvf.adaptiveCells(corpus.count()), dim = 64))
+    val feed = QanStream.embeddingsStream(s, d)
+      .select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .select(
+        graft.functions.expressions.GraftFunctions
+          .nearestCell(col("v"), cents, ids).as("cell"),
+        col("vec_id"), col("v"))
+    QanStream.runToMemory(
+        graft.streaming.DedupStream.cellDedupStream(feed).toDF(),
+        OutputMode.Append())
+      .select(col("a_id"), col("b_id"), round(col("cos_sim"), 4).as("cos_sim"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private lazy val stCellDedupSql: String = s"""
+    WITH ${graft.queries.ScaleOps.ivfCtes(16, 64)},
+    sc AS (
+      SELECT vec_id, cell, v,
+        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM inverted),
+    r AS (
+      SELECT vec_id, cell,
+        list_transform(v, x -> ${graft.queries.Vectors.codeSql("x", "scale")} * scale) AS rv
+      FROM sc)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      ROUND(list_cosine_similarity(a.rv, b.rv), 4) AS cos_sim
+    FROM r a JOIN r b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.rv, b.rv) >= 0.4
+    ORDER BY a_id, b_id"""
+
   private val stMinhashSql: String = s"""
     WITH ${ScaleOps.minhashSigCtes}
     SELECT c.a_id, c.b_id,
@@ -478,6 +524,7 @@ object Streaming {
     "st_interval_join_outer" -> stIntervalJoinOuter,
     "st_funnel_stream" -> stFunnel,
     "st_minhash_stream" -> stMinhash,
+    "st_cell_dedup" -> stCellDedup,
     "st_ood_filter" -> stOodFilter,
     "st_exact_dedup_stream" -> stExactDedup,
     "st_multi_counter_stream" -> stMultiCounter,
@@ -496,6 +543,7 @@ object Streaming {
   val oracles: Map[String, String] = Map(
     "st_funnel_stream" -> Timeseries.oracles("qan_funnel"),
     "st_minhash_stream" -> stMinhashSql,
+    "st_cell_dedup" -> stCellDedupSql,
     "st_ood_filter" -> stOodFilterSql,
     "st_exact_dedup_stream" -> Text.oracles("doc_exact_dedup"),
     "st_multi_counter_stream" -> Qan.oracles("qan_multi_counter_delta"),

@@ -119,7 +119,7 @@ object Vectors {
   // the quantization rule, shared by both quantize oracles: clamped
   // round-half-up-toward-+inf code — floor(x/s + 0.5), NOT round()
   // (whose half rule differs between engines)
-  private def codeSql(x: String, s: String): String =
+  private[queries] def codeSql(x: String, s: String): String =
     s"CASE WHEN $s = 0 THEN 0.0 ELSE GREATEST(-127.0, LEAST(127.0, floor($x / $s + 0.5))) END"
 
   private val embInt8QuantizeSql = s"""

@@ -102,4 +102,107 @@ object DedupStream {
   def minhashDedupStream(docs: DataFrame): DataFrame =
     minhashPairStream(docs).toDF()
       .dropDuplicates("a_id", "b_id")
+
+  // ------------------------------------------------ semantic (cell) dedup
+
+  case class CellRow(cell: Int, vec_id: Long, v: Seq[Double])
+  case class CellPair(a_id: Long, b_id: Long, cos_sim: Double)
+  case class CellResident(id: Long, codes: Array[Byte], scale: Double)
+  case class CellState(members: List[CellResident])
+
+  /** Symmetric int8 quantization of an arriving vector — the SAME
+    * rule as the Int8QuantStats/Int8Recon kernels (scale = max|x|/127,
+    * code = floor(x/scale + 0.5) clamped to ±127), mirrored here
+    * because the stream keeps CODES in state, not vectors.
+    */
+  private def quantize(v: Seq[Double]): (Array[Byte], Double) = {
+    val n = v.length
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) { val x = math.abs(v(i)); if (x > maxAbs) maxAbs = x; i += 1 }
+    val scale = maxAbs / 127.0
+    val codes = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      val c =
+        if (scale == 0.0) 0.0
+        else {
+          val r = math.floor(v(i) / scale + 0.5)
+          if (r > 127.0) 127.0 else if (r < -127.0) -127.0 else r
+        }
+      codes(i) = c.toByte
+      i += 1
+    }
+    (codes, scale)
+  }
+
+  /** Cosine over the RECONSTRUCTED vectors (code·scale) — the same
+    * index-order fold as the compiled CosineSimilarity kernel, so the
+    * decision value is bit-identical to the oracle's
+    * `list_cosine_similarity(recon_a, recon_b)` replay.
+    */
+  private def reconCos(a: CellResident, b: CellResident): Double = {
+    val n = math.min(a.codes.length, b.codes.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = a.codes(i) * a.scale; val yv = b.codes(i) * b.scale
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  /** Streaming SEMANTIC near-duplicate detection — the SemDeDup
+    * companion to [[minhashPairStream]]: vectors arrive tagged with
+    * their IVF cell (assigned scan-side against offline-calibrated
+    * centroids — the calibrate-offline/apply-online discipline of the
+    * OOD filter), and each is compared against everything already
+    * resident in its cell; (older, newer) pairs whose reconstructed
+    * cosine clears the threshold are emitted.
+    *
+    * The residency decision is made from INT8 CODES only: per-cell
+    * state holds (id, 64 codes, scale) ≈ 80 bytes per resident vector
+    * — ~10× less than the raw doubles, the minhash stream's
+    * signatures-only argument applied to vectors. Reconstruction
+    * (code·scale) is deterministic and engine-replayable (the
+    * emb_int8_quantize oracle already proves the rule), so the
+    * decision values hash-match a batch DuckDB replay exactly.
+    *
+    * Same determinism contract as the minhash stream: in-batch
+    * arrivals are processed in vec_id order, pairs are normalized
+    * (smaller id first), so the emitted SET equals the batch
+    * same-cell pair set under ANY batching of the feed.
+    *
+    * Scale shape: state is partitioned by cell (the same partition
+    * the batch SemDeDup buckets by); per-cell membership is the
+    * occupancy adaptiveCells bounds. At 100 TB the cap would mirror
+    * the LSH occupancy cap — drop-and-count past a per-cell bound.
+    */
+  def cellDedupStream(vecs: DataFrame, tau: Double = 0.4): Dataset[CellPair] = {
+    import vecs.sparkSession.implicits._
+    vecs.as[CellRow]
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState[CellState, CellPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[CellState]) =>
+          val arrivals = it.toSeq.sortBy(_.vec_id)
+          var members = state.getOption.map(_.members).getOrElse(Nil)
+          val out = Seq.newBuilder[CellPair]
+          arrivals.foreach { r =>
+            val (codes, scale) = quantize(r.v)
+            val res = CellResident(r.vec_id, codes, scale)
+            members.foreach { m =>
+              if (m.id != res.id) {
+                val c = reconCos(m, res)
+                if (c >= tau)
+                  out += CellPair(math.min(m.id, res.id), math.max(m.id, res.id), c)
+              }
+            }
+            members = res :: members
+          }
+          state.update(CellState(members))
+          out.result().iterator
+      }
+  }
 }

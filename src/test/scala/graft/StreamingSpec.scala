@@ -69,6 +69,39 @@ class StreamingSpec extends SparkSpec {
     } finally out.query.stop()
   }
 
+  test("cell-dedup stream: emitted pair set is batching-invariant (cross-batch = resident vs arrival)") {
+    import spark.implicits._
+    import graft.streaming.{DedupStream, QanStream}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two cells; vectors within a cell engineered to clear tau=0.4
+    // against each other, cross-cell never compared
+    def vec(cell: Int, jitter: Double): Seq[Double] =
+      Seq.tabulate(8)(i => (if (i % 2 == cell) 1.0 else 0.1) + jitter * (i + 1) / 100.0)
+    val rows = Seq( // (cell, vec_id, v)
+      (0, 1L, vec(0, 0.0)), (0, 3L, vec(0, 0.5)), (0, 5L, vec(0, 1.0)),
+      (1, 2L, vec(1, 0.0)), (1, 4L, vec(1, 0.5)))
+    def run(batches: Seq[Seq[(Int, Long, Seq[Double])]]): Set[(Long, Long)] = {
+      val ms = MemoryStream[(Int, Long, Seq[Double])]
+      val feed = ms.toDF().toDF("cell", "vec_id", "v")
+      val out = QanStream.runToMemoryQuery(
+        DedupStream.cellDedupStream(feed).toDF(), OutputMode.Append())
+      try {
+        batches.foreach { b => ms.addData(b: _*); out.query.processAllAvailable() }
+        spark.table(out.name).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally out.query.stop()
+    }
+    val oneBatch = run(Seq(rows))
+    val perRow = run(rows.map(Seq(_)))
+    val split = run(Seq(rows.take(2), rows.drop(2)))
+    assert(oneBatch.nonEmpty, "no pairs emitted — test vectors too dissimilar")
+    assert(perRow == oneBatch, s"per-row batching diverged: $perRow vs $oneBatch")
+    assert(split == oneBatch, s"2-batch split diverged: $split vs $oneBatch")
+    // pairs never cross cells and are (smaller, larger)-normalized
+    assert(oneBatch.forall { case (a, b) => a < b && (a % 2) == (b % 2) })
+  }
+
   test("stream-stream interval join matches across micro-batches and evicts old state") {
     import spark.implicits._
     import graft.streaming.QanStream
