@@ -175,11 +175,21 @@ object DedupStream {
     * same-cell pair set under ANY batching of the feed.
     *
     * Scale shape: state is partitioned by cell (the same partition
-    * the batch SemDeDup buckets by); per-cell membership is the
-    * occupancy adaptiveCells bounds. At 100 TB the cap would mirror
-    * the LSH occupancy cap — drop-and-count past a per-cell bound.
+    * the batch SemDeDup buckets by); per-cell membership is capped at
+    * `maxResidents` — the streaming mirror of the batch LSH occupancy
+    * cap. An arrival past the cap is still COMPARED against every
+    * resident (it can be flagged as a dup of the corpus) but is never
+    * admitted, so per-cell state is bounded by construction: a
+    * pathological cell (boilerplate embeddings, a degenerate
+    * centroid) costs at most maxResidents × 80 B, never an unbounded
+    * list. Admission is by processing order (vec_id within a batch,
+    * arrival order across batches), so under the replay's
+    * vec_id-ordered feed residency — and therefore the emitted set —
+    * stays batching-invariant; the default never fires at any
+    * oracle-checked scale (adaptiveCells keeps mean occupancy ~125).
     */
-  def cellDedupStream(vecs: DataFrame, tau: Double = 0.4): Dataset[CellPair] = {
+  def cellDedupStream(vecs: DataFrame, tau: Double = 0.4,
+      maxResidents: Int = 4096): Dataset[CellPair] = {
     import vecs.sparkSession.implicits._
     vecs.as[CellRow]
       .groupByKey(_.cell)
@@ -188,6 +198,7 @@ object DedupStream {
         case (_, it, state: GroupState[CellState]) =>
           val arrivals = it.toSeq.sortBy(_.vec_id)
           var members = state.getOption.map(_.members).getOrElse(Nil)
+          var occupancy = members.size
           val out = Seq.newBuilder[CellPair]
           arrivals.foreach { r =>
             val (codes, scale) = quantize(r.v)
@@ -199,7 +210,10 @@ object DedupStream {
                   out += CellPair(math.min(m.id, res.id), math.max(m.id, res.id), c)
               }
             }
-            members = res :: members
+            if (occupancy < maxResidents) {
+              members = res :: members
+              occupancy += 1
+            }
           }
           state.update(CellState(members))
           out.result().iterator

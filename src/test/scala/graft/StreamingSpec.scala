@@ -102,6 +102,36 @@ class StreamingSpec extends SparkSpec {
     assert(oneBatch.forall { case (a, b) => a < b && (a % 2) == (b % 2) })
   }
 
+  test("cell-dedup stream: occupancy cap bounds residency, capped arrivals still flagged against residents") {
+    import spark.implicits._
+    import graft.streaming.{DedupStream, QanStream}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // four near-identical vectors in one cell; cap = 2 residents
+    val rows = (1L to 4L).map(id =>
+      (0, id, Seq.tabulate(8)(i => 1.0 + id * (i + 1) / 1000.0)))
+    def run(batches: Seq[Seq[(Int, Long, Seq[Double])]]): Set[(Long, Long)] = {
+      val ms = MemoryStream[(Int, Long, Seq[Double])]
+      val feed = ms.toDF().toDF("cell", "vec_id", "v")
+      val out = QanStream.runToMemoryQuery(
+        DedupStream.cellDedupStream(feed, maxResidents = 2).toDF(),
+        OutputMode.Append())
+      try {
+        batches.foreach { b => ms.addData(b: _*); out.query.processAllAvailable() }
+        spark.table(out.name).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally out.query.stop()
+    }
+    // residents = first 2 by vec_id; 3 and 4 are compared against
+    // {1, 2} but never against each other (neither was admitted)
+    val expected = Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+    val oneBatch = run(Seq(rows))
+    assert(oneBatch == expected, s"capped pair set wrong: $oneBatch")
+    // cap decisions are batching-invariant under the vec_id-ordered feed
+    assert(run(rows.map(Seq(_))) == expected)
+    assert(run(Seq(rows.take(3), rows.drop(3))) == expected)
+  }
+
   test("stream-stream interval join matches across micro-batches and evicts old state") {
     import spark.implicits._
     import graft.streaming.QanStream
