@@ -664,6 +664,9 @@ object AnnKernels {
   def nearestCellsPacked(v: ArrayData, cents: ArrayData, ids: ArrayData,
       nprobe: Int): ArrayData = {
     val m = cents.numElements()
+    // mirror nearestCellPacked: an empty group would leave best = -1
+    // and surface as an opaque ArrayIndexOutOfBounds inside codegen
+    require(m > 0, "nearestCellsPacked: empty centroid group")
     val dists = new Array[Double](m)
     var j = 0
     while (j < m) { dists(j) = sqDistPacked(v, cents.getArray(j)); j += 1 }

@@ -202,6 +202,8 @@ object AnnIvf {
     * broadcast-join table). `groups` columns: coarse, gcents
     * array<array<double>>, gids array<int> — both ascending by fine
     * cell id so the packed argmin's tie rule matches ROW_NUMBER's.
+    * `coarseIds`/`coarseCents` hold ONLY coarse cells that own ≥ 1
+    * fine member under the final assignment (see [[twoLevelIndex]]).
     */
   final case class TwoLevelIndex(coarseIds: Array[Int],
       coarseCents: Array[Array[Double]], groups: DataFrame)
@@ -218,10 +220,15 @@ object AnnIvf {
   def coarseK(cells: Int): Int = math.max(1, math.ceil(math.sqrt(cells.toDouble)).toInt)
 
   def twoLevelIndex(corpus: DataFrame, cells: Int, dim: Int,
-      sampleRate: Long = -1L): TwoLevelIndex = {
+      sampleRate: Long = -1L, knownCount: Long = -1L): TwoLevelIndex = {
     // -1 = auto: capped sample rate (see sampleRateFor) — resolves to
-    // DefaultSampleRate at every oracle-checked scale
-    val rate = if (sampleRate > 0) sampleRate else sampleRateFor(corpus.count())
+    // DefaultSampleRate at every oracle-checked scale. Every call site
+    // has already counted the corpus for adaptiveCells — pass it as
+    // knownCount so index sizing costs ONE corpus scan, not two (at
+    // 100 TB the second count is a wasted full pass).
+    val rate =
+      if (sampleRate > 0) sampleRate
+      else sampleRateFor(if (knownCount >= 0) knownCount else corpus.count())
     val train = corpus.where(trainingSample(col("id"), rate))
     val (fineIds, fineCents) = collectCentroids(refinedCentroids(train, cells, dim))
     // the fine-centroid table as a (tiny, local) corpus for the coarse
@@ -240,7 +247,20 @@ object AnnIvf {
       .select(col("coarse"),
         expr("transform(m, x -> x.v)").as("gcents"),
         expr("transform(m, x -> x.id)").as("gids"))
-    TwoLevelIndex(cIds, cCents, groups)
+    // A coarse cell can end up EMPTY under this final fine→coarse
+    // assignment: cIds lists cells with members under the PREVIOUS
+    // Lloyd round's assignment, and recomputed means can strand one.
+    // A probe targeting an empty cell finds no neighborhood, and the
+    // probe-0 inner join in invertedFileTwoLevel would then silently
+    // drop the vector while the oracle resolves it via its other
+    // probes. Restrict the probe table to cells that own ≥ 1 fine
+    // member (the oracle's ivf2Ctes applies the identical restriction
+    // via coarsep), so every probe always resolves — no data loss, no
+    // divergence. fineDf is a driver-local relation, so this collect
+    // touches ≤ coarseK rows, never the corpus.
+    val present = groups.select(col("coarse")).collect().map(_.getInt(0)).toSet
+    val keep = cIds.indices.filter(i => present.contains(cIds(i))).toArray
+    TwoLevelIndex(keep.map(cIds), keep.map(cCents), groups)
   }
 
   /** The two-level inverted file: coarse probe (projection against the
@@ -260,8 +280,10 @@ object AnnIvf {
     for (p <- 0 until wProbe) {
       val g = idx.groups.select(col("coarse").as(s"__c$p"),
         col("gcents").as(s"__gc$p"), col("gids").as(s"__gi$p"))
-      // probe 1 always resolves (coarse ids come from the index);
-      // later probes may not exist when fewer coarse cells survive
+      // probe 1 always resolves: the index's coarse table is
+      // restricted to cells with ≥ 1 fine member (twoLevelIndex), so
+      // every probed cell exists in `groups`; later probes may still
+      // not exist when fewer coarse cells survive than wProbe
       out = out.join(broadcast(g),
         expr(s"try_element_at(__probes, ${p + 1})") === col(s"__c$p"),
         if (p == 0) "inner" else "left")
@@ -281,8 +303,8 @@ object AnnIvf {
     */
   def topKTwoLevel(vecs: DataFrame, queries: DataFrame, k: Int, cells: Int,
       dim: Int, nprobe: Int = 2, wProbe: Int = 2,
-      sampleRate: Long = -1L): DataFrame = {
-    val idx = twoLevelIndex(vecs, cells, dim, sampleRate)
+      sampleRate: Long = -1L, knownCount: Long = -1L): DataFrame = {
+    val idx = twoLevelIndex(vecs, cells, dim, sampleRate, knownCount)
     val inverted = invertedFileTwoLevel(vecs, idx, wProbe)
     val emptyC = expr("CAST(array() AS ARRAY<ARRAY<DOUBLE>>)")
     val emptyI = expr("CAST(array() AS ARRAY<INT>)")

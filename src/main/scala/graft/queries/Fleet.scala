@@ -606,20 +606,23 @@ object Fleet {
       .agg(count(lit(1)).as("calls"),
         sum(col("value").cast(DecimalType(18, 6))).as("v"))
       .createOrReplaceTempView(view)
-    val out = s.sql(s"""
-      WITH RECURSIVE anc(node, a) AS (
-        SELECT user_id, user_id FROM $view
-        UNION ALL
-        SELECT node, a DIV 10 FROM anc WHERE a > 0)
-      SELECT a.a AS ancestor,
-        COUNT(*) AS n_instances,
-        CAST(SUM(p.calls) AS BIGINT) AS subtree_calls,
-        CAST(SUM(p.v) AS DOUBLE) AS subtree_value
-      FROM anc a JOIN $view p ON p.user_id = a.node
-      GROUP BY a.a
-      ORDER BY ancestor""")
-    s.catalog.dropTempView(view)
-    out
+    // drop in finally: if sql() throws (analysis error), the UUID view
+    // must not leak into the catalog — the exact leak the per-invocation
+    // name exists to close
+    try {
+      s.sql(s"""
+        WITH RECURSIVE anc(node, a) AS (
+          SELECT user_id, user_id FROM $view
+          UNION ALL
+          SELECT node, a DIV 10 FROM anc WHERE a > 0)
+        SELECT a.a AS ancestor,
+          COUNT(*) AS n_instances,
+          CAST(SUM(p.calls) AS BIGINT) AS subtree_calls,
+          CAST(SUM(p.v) AS DOUBLE) AS subtree_value
+        FROM anc a JOIN $view p ON p.user_id = a.node
+        GROUP BY a.a
+        ORDER BY ancestor""")
+    } finally s.catalog.dropTempView(view)
   }
 
   private val qanTreeRollupSql = """

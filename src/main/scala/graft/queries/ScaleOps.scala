@@ -395,9 +395,12 @@ object ScaleOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // count ONCE: adaptiveCells and the training-sample cap share the
+    // same sizing count (a second count() is a wasted corpus pass)
+    val n = corpus.count()
     AnnIvf.topKTwoLevel(corpus, queries, k = 10,
-        cells = AnnIvf.adaptiveCells(corpus.count()), dim = 64,
-        nprobe = 2, wProbe = 2)
+        cells = AnnIvf.adaptiveCells(n), dim = 64,
+        nprobe = 2, wProbe = 2, knownCount = n)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -517,8 +520,10 @@ object ScaleOps {
     val e = embeddings(s, d).withColumn("v", col("embedding").cast(ArrayType(DoubleType)))
     val corpus = e.select(col("vec_id").as("id"), col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // count ONCE: adaptiveCells and the training-sample cap share it
+    val n = corpus.count()
     val idx = AnnIvf.twoLevelIndex(corpus,
-      cells = AnnIvf.adaptiveCells(corpus.count()), dim = 64)
+      cells = AnnIvf.adaptiveCells(n), dim = 64, knownCount = n)
     val inverted = AnnIvf.invertedFileTwoLevel(corpus, idx, wProbe = 2)
     val a = inverted.select(col("cell"), col("id").as("a_id"), col("v").as("av"))
     val b = inverted.select(col("cell"), col("id").as("b_id"), col("v").as("bv"))
@@ -1501,12 +1506,20 @@ object ScaleOps {
             ORDER BY ${ivfSqDist("f.fv", "c.c", dim)}, c.cell) AS rn
         FROM fines f CROSS JOIN coarsef c)
       WHERE rn = 1),
+    coarsep AS (
+      -- only coarse cells that own >= 1 fine member under the FINAL
+      -- assignment (f2c): a probe targeting an empty coarse cell has
+      -- no neighborhood and would silently drop the vector on the
+      -- engine side — both engines rank probes over this restricted
+      -- table (AnnIvf.twoLevelIndex applies the identical filter)
+      SELECT cell, c FROM coarsef
+      WHERE cell IN (SELECT coarse FROM f2c)),
     probes AS (
       SELECT vec_id, v, cell AS coarse FROM (
         SELECT s.vec_id, s.v, c.cell,
           ROW_NUMBER() OVER (PARTITION BY s.vec_id
             ORDER BY ${ivfSqDist("s.v", "c.c", dim)}, c.cell) AS rn
-        FROM e s CROSS JOIN coarsef c)
+        FROM e s CROSS JOIN coarsep c)
       WHERE rn <= $wProbe),
     cand AS (
       SELECT p.vec_id, p.v, cf.cell AS fcell, cf.c AS fc

@@ -68,7 +68,11 @@ object CostProbe {
     val joined = timed("contamination: train x testGrams join")(
       grams.where(col("split") === "train")
         .join(testGrams.withColumn("hit", lit(1)), Seq("gram"), "left")
-        .agg(count(lit(1)).as("train_rows"), sum(col("hit")).as("matched")).head)
+        // coalesce: sum over an all-NULL hit column (clean corpus, zero
+        // contamination) is NULL, and getLong on NULL throws — the probe
+        // must print matched_rows=0, not crash, on a clean corpus
+        .agg(count(lit(1)).as("train_rows"),
+          coalesce(sum(col("hit")), lit(0L)).as("matched")).head)
     println(s"[probe] contamination: join_input_train=${joined.getLong(0)} matched_rows=${joined.getLong(1)}")
     grams.unpersist(blocking = true)
 
