@@ -59,6 +59,91 @@ object AnnIvf {
     // fixed-16 pathology this function exists to prevent
     math.max(16L, math.min(n / targetOccupancy, Int.MaxValue.toLong)).toInt
 
+  // ------------------------------------------------- regime handover
+  // The one-level path collects every fine centroid to the driver as a
+  // codegen constant and argmins O(cells) per row; with adaptiveCells
+  // that holds to ~10⁷ vectors (≈10⁵ cells ≈ 50 MB of constants) and
+  // then it does NOT (the 100× point measured the one-level emb_cell
+  // family at ~90–114× wall-clock for 100× data). Past the ceiling
+  // the two-level index (capped-sample training, √cells coarse
+  // constants, broadcast fine neighborhoods) is the only scale-safe
+  // choice. Encoding the cutover HERE — rather than in per-query
+  // prose — means no consumer can select the superlinear path at
+  // scale by accident: emb_cell_dedup and the streaming SemDeDup
+  // calibration route through [[invertedFileAuto]], which resolves to
+  // the one-level plan at every oracle-checked scale (n ≤ ~200k ≪
+  // the ceiling), so the centroid-literal oracle replays stay valid
+  // unchanged. AnnSpec pins the cutover and bit-exact agreement of
+  // the two regimes at wProbe = all (the hard half of the handover).
+
+  /** One-level ceiling: the largest corpus whose full fine-centroid
+    * table still ships sanely as a codegen constant (~10⁵ cells at
+    * adaptiveCells' 125-occupancy rule ≈ 50 MB) with an O(cells)
+    * per-row argmin. Past it, [[regimeFor]] switches to the two-level
+    * index.
+    */
+  val OneLevelMaxVectors: Long = 10L * 1000 * 1000
+
+  sealed trait IvfRegime
+  case object OneLevel extends IvfRegime
+  case object TwoLevel extends IvfRegime
+
+  /** Which index build a corpus of `n` vectors gets. `oneLevelMax` is
+    * parameterized for specs only — production call sites use the
+    * default ceiling.
+    */
+  def regimeFor(n: Long, oneLevelMax: Long = OneLevelMaxVectors): IvfRegime =
+    if (n <= oneLevelMax) OneLevel else TwoLevel
+
+  /** The inverted file through whichever index [[regimeFor]] selects
+    * for a corpus of `n` vectors — the structural handover every IVF
+    * cell consumer (SemDeDup batch + streaming calibration) routes
+    * through. One-level: full-corpus Lloyd, centroid constants,
+    * O(cells)-per-row argmin. Two-level: capped-sample training,
+    * coarse pruning, O(√cells)-per-row (wProbe coarse neighborhoods).
+    * At wProbe = all-coarse-cells the two assignments agree bit for
+    * bit (AnnSpec); at the production wProbe the divergence is the
+    * audited boundary loss (emb_cell_recall_two_level /
+    * emb_two_level_probe_curve).
+    */
+  def invertedFileAuto(corpus: DataFrame, n: Long, dim: Int,
+      wProbe: Int = 2, oneLevelMax: Long = OneLevelMaxVectors): DataFrame = {
+    val cells = adaptiveCells(n)
+    regimeFor(n, oneLevelMax) match {
+      case OneLevel =>
+        val (ids, cents) = collectCentroids(refinedCentroids(corpus, cells, dim))
+        invertedFile(corpus, ids, cents)
+      case TwoLevel =>
+        invertedFileTwoLevel(corpus,
+          twoLevelIndex(corpus, cells, dim, knownCount = n), wProbe)
+    }
+  }
+
+  /** Scan-side cell assignment for an ARRIVING (id, v) relation scored
+    * against an index calibrated offline on `corpus` — the streaming
+    * SemDeDup's calibrate-offline/apply-online stage, regime-dispatched
+    * like [[invertedFileAuto]]. One-level: a single stateless
+    * projection against the centroid codegen constants. Two-level:
+    * coarse-constant probe + broadcast join against the fine groups +
+    * packed argmin — every stage is a stateless stream-static
+    * operation (projection or broadcast equi-join), so BOTH regimes
+    * keep the no-state-store/no-watermark/no-shuffle property the
+    * streaming path's scale argument rests on. Returns (id, v, cell).
+    */
+  def assignCellsAuto(corpus: DataFrame, n: Long, dim: Int, arriving: DataFrame,
+      wProbe: Int = 2, oneLevelMax: Long = OneLevelMaxVectors): DataFrame = {
+    val cells = adaptiveCells(n)
+    regimeFor(n, oneLevelMax) match {
+      case OneLevel =>
+        val (ids, cents) = collectCentroids(refinedCentroids(corpus, cells, dim))
+        arriving.select(col("id"), col("v"),
+          GraftFunctions.nearestCell(col("v"), cents, ids).as("cell"))
+      case TwoLevel =>
+        invertedFileTwoLevel(arriving,
+          twoLevelIndex(corpus, cells, dim, knownCount = n), wProbe)
+    }
+  }
+
   /** Deterministic seeded initial centroids (same xorshift family as
     * AnnLsh.hyperplanes, different seed) — stable across runs and
     * engines, no RNG state.
@@ -230,7 +315,19 @@ object AnnIvf {
       if (sampleRate > 0) sampleRate
       else sampleRateFor(if (knownCount >= 0) knownCount else corpus.count())
     val train = corpus.where(trainingSample(col("id"), rate))
-    val (fineIds, fineCents) = collectCentroids(refinedCentroids(train, cells, dim))
+    var (fineIds, fineCents) = collectCentroids(refinedCentroids(train, cells, dim))
+    // Empty-sample totality: a tiny corpus can hash-sample to ZERO
+    // training rows (only possible at tiny n — sampleRateFor's ppm
+    // floor makes the expected sample ≥ TrainCap-ish for any real
+    // corpus), and an index with no fine cells would silently drop
+    // every vector at the probe-0 inner join (the r9 bug class).
+    // Train on the corpus itself instead — never taken at any
+    // oracle-checked scale, so the sampled-Lloyd oracle replay stays
+    // valid where it is used.
+    if (fineIds.isEmpty) {
+      val full = collectCentroids(refinedCentroids(corpus, cells, dim))
+      fineIds = full._1; fineCents = full._2
+    }
     // the fine-centroid table as a (tiny, local) corpus for the coarse
     // quantizer — the same decimal-exact Lloyd kernels, so the oracle
     // replays coarse training with the identical assign/mean CTEs

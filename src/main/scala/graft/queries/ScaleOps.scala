@@ -492,9 +492,12 @@ object ScaleOps {
     // file all rescan the corpus — cache the projection once
     val corpus = e.select(col("vec_id").as("id"), col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (cellIds, cents) = AnnIvf.collectCentroids(
-      AnnIvf.refinedCentroids(corpus, cells = AnnIvf.adaptiveCells(corpus.count()), dim = 64))
-    val inverted = AnnIvf.invertedFile(corpus, cellIds, cents)
+    // STRUCTURAL regime handover (AnnIvf.regimeFor): past the
+    // one-level ceiling this dispatches to the two-level index — the
+    // 90×-at-100× path cannot be selected at scale by accident. At
+    // every oracle-checked scale it resolves to the one-level plan
+    // the centroid-literal replay below inlines.
+    val inverted = AnnIvf.invertedFileAuto(corpus, corpus.count(), dim = 64)
     val a = inverted.select(col("cell"), col("id").as("a_id"), col("v").as("av"))
     val b = inverted.select(col("cell"), col("id").as("b_id"), col("v").as("bv"))
     val pairs = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
@@ -655,6 +658,218 @@ object ScaleOps {
     FROM joined
     GROUP BY 1
     ORDER BY 1"""
+
+  // ---------------------------------------- emb_cell_recall_two_level
+  // The approximation audit for the PRODUCTION (two-level) SemDeDup
+  // path — emb_cell_recall's exact role, but measuring the assignment
+  // emb_cell_dedup_two_level actually uses past the one-level ceiling:
+  // sampled fine training + wProbe-2 coarse pruning add boundary loss
+  // ON TOP of the one-level cluster-boundary trade, and until this
+  // query that loss had no on-corpus oracle-verified measurement (the
+  // r9 probe-0 silent-drop bug lived exactly in this unaudited
+  // corner). Same banded-by-similarity contract: over the bounded
+  // audit range where brute force is affordable, what fraction of
+  // TRUE near-dup pairs (cosine ≥ 0.4) land in the same fine cell
+  // under the full two-level chain (capped-sample Lloyd → coarse
+  // quantizer → wProbe-pruned fine argmin, post-coarsep restriction).
+  // The index is built on the FULL corpus exactly as the dedup does;
+  // only the ground-truth side is range-capped.
+  private val embCellRecallTwoLevel: Q = (s, d) => {
+    val tau = 0.4
+    val e = embeddings(s, d).withColumn("v", col("embedding").cast(ArrayType(DoubleType)))
+    val corpus = e.select(col("vec_id").as("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sub = corpus.filter(col("id") < 500)
+    val a = sub.select(col("id").as("a_id"), col("v").as("av"))
+    val b = sub.select(col("id").as("b_id"), col("v").as("bv"))
+    val exact = a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos_sim", GraftFunctions.cosineSimilarity(col("av"), col("bv")))
+      .filter(col("cos_sim") >= tau)
+      .select(col("a_id"), col("b_id"), col("cos_sim"))
+    // count ONCE (adaptiveCells + training-sample cap share it); the
+    // index parameters are exactly emb_cell_dedup_two_level's — the
+    // audit must measure the index the dedup actually uses
+    val n = corpus.count()
+    val idx = AnnIvf.twoLevelIndex(corpus,
+      cells = AnnIvf.adaptiveCells(n), dim = 64, knownCount = n)
+    val inv = AnnIvf.invertedFileTwoLevel(corpus, idx, wProbe = 2)
+      .select(col("id"), col("cell"))
+    exact
+      .join(inv.select(col("id").as("a_id"), col("cell").as("cell_a")), Seq("a_id"))
+      .join(inv.select(col("id").as("b_id"), col("cell").as("cell_b")), Seq("b_id"))
+      // same raw-cosine band-edge ULP caveat as emb_cell_recall
+      .groupBy((floor(col("cos_sim") * 10) / 10.0).as("sim_band"))
+      .agg(count(lit(1)).as("n_exact"),
+        count(when(col("cell_a") === col("cell_b"), 1)).as("n_same_cell"))
+      .withColumn("recall",
+        round(col("n_same_cell").cast(DoubleType) / col("n_exact").cast(DoubleType), 6))
+      .orderBy(col("sim_band"))
+  }
+
+  private lazy val embCellRecallTwoLevelSql: String = s"""
+    WITH ${ivf2Ctes(16, 64, 2)},
+    sub AS (SELECT vec_id, v FROM e WHERE vec_id < 500),
+    exact AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        list_cosine_similarity(a.v, b.v) AS cos_sim
+      FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+    cells AS (SELECT vec_id, cell FROM inverted2),
+    joined AS (
+      SELECT x.cos_sim, ca.cell AS cell_a, cb.cell AS cell_b
+      FROM exact x
+      JOIN cells ca ON ca.vec_id = x.a_id
+      JOIN cells cb ON cb.vec_id = x.b_id)
+    SELECT floor(cos_sim * 10) / 10.0 AS sim_band,
+      COUNT(*) AS n_exact,
+      COUNT(CASE WHEN cell_a = cell_b THEN 1 END) AS n_same_cell,
+      ROUND(CAST(COUNT(CASE WHEN cell_a = cell_b THEN 1 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+    FROM joined
+    GROUP BY 1
+    ORDER BY 1"""
+
+  // --------------------------------------- emb_two_level_probe_curve
+  // The wProbe tuning curve — emb_recall_curve's role for the
+  // two-level index's OTHER knob: how much boundary loss does coarse
+  // pruning (wProbe nearest coarse neighborhoods) add, and what does
+  // buying it back cost in fine-centroid sweeps per vector. One pass
+  // via the probe-once trick on the wProbe axis: probe once at
+  // maxW (= coarseK at every oracle-checked scale, so the last point
+  // re-creates the flattened one-level argmin over the sampled-trained
+  // fine table), tag each fine candidate with its coarse probe rank,
+  // explode sequence(rank, maxW) — the wProbe-w assignment is the
+  // argmin over candidates from probes 1..w, never re-probed.
+  //
+  // 100 TB shape: STRICTLY bounded, unlike emb_cell_recall's
+  // full-corpus O(n·cells) assignment — both the recall join and the
+  // scan statistics run on the capped audit range only (per-vector
+  // cost is i.i.d. across the corpus, so subset rates estimate
+  // corpus-wide cost unbiasedly); audit work is O(subset·√cells·maxW)
+  // at any corpus size. scan_frac = fine sweeps / (subset·cells) —
+  // the fraction of the one-level O(cells)-per-row assignment work.
+  private val embTwoLevelProbeCurve: Q = (s, d) => {
+    val tau = 0.4
+    val maxW = 4 // = coarseK(16) at every oracle-checked scale
+    val e = embeddings(s, d).withColumn("v", col("embedding").cast(ArrayType(DoubleType)))
+    val corpus = e.select(col("vec_id").as("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = corpus.count()
+    val cells = AnnIvf.adaptiveCells(n)
+    val idx = AnnIvf.twoLevelIndex(corpus, cells = cells, dim = 64, knownCount = n)
+    val sub = corpus.filter(col("id") < 500)
+    val nAudit = sub.count()
+    // fine candidates of the wProbe nearest coarse neighborhoods, with
+    // the probe rank that admits them; the squared distance is the
+    // same left fold as the packed kernels / the oracle's list_reduce
+    val cand = sub
+      .select(col("id"), col("v"),
+        posexplode(GraftFunctions.nearestCells(col("v"), idx.coarseCents, idx.coarseIds, maxW))
+          .as(Seq("pr", "coarse")))
+      .join(broadcast(idx.groups), Seq("coarse"))
+      .select(col("id"), col("v"), col("pr"),
+        explode(arrays_zip(col("gids"), col("gcents"))).as("z"))
+      .select(col("id"), col("v"), col("pr"),
+        col("z.gids").as("fcell"), col("z.gcents").as("fc"))
+      .withColumn("dist",
+        expr("aggregate(zip_with(v, fc, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, t) -> acc + t)"))
+      .withColumn("w", explode(expr(s"sequence(pr + 1, $maxW)")))
+      .select(col("id"), col("w"), col("fcell"), col("dist"))
+      // two consumers (assignment argmin + scan counts) of the same
+      // probe-join subtree
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-(vector, w) assignment: argmin under the (dist, cell) total
+    // order — min_by on the struct matches ROW_NUMBER (dist, fcell)
+    val cellw = cand.groupBy(col("id"), col("w"))
+      .agg(min_by(col("fcell"), struct(col("dist"), col("fcell"))).as("cell"))
+    val scanned = cand.groupBy(col("w")).agg(count(lit(1)).as("n_scanned"))
+    val a = sub.select(col("id").as("a_id"), col("v").as("av"))
+    val b = sub.select(col("id").as("b_id"), col("v").as("bv"))
+    val exact = a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos_sim", GraftFunctions.cosineSimilarity(col("av"), col("bv")))
+      .filter(col("cos_sim") >= tau)
+      .select(col("a_id"), col("b_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nExact = exact.count()
+    val same = exact
+      .join(cellw.select(col("id").as("a_id"), col("w"), col("cell").as("cell_a")), Seq("a_id"))
+      .join(cellw.select(col("id").as("b_id"), col("w"), col("cell").as("cell_b")), Seq("b_id", "w"))
+      .groupBy(col("w"))
+      .agg(count(when(col("cell_a") === col("cell_b"), 1)).as("n_same_cell"))
+    // driver-side literal denominators → plain branches for the
+    // empty-corpus guards (EmptyInputSpec totality)
+    val recall =
+      if (nExact == 0L) lit(0.0)
+      else round(coalesce(col("n_same_cell"), lit(0L)).cast(DoubleType)
+        / lit(nExact).cast(DoubleType), 6)
+    val scanFrac =
+      if (nAudit == 0L) lit(0.0)
+      else round(coalesce(col("n_scanned"), lit(0L)).cast(DoubleType)
+        / lit(nAudit * cells).cast(DoubleType), 6)
+    s.range(1, maxW + 1).select(col("id").cast("int").as("w_probe"))
+      .join(same.withColumnRenamed("w", "w_probe"), Seq("w_probe"), "left")
+      .join(scanned.withColumnRenamed("w", "w_probe"), Seq("w_probe"), "left")
+      .select(col("w_probe"), lit(nExact).as("n_exact"),
+        coalesce(col("n_same_cell"), lit(0L)).as("n_same_cell"),
+        recall.as("recall"),
+        coalesce(col("n_scanned"), lit(0L)).as("n_scanned"),
+        scanFrac.as("scan_frac"))
+      .orderBy(col("w_probe"))
+  }
+
+  private lazy val embTwoLevelProbeCurveSql: String = s"""
+    WITH ${ivf2Ctes(16, 64, 2)},
+    suba AS (SELECT vec_id, v FROM e WHERE vec_id < 500),
+    probesr AS (
+      SELECT vec_id, v, cell AS coarse, rn AS pr FROM (
+        SELECT s.vec_id, s.v, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id
+            ORDER BY ${ivfSqDist("s.v", "c.c", 64)}, c.cell) AS rn
+        FROM suba s CROSS JOIN coarsep c)
+      WHERE rn <= 4),
+    candr AS (
+      SELECT p.vec_id, p.pr, cf.cell AS fcell,
+        ${ivfSqDist("p.v", "cf.c", 64)} AS dist
+      FROM probesr p
+      JOIN f2c ON f2c.coarse = p.coarse
+      JOIN centf cf ON cf.cell = f2c.fid),
+    wcand AS (
+      SELECT vec_id, fcell, dist, k.w
+      FROM candr CROSS JOIN LATERAL (SELECT unnest(generate_series(pr, 4)) AS w) k),
+    cellw AS (
+      SELECT vec_id, w, fcell AS cell FROM (
+        SELECT vec_id, w, fcell,
+          ROW_NUMBER() OVER (PARTITION BY vec_id, w ORDER BY dist, fcell) AS rn
+        FROM wcand)
+      WHERE rn = 1),
+    scanned AS (SELECT w, COUNT(*) AS n_scanned FROM wcand GROUP BY 1),
+    exact AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM suba a JOIN suba b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+    tot AS (SELECT COUNT(*) AS n_exact FROM exact),
+    aud AS (SELECT COUNT(*) AS cnt FROM suba),
+    same AS (
+      SELECT ca.w, COUNT(CASE WHEN ca.cell = cb.cell THEN 1 END) AS n_same_cell
+      FROM exact x
+      JOIN cellw ca ON ca.vec_id = x.a_id
+      JOIN cellw cb ON cb.vec_id = x.b_id AND cb.w = ca.w
+      GROUP BY 1),
+    ws AS (SELECT unnest(generate_series(1, 4)) AS w)
+    SELECT CAST(ws.w AS INT) AS w_probe,
+      tot.n_exact AS n_exact,
+      CAST(COALESCE(sm.n_same_cell, 0) AS BIGINT) AS n_same_cell,
+      CASE WHEN tot.n_exact = 0 THEN 0.0 ELSE
+        ROUND(CAST(COALESCE(sm.n_same_cell, 0) AS DOUBLE)
+          / CAST(tot.n_exact AS DOUBLE), 6) END AS recall,
+      CAST(COALESCE(sc.n_scanned, 0) AS BIGINT) AS n_scanned,
+      CASE WHEN aud.cnt = 0 THEN 0.0 ELSE
+        ROUND(CAST(COALESCE(sc.n_scanned, 0) AS DOUBLE)
+          / CAST(aud.cnt * 16 AS DOUBLE), 6) END AS scan_frac
+    FROM ws CROSS JOIN tot CROSS JOIN aud
+    LEFT JOIN same sm ON sm.w = ws.w
+    LEFT JOIN scanned sc ON sc.w = ws.w
+    ORDER BY w_probe"""
 
   // -------------------------------------------------- emb_ivf_quality
   // IVF index-quality audit: per cell the member count and the mean /
@@ -950,6 +1165,8 @@ object ScaleOps {
     "emb_cell_dedup" -> embCellDedup,
     "emb_cell_dedup_two_level" -> embCellDedupTwoLevel,
     "emb_cell_recall" -> embCellRecall,
+    "emb_cell_recall_two_level" -> embCellRecallTwoLevel,
+    "emb_two_level_probe_curve" -> embTwoLevelProbeCurve,
     "doc_minhash_lsh" -> docMinhashLsh,
     "doc_dedup_clusters" -> docDedupClusters,
     "doc_dup_cluster_stats" -> docDupClusterStats,
@@ -1653,6 +1870,8 @@ object ScaleOps {
     "emb_cell_dedup" -> embCellDedupSql,
     "emb_cell_dedup_two_level" -> embCellDedupTwoLevelSql,
     "emb_cell_recall" -> embCellRecallSql,
+    "emb_cell_recall_two_level" -> embCellRecallTwoLevelSql,
+    "emb_two_level_probe_curve" -> embTwoLevelProbeCurveSql,
     "emb_ann_lsh" -> embAnnLshSql,
     "doc_fingerprint" -> docFingerprintSql,
     "doc_simhash" -> docSimhashSql,

@@ -344,17 +344,16 @@ object Streaming {
       .select(col("vec_id").as("id"),
         col("embedding").cast(ArrayType(DoubleType)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // same index shape as every batch IVF consumer (adaptiveCells)
-    val (ids, cents) = AnnIvf.collectCentroids(
-      AnnIvf.refinedCentroids(corpus,
-        cells = AnnIvf.adaptiveCells(corpus.count()), dim = 64))
-    val feed = QanStream.embeddingsStream(s, d)
-      .select(col("vec_id"),
+    // calibration routes through the STRUCTURAL regime handover
+    // (AnnIvf.regimeFor): same index shape as every batch IVF consumer
+    // at oracle scales (one-level, adaptiveCells = 16), and past the
+    // one-level ceiling the two-level calibration — still a stateless
+    // stream-static stage — is selected automatically
+    val arriving = QanStream.embeddingsStream(s, d)
+      .select(col("vec_id").as("id"),
         col("embedding").cast(ArrayType(DoubleType)).as("v"))
-      .select(
-        graft.functions.expressions.GraftFunctions
-          .nearestCell(col("v"), cents, ids).as("cell"),
-        col("vec_id"), col("v"))
+    val feed = AnnIvf.assignCellsAuto(corpus, corpus.count(), dim = 64, arriving)
+      .select(col("cell"), col("id").as("vec_id"), col("v"))
     QanStream.runToMemory(
         graft.streaming.DedupStream.cellDedupStream(feed).toDF(),
         OutputMode.Append())

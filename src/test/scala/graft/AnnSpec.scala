@@ -107,6 +107,119 @@ class AnnSpec extends SparkSpec {
     assert(mean >= 0.12, s"mean recall@10 $mean too low: $recalls")
   }
 
+  test("two-level recall audit: bands bounded, totals equal the production-assignment recount") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.operators.AnnIvf
+    import graft.functions.expressions.GraftFunctions
+    val rows = SparkEntry.queries("emb_cell_recall_two_level")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "same-cell cannot exceed exact")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // independent recount over the PRODUCTION (wProbe=2) assignment:
+    // the audit must describe the index emb_cell_dedup_two_level uses
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val n = corpus.count()
+    val idx = AnnIvf.twoLevelIndex(corpus, cells = 16, dim = 64, knownCount = n)
+    val cells = AnnIvf.invertedFileTwoLevel(corpus, idx, wProbe = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val sub = corpus.filter(col("id") < 500)
+    val a = sub.select(col("id").as("a_id"), col("v").as("av"))
+    val b = sub.select(col("id").as("b_id"), col("v").as("bv"))
+    val pairs = a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos", GraftFunctions.cosineSimilarity(col("av"), col("bv")))
+      .filter(col("cos") >= 0.4)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sameCell = pairs.count { case (x, y) => cells(x) == cells(y) }
+    assert(rows.map(_.getLong(1)).sum == pairs.length, "n_exact conserved across bands")
+    assert(rows.map(_.getLong(2)).sum == sameCell, "n_same_cell equals the wProbe-2 recount")
+  }
+
+  test("wProbe tuning curve: monotone scan volume, w=2 is production, w=max is the one-level argmin") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.operators.AnnIvf
+    import graft.functions.expressions.GraftFunctions
+    val rows = SparkEntry.queries("emb_two_level_probe_curve")(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    val scans = rows.map(_.getLong(4))
+    assert(scans.zip(scans.tail).forall { case (x, y) => y >= x },
+      s"scan volume not monotone: ${scans.toSeq}")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "same-cell cannot exceed exact")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0, "scan_frac in [0, 1]")
+    }
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val n = corpus.count()
+    val idx = AnnIvf.twoLevelIndex(corpus, cells = 16, dim = 64, knownCount = n)
+    val sub = corpus.filter(col("id") < 500)
+    val pairs = sub.select(col("id").as("a_id"), col("v").as("av"))
+      .join(sub.select(col("id").as("b_id"), col("v").as("bv")), col("a_id") < col("b_id"))
+      .withColumn("cos", GraftFunctions.cosineSimilarity(col("av"), col("bv")))
+      .filter(col("cos") >= 0.4)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def sameUnder(assign: Map[Long, Int]): Long =
+      pairs.count { case (x, y) => assign(x) == assign(y) }.toLong
+    // w=2 row must equal the PRODUCTION assignment's same-cell count
+    val prod = AnnIvf.invertedFileTwoLevel(sub, idx, wProbe = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(rows(1).getLong(2) == sameUnder(prod), "w=2 equals the production assignment")
+    // w=maxW covers every coarse cell (coarseK(16)=4) — the assignment
+    // IS the one-level argmin over the flattened sampled-trained fine
+    // table (the AnnSpec wProbe=all property, read off the curve)
+    val fine = idx.groups
+      .select(explode(arrays_zip(col("gids"), col("gcents"))).as("z"))
+      .select(col("z.gids").as("cell"), col("z.gcents").as("c"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val oneLevel = AnnIvf.invertedFile(sub, fine.map(_._1), fine.map(_._2))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(rows(3).getLong(2) == sameUnder(oneLevel), "w=4 equals the one-level argmin")
+  }
+
+  test("regime handover: cutover pinned, both dispatch arms bit-equal their explicit builds") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.operators.AnnIvf
+    // the cutover constant is structural, not prose
+    assert(AnnIvf.regimeFor(AnnIvf.OneLevelMaxVectors) == AnnIvf.OneLevel)
+    assert(AnnIvf.regimeFor(AnnIvf.OneLevelMaxVectors + 1) == AnnIvf.TwoLevel)
+    assert(AnnIvf.regimeFor(0L) == AnnIvf.OneLevel)
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val n = corpus.count()
+    // below the ceiling: invertedFileAuto IS the one-level build
+    val (ids, cents) = AnnIvf.collectCentroids(
+      AnnIvf.refinedCentroids(corpus, cells = AnnIvf.adaptiveCells(n), dim = 64))
+    val oneLevel = AnnIvf.invertedFile(corpus, ids, cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val auto = AnnIvf.invertedFileAuto(corpus, n, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(auto == oneLevel)
+    // forced past the ceiling: invertedFileAuto IS the two-level build
+    val idx = AnnIvf.twoLevelIndex(corpus, cells = AnnIvf.adaptiveCells(n),
+      dim = 64, knownCount = n)
+    val twoLevel = AnnIvf.invertedFileTwoLevel(corpus, idx, wProbe = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val autoTwo = AnnIvf.invertedFileAuto(corpus, n, dim = 64, oneLevelMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(autoTwo == twoLevel)
+    // the streaming calibration stage dispatches identically (batch
+    // relation stands in for the arriving stream — same plan shape)
+    val assigned = AnnIvf.assignCellsAuto(corpus, n, dim = 64, arriving = corpus)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(assigned == oneLevel)
+    val assignedTwo = AnnIvf.assignCellsAuto(corpus, n, dim = 64,
+        arriving = corpus, oneLevelMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(assignedTwo == twoLevel)
+  }
+
   test("int8 quantization: high recall@10, near-1 recon cosine, bounded mae") {
     // asymmetric quantized search must track the exact ranking closely —
     // int8 keeps ~2-3 decimal digits per dim, so recall@10 stays high
