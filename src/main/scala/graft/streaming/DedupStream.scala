@@ -55,8 +55,12 @@ object DedupStream {
     * — exactly the batch banding's candidate set when the feed is one
     * batch, which is what lets it share a deterministic oracle.
     */
-  def minhashPairStream(docs: DataFrame, k: Int = 36, bands: Int = 6,
-      tau: Double = 0.8): Dataset[NearDupPair] = {
+  /** The scan-side stage of [[minhashPairStream]]: grams → signature →
+    * banded bucket rows. Exposed so the cost probe (tools.StreamProbe)
+    * can measure the stateless compute and the stateful stages of the
+    * SAME executed plan separately.
+    */
+  def minhashBucketed(docs: DataFrame, k: Int = 36, bands: Int = 6): Dataset[BucketRow] = {
     import docs.sparkSession.implicits._
     val rows = k / bands
     val sigs = docs
@@ -66,14 +70,19 @@ object DedupStream {
       .select(col("doc_id"),
         graft.functions.expressions.GraftFunctions.gramHashes(col("grams_raw")).as("ghash"))
       .withColumn("sig", Dedup.minhashSignature("ghash", k))
-    val bucketed = sigs
+    sigs
       .select(col("doc_id"), col("sig"),
         explode(Dedup.lshBands("sig", bands, rows)).as("b"))
       .select(col("b.band").as("band"),
         concat_ws(",", col("b.bucket")).as("bkey"),
         col("doc_id"), col("sig"))
       .as[BucketRow]
-    bucketed
+  }
+
+  def minhashPairStream(docs: DataFrame, k: Int = 36, bands: Int = 6,
+      tau: Double = 0.8): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    minhashBucketed(docs, k, bands)
       .groupByKey(r => (r.band, r.bkey))
       .flatMapGroupsWithState[BucketState, NearDupPair](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
