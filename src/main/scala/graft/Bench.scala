@@ -21,6 +21,12 @@ object Bench {
       // generator's un-zoned TIMESTAMP(MICROS) must read as
       // session-zoned TIMESTAMP, not TIMESTAMP_NTZ
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // streaming queries materialize through a memory sink; at the
+      // 100× tiling a single micro-batch's sink ingest can exceed the
+      // 1 GiB default and fail a query that is otherwise healthy —
+      // a bench-harness limit, not an operator cost
+      .config("spark.driver.maxResultSize",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_RESULT", "4g"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

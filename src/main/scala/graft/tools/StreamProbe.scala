@@ -52,6 +52,32 @@ object StreamProbe {
       }
   }
 
+  /** The stateless variant streams to the NOOP sink: every row is
+    * evaluated and discarded executor-side. A memory sink would
+    * collect the full bucketed relation (rows × 36-long signatures —
+    * ~2 GB at the 100× corpus) to the driver, both blowing
+    * maxResultSize and charging the scan-only variant a driver-ingest
+    * cost the stateful variants never pay (they emit only pairs).
+    */
+  private def runNoop(spark: SparkSession, label: String, df: DataFrame): Unit = {
+    val t0 = System.nanoTime()
+    val q = df.writeStream.outputMode(OutputMode.Append())
+      .format("noop")
+      .option("checkpointLocation",
+        s"${System.getProperty("java.io.tmpdir", "/tmp")}/streamprobe_ckpt_${java.util.UUID.randomUUID().toString.take(8)}")
+      .start()
+    q.processAllAvailable()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    val addBatch = progress.map(p =>
+      Option(p.durationMs.get("addBatch")).map(_.longValue).getOrElse(0L)).sum
+    val rows = progress.map(_.numInputRows).sum
+    q.stop()
+    println(f"[stream-probe] $label%-24s wall=$wall%7.2fs batches=${progress.length}%2d " +
+      f"addBatch=${addBatch / 1e3}%6.2fs (noop sink) inRows=$rows%9d")
+    QanStream.releaseReplayState(spark)
+  }
+
   private def runVariant(spark: SparkSession, label: String, df: DataFrame): Unit = {
     val t0 = System.nanoTime()
     val h = QanStream.runToMemoryQuery(df, OutputMode.Append())
@@ -112,11 +138,15 @@ object StreamProbe {
       }
     }
 
-    for (iter <- 1 to 2) {
+    // big-corpus runs trim the sweep: STREAMPROBE_ITERS=1
+    // STREAMPROBE_FEEDS=1batch keeps one pass per variant
+    val iters = sys.env.getOrElse("STREAMPROBE_ITERS", "2").toInt
+    val feedSel = sys.env.getOrElse("STREAMPROBE_FEEDS", "1batch,8batch").split(",").toSet
+    for (iter <- 1 to iters) {
       println(s"[stream-probe] ---- iteration $iter (compare SECOND — first pays JIT) ----")
       for ((fl, feed) <- Seq(("1batch", () => oneBatchFeed()),
-          ("8batch", () => multiBatchFeed()))) {
-        runVariant(spark, s"scan-only/$fl",
+          ("8batch", () => multiBatchFeed())).filter(p => feedSel(p._1))) {
+        runNoop(spark, s"scan-only/$fl",
           DedupStream.minhashBucketed(feed()).toDF())
         runVariant(spark, s"state-only/$fl",
           stateOnlyStream(DedupStream.minhashBucketed(feed())).toDF())
