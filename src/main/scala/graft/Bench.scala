@@ -174,7 +174,10 @@ object Bench {
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => " "; case c => c.toString } + "\""
-    val fails = failures.map { case (k, v) => s"${jstr(k)}:${jstr(v).take(120)}" }
+    // truncate BEFORE escaping: cutting the escaped string could drop
+    // the closing quote (or split an escape) and emit invalid JSON —
+    // exactly when a failure message is the thing being reported
+    val fails = failures.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(110))}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val fullQs = results.map { case (k, (med, _, _)) => s"\"" + k + "\":" + r3(med) }

@@ -601,6 +601,17 @@ object Fleet {
     // analyzed EAGERLY, so the view can be dropped before returning —
     // the returned plan no longer references the catalog entry.
     val view = s"graft_tree_per_inst_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // The recursion ROW guard (spark.sql.cteRecursionRowLimit, default
+    // 10⁶) is sized for ad-hoc exploration; this closure is provably
+    // ≤ fleet_size × 20 rows (a long id has ≤ 19 DIV-10 ancestors plus
+    // the self row) — FLEET-bounded, never event-bounded — so size the
+    // guard to the closure's true bound instead of tripping on healthy
+    // input (the 100× tiling's ~2M closure rows hit the default: the
+    // guard firing on a correct query, found by BENCH_SF10). Sticky on
+    // the session by necessity: the conf is read at EXECUTION time,
+    // after this builder returns; no other query in the engine uses
+    // recursive CTEs, so the raised guard shadows nothing.
+    s.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
     events(s, d)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("calls"),
