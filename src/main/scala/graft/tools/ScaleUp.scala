@@ -76,7 +76,18 @@ object ScaleUp {
         else graft.Tables.table(spark, src, name)
       val tiled = (0 until reps).map(r => f(base, r)).reduce(_ unionByName _)
       val tmp = s"$out/_tmp_$name"
-      tiled.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // SMALL ROW GROUPS (2 MB, not the 128 MB default): coalesce(1)
+      // writes ONE file, and Spark's scan splits a file by byte range
+      // but assigns whole ROW GROUPS to splits — a 55 MB single-row-
+      // group documents file made every sf10 per-doc scan op run on
+      // ONE core of 32 (measured r10: doc_pii_scrub "114x at 100x
+      // data" was a serialized scan, not operator cost; a real corpus
+      // at this volume is thousands of files and never scan-capped).
+      // 2 MB groups give the read side's maxSplitBytes (>= the 4 MB
+      // openCost floor) 2+ groups per split at every tiled size.
+      tiled.coalesce(1).write
+        .option("parquet.block.size", 2 * 1024 * 1024)
+        .mode("overwrite").parquet(tmp)
       val dir = new java.io.File(tmp)
       val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
       val dst = new java.io.File(s"$out/$name.parquet")
