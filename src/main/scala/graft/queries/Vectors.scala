@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.Tables._
 import graft.functions.expressions.GraftFunctions
-import graft.operators.AnnPq
+import graft.operators.{AnnIvf, AnnPq}
 
 /** Block D — similarity search over the `embeddings` table (SURVEY
   * §2.D). The pairwise kernel is the native CosineSimilarity
@@ -263,11 +263,16 @@ object Vectors {
         round(GraftFunctions.cosineSimilarity(col("v"), col("recon")), 4).as("recon_cos"))
       .orderBy(col("vec_id"))
 
-  /** Shared PQ replay CTEs: seeded codebook inlined as literals; every
-    * distance/mean/fold has the same index-order shape as the Spark
-    * kernels, so codes, reconstruction and errors are bit-identical.
+  /** Shared PQ replay CTE chain: seeded codebook inlined as literals;
+    * every distance/mean/fold has the same index-order shape as the
+    * Spark kernels, so codes, reconstruction and errors are
+    * bit-identical. `prefix` renames every internal CTE so the chain
+    * composes into WITH blocks that already bind cents0/assign0 (the
+    * IVF replay binds both); `withE` controls whether the shared `e`
+    * base CTE is emitted. The terminal CTE is
+    * `<prefix>pq(vec_id, codes, recon)`.
     */
-  private lazy val pqCtes: String = {
+  private def pqCtesGen(prefix: String, withE: Boolean): String = {
     val c0 = AnnPq.codebook0(pqK, pqDsub)
     val centRows = c0.zipWithIndex.map { case (c, i) =>
       s"($i, ${c.map(java.lang.Double.toString).mkString("[", ", ", "]")}::DOUBLE[])"
@@ -275,44 +280,54 @@ object Vectors {
     def sqDist(a: String, b: String): String =
       s"list_reduce(list_prepend(0.0, list_transform(range(1, ${pqDsub + 1}), " +
         s"i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))), (acc, x) -> acc + x)"
-    s"""e AS (
+    def n(x: String) = prefix + x
+    val eCte = if (withE) """e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    subs AS (
+    """ else ""
+    s"""$eCte${n("subs")} AS (
       SELECT vec_id, v, CAST(sub AS INT) AS sub,
         list_slice(v, sub * $pqDsub + 1, sub * $pqDsub + $pqDsub) AS subv
       FROM e CROSS JOIN (SELECT unnest(range(0, $pqM)) AS sub)),
-    cents0(cell, c) AS (VALUES $centRows),
-    assign0 AS (
+    ${n("cents0")}(cell, c) AS (VALUES $centRows),
+    ${n("assign0")} AS (
       SELECT vec_id, sub, subv, cell FROM (
         SELECT s.vec_id, s.sub, s.subv, c0.cell,
           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
             ORDER BY ${sqDist("s.subv", "c0.c")}, c0.cell) AS rn
-        FROM subs s CROSS JOIN cents0 c0)
+        FROM ${n("subs")} s CROSS JOIN ${n("cents0")} c0)
       WHERE rn = 1),
-    cb1 AS (
+    ${n("cb1")} AS (
       SELECT sub, cell, list(mn ORDER BY i) AS c FROM (
         SELECT a.sub, a.cell, i,
           CAST(COALESCE(SUM(CAST(a.subv[CAST(i AS INT)] AS DECIMAL(18,6))), 0) AS DOUBLE) / COUNT(*) AS mn
-        FROM assign0 a CROSS JOIN (SELECT unnest(range(1, ${pqDsub + 1})) AS i)
+        FROM ${n("assign0")} a CROSS JOIN (SELECT unnest(range(1, ${pqDsub + 1})) AS i)
         GROUP BY a.sub, a.cell, i)
       GROUP BY sub, cell),
-    cb AS (
+    ${n("cb")} AS (
       SELECT sub, cell, c,
         ROW_NUMBER() OVER (PARTITION BY sub ORDER BY cell) - 1 AS code
-      FROM cb1),
-    coded AS (
+      FROM ${n("cb1")}),
+    ${n("coded")} AS (
       SELECT vec_id, sub, code, c FROM (
         SELECT s.vec_id, s.sub, b.code, b.c,
           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
             ORDER BY ${sqDist("s.subv", "b.c")}, b.cell) AS rn
-        FROM subs s JOIN cb b ON b.sub = s.sub)
+        FROM ${n("subs")} s JOIN ${n("cb")} b ON b.sub = s.sub)
       WHERE rn = 1),
-    pq AS (
+    ${n("pq")} AS (
       SELECT c.vec_id,
         string_agg(CAST(c.code AS VARCHAR), ',' ORDER BY c.sub) AS codes,
         flatten(list(c.c ORDER BY c.sub)) AS recon
-      FROM coded c GROUP BY c.vec_id)"""
+      FROM ${n("coded")} c GROUP BY c.vec_id)"""
   }
+
+  private lazy val pqCtes: String = pqCtesGen("", withE = true)
+
+  /** The PQ chain under a `pq_` namespace with no `e` CTE — composes
+    * after [[graft.queries.ScaleOps.ivfCtes]] (which binds e/cents0/
+    * assign0/centf/inverted) for the IVF+PQ oracle.
+    */
+  private[queries] lazy val pqCtesComposable: String = pqCtesGen("pq_", withE = false)
 
   private def cosFold(a: String, b: String, dim: Int): String = {
     def f(term: String) =
@@ -368,6 +383,114 @@ object Vectors {
     FROM rk
     WHERE rank <= 10
     ORDER BY query_id, rank"""
+
+  // --------------------------------------------------- emb_ivfpq_topk
+  // The composed production ANN shape (the FAISS IVF-PQ recipe,
+  // Jégou et al. 2011 §V): IVF routes each query to nprobe cells, ADC
+  // scores ONLY those cells' members against their PQ reconstructions
+  // (16 bytes/vector of codes — the part of the index a 100 TB
+  // deployment keeps memory-resident), and the top `rerank` ADC
+  // survivors per query are re-ranked with exact cosine over their
+  // full vectors. emb_ann_ivf proves the routing, emb_pq_topk the ADC
+  // scoring; THIS is the composition a real vector store executes —
+  // candidate work is |cell|·nprobe codes per query instead of n full
+  // vectors, and full-precision vectors are touched only for the
+  // rerank·|Q| survivors (a broadcast-join point fetch, never a
+  // corpus-wide score).
+  //
+  // 100 TB shape: the coded inverted file (cell, id, codes) is the
+  // hot index — built once by projection-only passes (argmin kernels
+  // over codegen-constant centroids/codebooks), bucketed by cell; the
+  // ADC join is a hash join on cell against a query-probe table of
+  // |Q|·nprobe rows; the exact re-rank broadcasts the ≤ rerank·|Q|
+  // survivor ids against the corpus (at scale: a point-lookup fetch).
+  // The oracle replays the ENTIRE composition — IVF Lloyd, PQ
+  // codebooks, positional re-coding, ADC ranking, exact re-rank —
+  // bit-exactly via the shared ivfCtes + pq_-namespaced PQ chain.
+  private val ivfpqNprobe = 2; private val ivfpqRerank = 30
+  private val embIvfpqTopk: Q = (s, d) => {
+    val e = vecs(s, d)
+    val corpus = e.select(col("vec_id").as("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one sizing count, shared by cell-count rule and nothing else
+    val cells = AnnIvf.adaptiveCells(corpus.count())
+    val (cellIds, cents) = AnnIvf.collectCentroids(
+      AnnIvf.refinedCentroids(corpus, cells, dim = 64))
+    val books = AnnPq.collectCodebooks(
+      AnnPq.refinedCodebooks(corpus, pqM, pqDsub, pqK), pqM)
+    // the coded inverted file: cell + id + PQ reconstruction (a
+    // constant-lookup projection over the m code columns). The full
+    // vector is DROPPED here — the ADC stage never carries it.
+    val codedInv = AnnPq.encode(
+        AnnIvf.invertedFile(corpus, cellIds, cents), books, pqDsub)
+      .select(col("cell"), col("id").as("neighbor_id"), col("recon"))
+    val queries = corpus.filter(col("id") < 5)
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    // query-side probe: one projection against the centroid constants
+    val probes = queries.select(col("query_id"), col("qv"),
+      explode(GraftFunctions.nearestCells(col("qv"), cents, cellIds, ivfpqNprobe)).as("cell"))
+    val adc = probes.join(codedInv, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_cos", GraftFunctions.cosineSimilarity(col("qv"), col("recon")))
+      .withColumn("adc_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adc_cos").desc, col("neighbor_id"))))
+      .filter(col("adc_rank") <= ivfpqRerank)
+      .select(col("query_id"), col("qv"), col("neighbor_id"),
+        col("adc_cos"), col("adc_rank"))
+    // exact re-rank: fetch full vectors ONLY for the survivors —
+    // broadcast the ≤ rerank·|Q|-row survivor table, never the corpus
+    val full = corpus.select(col("id").as("neighbor_id"), col("v").as("cv"))
+    full.join(broadcast(adc), Seq("neighbor_id"))
+      .withColumn("cos_sim", GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos_sim"), 4).as("cos_sim"),
+        round(col("adc_cos"), 4).as("adc_cos"), col("adc_rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private lazy val embIvfpqTopkSql: String = {
+    val dim = 64
+    s"""
+    WITH ${ScaleOps.ivfCtes(16, dim)},
+    $pqCtesComposable,
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c1.cell,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ${ScaleOps.ivfSqDist("e.v", "c1.c", dim)}, c1.cell) AS rn
+        FROM e CROSS JOIN centf c1
+        WHERE e.vec_id < 5)
+      WHERE rn <= $ivfpqNprobe),
+    adc AS (
+      SELECT p.query_id, iv.vec_id AS neighbor_id, p.qv AS qv, pq.recon AS rv
+      FROM probes p
+      JOIN inverted iv ON iv.cell = p.cell AND iv.vec_id <> p.query_id
+      JOIN pq_pq pq ON pq.vec_id = iv.vec_id),
+    adcr AS (
+      SELECT query_id, neighbor_id, qv,
+        ${cosFold("qv", "rv", dim)} AS adc_raw,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY ${cosFold("qv", "rv", dim)} DESC, neighbor_id) AS adc_rank
+      FROM adc),
+    surv AS (SELECT * FROM adcr WHERE adc_rank <= $ivfpqRerank),
+    ex AS (
+      SELECT s.query_id, s.neighbor_id, s.adc_raw, s.adc_rank,
+        ${cosFold("s.qv", "c.v", dim)} AS cos_raw
+      FROM surv s JOIN e c ON c.vec_id = s.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc_raw, adc_rank, cos_raw,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM ex)
+    SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 4) AS cos_sim,
+      ROUND(adc_raw, 4) AS adc_cos, adc_rank
+    FROM ranked
+    WHERE rank <= 10
+    ORDER BY query_id, rank"""
+  }
 
   // --------------------------------------------- emb_matryoshka_recall
   // Truncated-dimension retrieval audit (the Matryoshka-representation
@@ -617,6 +740,7 @@ object Vectors {
     "emb_matryoshka_demo" -> embMatryoshkaDemo,
     "emb_pq_codes" -> embPqCodes,
     "emb_pq_topk" -> embPqTopk,
+    "emb_ivfpq_topk" -> embIvfpqTopk,
     "emb_cosine_topk" -> embCosineTopk,
     "emb_near_dup_pairs" -> embNearDupPairs,
     "emb_int8_quantize" -> embInt8Quantize,
@@ -630,6 +754,7 @@ object Vectors {
     "emb_matryoshka_demo" -> embMatryoshkaDemoSql,
     "emb_pq_codes" -> embPqCodesSql,
     "emb_pq_topk" -> embPqTopkSql,
+    "emb_ivfpq_topk" -> embIvfpqTopkSql,
     "emb_cosine_topk" -> embCosineTopkSql,
     "emb_near_dup_pairs" -> embNearDupPairsSql,
     "emb_int8_quantize" -> embInt8QuantizeSql,

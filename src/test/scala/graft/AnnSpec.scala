@@ -275,6 +275,47 @@ class AnnSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("ivf+pq composed search: recall vs exact, agreement with pure IVF, exact re-rank dominance, deterministic") {
+    val exactRows = SparkEntry.queries("emb_cosine_topk")(spark, sf).collect()
+    val exact = exactRows.map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val composed = SparkEntry.queries("emb_ivfpq_topk")(spark, sf).collect()
+    assert(composed.nonEmpty, "ivf+pq produced no results")
+    val comp = composed.map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // recall@10 vs brute force: routing loses what emb_ann_ivf loses
+    // (nprobe 2/16 cells), ADC can only lose candidates it pushed out
+    // of the rerank-30 pool — measured 0.56 on this corpus
+    val recalls = exact.keys.toSeq.map { q =>
+      exact(q).intersect(comp.getOrElse(q, Set.empty)).size.toDouble / exact(q).size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.4, s"ivf+pq mean recall@10 $meanRecall too low: $recalls")
+    // agreement with the pure-IVF exact ranking (same routing, so the
+    // divergence is ONLY the ADC top-30 pool) — measured 0.66
+    val ivf = SparkEntry.queries("emb_ann_ivf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val overlaps = ivf.keys.toSeq.map { q =>
+      ivf(q).intersect(comp.getOrElse(q, Set.empty)).size.toDouble / ivf(q).size
+    }
+    val meanOverlap = overlaps.sum / overlaps.size
+    assert(meanOverlap >= 0.5, s"ivf+pq vs ivf mean overlap $meanOverlap too low: $overlaps")
+    // the final scores are EXACT cosines over survivors, so no rank's
+    // score may exceed the brute-force score at the same rank
+    val exactByRank = exactRows.map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    composed.foreach { r =>
+      val key = (r.getLong(0), r.getInt(1))
+      exactByRank.get(key).foreach { ex =>
+        assert(r.getDouble(3) <= ex + 1e-9,
+          s"composed cos ${r.getDouble(3)} beats exact $ex at $key")
+      }
+    }
+    // seeded centroids + codebooks, decimal-exact means ⇒ bit-stable
+    val again = SparkEntry.queries("emb_ivfpq_topk")(spark, sf).collect()
+    assert(composed.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val approx = SparkEntry.queries("q13_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
