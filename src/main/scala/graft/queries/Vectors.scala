@@ -492,6 +492,140 @@ object Vectors {
     ORDER BY query_id, rank"""
   }
 
+  // --------------------------------------------- emb_ivfpq_rerank_curve
+  // The rerank-depth tuning curve for the composed IVF+PQ search —
+  // emb_recall_curve's role for the rerank knob (and the probe-curve
+  // discipline: every approximation parameter ships with its measured
+  // recall/cost trade, so a 100 TB deployment picks rerank from a
+  // table, not a guess). One pass: a candidate that ADC ranks at r
+  // survives every rerank depth ≥ r, so the ADC ranking is computed
+  // ONCE at maxRerank and each survivor explodes to the depths it
+  // participates in — the full-vector fetch (the cost the knob
+  // controls, n_scored below) happens once for the maxRerank pool,
+  // never per depth. All recalls derive from integer counts, so the
+  // curve replays exactly in DuckDB.
+  private val embIvfpqRerankCurve: Q = (s, d) => {
+    val maxRerank = 50 // depths 10, 20, 30, 40, 50
+    val e = vecs(s, d)
+    val corpus = e.select(col("vec_id").as("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = AnnIvf.adaptiveCells(corpus.count())
+    val (cellIds, cents) = AnnIvf.collectCentroids(
+      AnnIvf.refinedCentroids(corpus, cells, dim = 64))
+    val books = AnnPq.collectCodebooks(
+      AnnPq.refinedCodebooks(corpus, pqM, pqDsub, pqK), pqM)
+    val codedInv = AnnPq.encode(
+        AnnIvf.invertedFile(corpus, cellIds, cents), books, pqDsub)
+      .select(col("cell"), col("id"), col("recon"))
+    val probes = corpus.filter(col("id") < 5)
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        explode(GraftFunctions.nearestCells(col("v"), cents, cellIds, ivfpqNprobe)).as("cell"))
+    val surv = probes.join(codedInv, Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("adc_cos", GraftFunctions.cosineSimilarity(col("qv"), col("recon")))
+      .withColumn("adc_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adc_cos").desc, col("id"))))
+      .filter(col("adc_rank") <= maxRerank)
+      .select(col("query_id"), col("qv"), col("id"), col("adc_rank"))
+    // ONE full-vector fetch for the maxRerank pool (broadcast the
+    // ≤ maxRerank·|Q| survivors), then explode to participating depths
+    val dep = corpus.select(col("id"), col("v").as("cv"))
+      .join(broadcast(surv), Seq("id"))
+      .withColumn("cos_raw", GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
+      .withColumn("rerank_depth",
+        explode(expr(s"sequence(((adc_rank + 9) div 10) * 10, $maxRerank, 10)")))
+      .select(col("query_id"), col("id"), col("cos_raw"), col("rerank_depth"))
+      // two consumers (top-10 ranking and the n_scored count) branch
+      // off this subtree; without the persist the probe+fetch pass
+      // executes twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top10 = dep
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"), col("rerank_depth"))
+          .orderBy(col("cos_raw").desc, col("id"))))
+      .filter(col("rnk") <= 10)
+    val exact = embCosineTopk(s, d)
+      .select(col("query_id"), col("neighbor_id").as("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nExact = exact.count()
+    val found = exact.join(top10, Seq("query_id", "id"))
+      .groupBy(col("rerank_depth")).agg(count(lit(1)).as("n_found"))
+    val scored = dep.groupBy(col("rerank_depth")).agg(count(lit(1)).as("n_scored"))
+    // empty-corpus totality (EmptyInputSpec): zero exact neighbors ⇒
+    // a zero curve, not a divide-by-zero — denominator is driver-side
+    val recall =
+      if (nExact == 0L) lit(0.0)
+      else round(coalesce(col("n_found"), lit(0L)).cast(DoubleType)
+        / lit(nExact).cast(DoubleType), 4)
+    s.range(1, maxRerank / 10 + 1)
+      .select((col("id") * 10).cast("int").as("rerank_depth"))
+      .join(found, Seq("rerank_depth"), "left")
+      .join(scored, Seq("rerank_depth"), "left")
+      .select(col("rerank_depth"), lit(nExact).as("n_exact"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        recall.as("recall"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"))
+      .orderBy(col("rerank_depth"))
+  }
+
+  private lazy val embIvfpqRerankCurveSql: String = {
+    val dim = 64
+    s"""
+    WITH ${ScaleOps.ivfCtes(16, dim)},
+    $pqCtesComposable,
+    ${cosineTopkCtes.trim},
+    exact AS (SELECT query_id, neighbor_id AS id FROM ex_r WHERE rank <= 10),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c1.cell,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ${ScaleOps.ivfSqDist("e.v", "c1.c", dim)}, c1.cell) AS rn
+        FROM e CROSS JOIN centf c1
+        WHERE e.vec_id < 5)
+      WHERE rn <= $ivfpqNprobe),
+    adc AS (
+      SELECT p.query_id, iv.vec_id AS id, p.qv AS qv, pq.recon AS rv, iv.v AS cv
+      FROM probes p
+      JOIN inverted iv ON iv.cell = p.cell AND iv.vec_id <> p.query_id
+      JOIN pq_pq pq ON pq.vec_id = iv.vec_id),
+    adcr AS (
+      SELECT query_id, id, qv, cv,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY ${cosFold("qv", "rv", dim)} DESC, id) AS adc_rank
+      FROM adc),
+    surv AS (SELECT * FROM adcr WHERE adc_rank <= 50),
+    dep AS (
+      SELECT s.query_id, s.id, ${cosFold("s.qv", "s.cv", dim)} AS cos_raw,
+        d.d AS rerank_depth
+      FROM surv s CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(((s.adc_rank + 9) // 10) * 10, 50, 10)) AS d) d),
+    top10 AS (
+      SELECT query_id, rerank_depth, id FROM (
+        SELECT query_id, rerank_depth, id,
+          ROW_NUMBER() OVER (PARTITION BY query_id, rerank_depth
+            ORDER BY cos_raw DESC, id) AS rnk
+        FROM dep)
+      WHERE rnk <= 10),
+    found AS (
+      SELECT t.rerank_depth, COUNT(*) AS n_found
+      FROM exact x JOIN top10 t ON t.query_id = x.query_id AND t.id = x.id
+      GROUP BY 1),
+    scored AS (SELECT rerank_depth, COUNT(*) AS n_scored FROM dep GROUP BY 1),
+    ks AS (SELECT unnest(generate_series(10, 50, 10)) AS d),
+    tot AS (SELECT COUNT(*) AS n_exact FROM exact)
+    SELECT CAST(ks.d AS INT) AS rerank_depth,
+      tot.n_exact AS n_exact,
+      CAST(COALESCE(f.n_found, 0) AS BIGINT) AS n_found,
+      CASE WHEN tot.n_exact = 0 THEN 0.0 ELSE
+        ROUND(CAST(COALESCE(f.n_found, 0) AS DOUBLE) / CAST(tot.n_exact AS DOUBLE), 4)
+      END AS recall,
+      CAST(COALESCE(sc.n_scored, 0) AS BIGINT) AS n_scored
+    FROM ks CROSS JOIN tot
+    LEFT JOIN found f ON f.rerank_depth = ks.d
+    LEFT JOIN scored sc ON sc.rerank_depth = ks.d
+    ORDER BY rerank_depth"""
+  }
+
   // --------------------------------------------- emb_matryoshka_recall
   // Truncated-dimension retrieval audit (the Matryoshka-representation
   // question): how much top-k quality survives if the index stores
@@ -741,6 +875,7 @@ object Vectors {
     "emb_pq_codes" -> embPqCodes,
     "emb_pq_topk" -> embPqTopk,
     "emb_ivfpq_topk" -> embIvfpqTopk,
+    "emb_ivfpq_rerank_curve" -> embIvfpqRerankCurve,
     "emb_cosine_topk" -> embCosineTopk,
     "emb_near_dup_pairs" -> embNearDupPairs,
     "emb_int8_quantize" -> embInt8Quantize,
@@ -755,6 +890,7 @@ object Vectors {
     "emb_pq_codes" -> embPqCodesSql,
     "emb_pq_topk" -> embPqTopkSql,
     "emb_ivfpq_topk" -> embIvfpqTopkSql,
+    "emb_ivfpq_rerank_curve" -> embIvfpqRerankCurveSql,
     "emb_cosine_topk" -> embCosineTopkSql,
     "emb_near_dup_pairs" -> embNearDupPairsSql,
     "emb_int8_quantize" -> embInt8QuantizeSql,

@@ -508,6 +508,33 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ivf+pq rerank curve: monotone in depth, counts conserved, depth-30 row reproduces emb_ivfpq_topk") {
+    val rows = SparkEntry.queries("emb_ivfpq_rerank_curve")(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(10, 20, 30, 40, 50))
+    val recalls = rows.map(_.getDouble(3))
+    val scored = rows.map(_.getLong(4))
+    // a deeper re-rank pool can only add candidates: recall and scored
+    // volume are non-decreasing in depth by construction
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a - 1e-12 },
+      s"recall not monotone: ${recalls.toSeq}")
+    assert(scored.zip(scored.tail).forall { case (a, b) => b >= a },
+      s"scored volume not monotone: ${scored.toSeq}")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "found cannot exceed exact")
+      assert(r.getLong(4) <= 5L * r.getInt(0), "scored bounded by |Q|*depth")
+    }
+    // cross-check: the depth-30 row IS emb_ivfpq_topk's recall vs
+    // exact (same routing, same ADC pool, same exact re-rank) — the
+    // curve and the search op may never drift apart
+    val exact = SparkEntry.queries("emb_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val topkHits = SparkEntry.queries("emb_ivfpq_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).count(exact.contains)
+    val d30 = rows.find(_.getInt(0) == 30).get
+    assert(d30.getLong(2) == topkHits.toLong,
+      s"curve depth-30 n_found ${d30.getLong(2)} != emb_ivfpq_topk hits $topkHits")
+  }
+
   test("multimodal stub: features deterministic and shaped") {
     val out = SparkEntry.queries("mm_feature_stub")(spark, sf).collect()
     assert(out.length == Tables.documents(spark, sf).count())
