@@ -320,6 +320,91 @@ object Streaming {
     WHERE sq > (SELECT t FROM thr)
     ORDER BY vec_id"""
 
+  // Streaming IVF+PQ retrieval serving — the ONLINE half of the
+  // composed production search (emb_ivfpq_topk is the batch form):
+  // the coded index is built OFFLINE (IVF centroids + PQ codebooks +
+  // the cell/id/codes inverted file — the part a 100 TB deployment
+  // keeps memory-resident), then each ARRIVING vector is answered
+  // with its similar corpus items in one stateless pass: probe
+  // nprobe cells (projection against the centroid constants),
+  // stream-static equi-join on cell against the coded file, ADC
+  // prefilter on the 16-byte-code reconstruction (cheap, loose
+  // threshold 0.3), and an exact-cosine verify (threshold 0.4, the
+  // dedup family's standard) via a second stream-static join that
+  // fetches full vectors ONLY for ADC survivors. No state store, no
+  // watermark, no stream-side shuffle — like st_ood_filter it scales
+  // to any ingestion rate by adding executors; at 100 TB both static
+  // sides are bucketed by their join key (cell / id) so the
+  // micro-batch join is exchange-free on the static side. Emits
+  // (query, neighbor, adc_cos, cos_sim) in append mode as vectors
+  // arrive; the batch oracle replays the entire composition.
+  private val stIvfpqServe: Q = (s, d) => {
+    import graft.operators.{AnnIvf, AnnPq}
+    import org.apache.spark.sql.types.ArrayType
+    import graft.functions.expressions.GraftFunctions
+    val corpus = graft.Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the offline build: same index shape as every batch IVF consumer
+    // (adaptiveCells = 16 at oracle scales) + the PQ codebooks
+    val (ids, cents) = AnnIvf.collectCentroids(
+      AnnIvf.refinedCentroids(corpus,
+        cells = AnnIvf.adaptiveCells(corpus.count()), dim = 64))
+    val books = AnnPq.collectCodebooks(
+      AnnPq.refinedCodebooks(corpus, Vectors.pqM, Vectors.pqDsub, Vectors.pqK),
+      Vectors.pqM)
+    val codedInv = AnnPq.encode(
+        AnnIvf.invertedFile(corpus, ids, cents), books, Vectors.pqDsub)
+      .select(col("cell"), col("id").as("neighbor_id"), col("recon"))
+    val full = corpus.select(col("id").as("neighbor_id"), col("v").as("cv"))
+    val served = QanStream.embeddingsStream(s, d)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("qv"))
+      // scan-level probe: one compiled argmin sweep per arriving vector
+      .select(col("query_id"), col("qv"),
+        explode(GraftFunctions.nearestCells(col("qv"), cents, ids, 2)).as("cell"))
+      .join(codedInv, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_cos", GraftFunctions.cosineSimilarity(col("qv"), col("recon")))
+      .filter(col("adc_cos") >= 0.3)
+      .join(full, Seq("neighbor_id"))
+      .withColumn("cos_sim", GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
+      .filter(col("cos_sim") >= 0.4)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adc_cos"), 4).as("adc_cos"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+    QanStream.runToMemory(served, OutputMode.Append())
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  private lazy val stIvfpqServeSql: String = s"""
+    WITH ${ScaleOps.ivfCtes(16, 64)},
+    ${Vectors.pqCtesComposable},
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c1.cell,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ${ScaleOps.ivfSqDist("e.v", "c1.c", 64)}, c1.cell) AS rn
+        FROM e CROSS JOIN centf c1)
+      WHERE rn <= 2),
+    cand AS (
+      SELECT p.query_id, iv.vec_id AS neighbor_id, p.qv AS qv,
+        pq.recon AS rv, iv.v AS cv
+      FROM probes p
+      JOIN inverted iv ON iv.cell = p.cell AND iv.vec_id <> p.query_id
+      JOIN pq_pq pq ON pq.vec_id = iv.vec_id),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        ${Vectors.cosFold("qv", "rv", 64)} AS adc_raw,
+        ${Vectors.cosFold("qv", "cv", 64)} AS cos_raw
+      FROM cand)
+    SELECT query_id, neighbor_id,
+      ROUND(adc_raw, 4) AS adc_cos, ROUND(cos_raw, 4) AS cos_sim
+    FROM scored
+    WHERE adc_raw >= 0.3 AND cos_raw >= 0.4
+    ORDER BY query_id, neighbor_id"""
+
   // Streaming ingestion-time NEAR-dup detection (DedupStream): as docs
   // arrive, each is checked against resident (band, bucket) signature
   // state; (older, newer, signature-estimate) pairs stream out, with
@@ -525,6 +610,7 @@ object Streaming {
     "st_minhash_stream" -> stMinhash,
     "st_cell_dedup" -> stCellDedup,
     "st_ood_filter" -> stOodFilter,
+    "st_ivfpq_serve" -> stIvfpqServe,
     "st_exact_dedup_stream" -> stExactDedup,
     "st_multi_counter_stream" -> stMultiCounter,
     "st_delta_stream" -> stDelta,
@@ -544,6 +630,7 @@ object Streaming {
     "st_minhash_stream" -> stMinhashSql,
     "st_cell_dedup" -> stCellDedupSql,
     "st_ood_filter" -> stOodFilterSql,
+    "st_ivfpq_serve" -> stIvfpqServeSql,
     "st_exact_dedup_stream" -> Text.oracles("doc_exact_dedup"),
     "st_multi_counter_stream" -> Qan.oracles("qan_multi_counter_delta"),
     "st_session_stream" -> stSessionSql,

@@ -246,7 +246,9 @@ object Vectors {
   // lookup — no joins, no shuffle, the 100 TB shape. The oracle
   // replays seeding, assignment, refinement, positional re-coding,
   // reconstruction and the index-order error folds bit-exactly.
-  private val pqM = 16; private val pqDsub = 4; private val pqK = 64
+  private[queries] val pqM = 16
+  private[queries] val pqDsub = 4
+  private[queries] val pqK = 64
 
   private def pqEncoded(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d).select(col("vec_id").as("id"), col("v"))
@@ -329,7 +331,7 @@ object Vectors {
     */
   private[queries] lazy val pqCtesComposable: String = pqCtesGen("pq_", withE = false)
 
-  private def cosFold(a: String, b: String, dim: Int): String = {
+  private[queries] def cosFold(a: String, b: String, dim: Int): String = {
     def f(term: String) =
       s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), i -> $term)), (acc, x) -> acc + x)"
     val dot = f(s"$a[CAST(i AS INT)] * $b[CAST(i AS INT)]")

@@ -438,6 +438,57 @@ class StreamingSpec extends SparkSpec {
     } finally out.query.stop()
   }
 
+  test("ivf+pq serve stream: exact-verified pairs only, and the stream-static join keeps the plan stateless") {
+    // every emitted pair is exact-verified at >= 0.4, so within the
+    // brute-force audit range the serve output must be a SUBSET of
+    // the exact near-dup pairs — the serving path can miss (routing +
+    // ADC prefilter) but can never fabricate a neighbor
+    val served = SparkEntry.queries("st_ivfpq_serve")(spark, sf).collect()
+    assert(served.nonEmpty, "serve stream emitted nothing")
+    served.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1), "self-pair emitted")
+      assert(r.getDouble(2) >= 0.3 - 5e-5, s"ADC below prefilter: $r")
+      assert(r.getDouble(3) >= 0.4 - 5e-5, s"exact cos below verify threshold: $r")
+    }
+    val brute = SparkEntry.queries("emb_near_dup_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val servedSmall = served
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < 500 && b < 500 }
+    servedSmall.foreach { case (a, b) =>
+      assert(brute.contains((math.min(a, b), math.max(a, b))),
+        s"served pair ($a,$b) not in the brute-force >=0.4 set")
+    }
+    // plan shape: probe projection + stream-static equi-join + filter
+    // must contribute ZERO state operators — the serving path's scale
+    // argument (any ingestion rate, add executors) rests on it
+    import graft.streaming.QanStream
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val (ids, cents) = graft.operators.AnnIvf.collectCentroids(
+      graft.operators.AnnIvf.refinedCentroids(corpus, cells = 16, dim = 64))
+    val staticInv = graft.operators.AnnIvf.invertedFile(corpus, ids, cents)
+      .select(col("cell"), col("id").as("neighbor_id"), col("v").as("cv"))
+    val stream = QanStream.embeddingsStream(spark, sf)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(graft.functions.expressions.GraftFunctions
+          .nearestCells(col("qv"), cents, ids, 2)).as("cell"))
+      .join(staticInv, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val h = QanStream.runToMemoryQuery(stream.select(col("query_id"), col("neighbor_id")))
+    try {
+      h.query.processAllAvailable()
+      val progress = h.query.lastProgress
+      assert(progress.stateOperators.isEmpty,
+        s"stream-static serve join must have no state operators: ${progress.json}")
+    } finally h.query.stop()
+  }
+
   test("ood filter stream is stateless: no state store, no aggregation in the streaming plan") {
     // the calibrate-offline/apply-online split means the streaming
     // side must be a pure scan-level projection+filter — any stateful
