@@ -491,6 +491,31 @@ class PlanSpec extends SparkSpec {
       s"subtree rollup must be a hash aggregate:\n$p")
   }
 
+  test("emb_ivfpq_topk: equi-joins only, survivors broadcast into the exact re-rank") {
+    val plan = executedPlan("emb_ivfpq_topk")
+    // probe→coded-file is an equi-join on cell; the exact re-rank
+    // joins the corpus against the BROADCAST ≤ rerank·|Q| survivor
+    // table — the composed search must never cartesian or shuffle the
+    // corpus for the re-rank fetch
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast survivor fetch in the re-rank stage:\n$plan")
+  }
+
+  test("emb_ivfpq_rerank_curve: no cartesian; the only nested loop is the bounded exact baseline") {
+    val plan = executedPlan("emb_ivfpq_rerank_curve")
+    // the recall denominator reuses emb_cosine_topk — the INTENTIONAL
+    // bounded brute-force baseline (5 queries × corpus, a BROADCAST
+    // nested loop; AQE's toString repeats it across final/initial/
+    // cache sections so its count is not assertable). Everything else
+    // is equi-joins: no cartesian anywhere, and any nested loop must
+    // be the broadcast form (bounded build side), never a full
+    // CartesianProduct
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast survivor fetch before the depth explode:\n$plan")
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     // the "*(n)" prefix marks codegen spans; the fingerprint/simhash
     // projections must carry it (no CodegenFallback breaking the span)
