@@ -30,7 +30,8 @@ def main():
         "emb_ann_ivf", "emb_ann_ivf_two_level", "emb_ann_lsh", "emb_pq_topk",
         "emb_quantized_topk", "emb_ann_recall", "emb_ann_recall_tuned",
         "emb_cosine_topk", "emb_recall_curve", "emb_two_level_probe_curve",
-        "emb_cell_recall", "emb_cell_recall_two_level")
+        "emb_cell_recall", "emb_cell_recall_two_level",
+        "emb_ivfpq_topk", "emb_ivfpq_rerank_curve", "st_ivfpq_serve")
     st = lambda k: k.startswith("st_")
 
     rat1, rat10 = ratios(r1), ratios(r10)
