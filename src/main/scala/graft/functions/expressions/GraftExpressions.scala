@@ -755,6 +755,129 @@ object AnnKernels {
     }
     new GenericArrayData(out)
   }
+
+  // ------------------------------------------------------- true ADC
+  // PQ's asymmetric distance computation as Jégou et al. 2011 §V
+  // actually runs it: the candidate relation carries only the m small
+  // CODES; per query a lookup table of per-subspace partial dot
+  // products (m·k doubles — KBs) is built ONCE, and each candidate is
+  // scored by m table lookups. The reconstructed vector (~dim doubles
+  // per candidate, ~32× the codes) never exists — neither in the join
+  // relation nor in the scoring pass.
+  //
+  // Determinism contract (both kernels together reproduce the exact
+  // arithmetic the DuckDB oracle replays): every partial is a
+  // left-to-right index-order fold from 0.0 — per-subspace dot/norm
+  // partials over the dsub dims, the cross-subspace sums in ascending
+  // subspace order, the query norm over the full vector — so
+  // adcCosine(pqQueryLut(q), codes) is bit-identical to the oracle's
+  // list(partial ORDER BY sub) fold. Note the BLOCKED fold order is
+  // the kernel's own contract: it differs from cosineSimilarity's
+  // flat fold by ulps (a different but equally deterministic
+  // association), and the oracle replays the blocked form.
+
+  /** Flattened per-(subspace, code) squared norms of the codebook
+    * centroids — the query-independent half of the ADC cosine,
+    * computed once driver-side (per-sub fold order = the oracle's).
+    */
+  def adcNorms(books: Array[Array[Array[Double]]]): Array[Double] = {
+    val out = Array.newBuilder[Double]
+    var s = 0
+    while (s < books.length) {
+      val book = books(s)
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var acc = 0.0
+        var j = 0
+        while (j < cent.length) { acc += cent(j) * cent(j); j += 1 }
+        out += acc
+        c += 1
+      }
+      s += 1
+    }
+    out.result()
+  }
+
+  /** Flattened codebook offsets: slot of (sub s, code 0) in the LUT /
+    * norm layout. Codebooks may have differing sizes per subspace
+    * (empty Lloyd cells vanish per subspace), so the layout is
+    * offset-indexed, not a fixed m×k grid.
+    */
+  def adcOffsets(books: Array[Array[Array[Double]]]): Array[Int] = {
+    val out = new Array[Int](books.length)
+    var acc = 0
+    var s = 0
+    while (s < books.length) { out(s) = acc; acc += books(s).length; s += 1 }
+    out
+  }
+
+  /** The per-query ADC lookup table: one slot per (subspace, code)
+    * holding the partial dot product of the query's subvector with
+    * that codebook centroid, plus ONE trailing slot with the query's
+    * squared norm. Built once per query row (|Q|·nprobe rows — never
+    * per candidate); total+1 doubles ≈ KBs.
+    */
+  def pqQueryLut(v: ArrayData, books: Array[Array[Array[Double]]],
+      dsub: Int): ArrayData = {
+    var total = 0
+    var s = 0
+    while (s < books.length) { total += books(s).length; s += 1 }
+    val out = new Array[Double](total + 1)
+    val n = v.numElements()
+    var base = 0
+    s = 0
+    while (s < books.length) {
+      val book = books(s)
+      val off = s * dsub
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        // clamp to the vector's actual length: a short/degenerate
+        // vector contributes partials over the dims it has (the same
+        // truncation convention as cosineSimilarity)
+        val lim = math.min(cent.length, math.max(0, n - off))
+        var acc = 0.0
+        var j = 0
+        while (j < lim) { acc += v.getDouble(off + j) * cent(j); j += 1 }
+        out(base + c) = acc
+        c += 1
+      }
+      base += book.length
+      s += 1
+    }
+    var qn = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); qn += x * x; i += 1 }
+    out(total) = qn
+    new GenericArrayData(out)
+  }
+
+  /** ADC cosine from CODES: m lookups into the per-query LUT (dot
+    * partials) and the constant norm table — the hot-path scoring
+    * kernel. cos(q, recon(codes)) exactly, because recon is a
+    * concatenation of per-subspace centroids: dot(q, recon) = Σ_s
+    * lut[s][code_s] and |recon|² = Σ_s |centroid_s|². A negative code
+    * (the empty-codebook sentinel from AnnPq.encode) contributes
+    * nothing to either sum — total on degenerate corpora.
+    */
+  def adcCosine(lut: ArrayData, codes: ArrayData, norms: Array[Double],
+      offsets: Array[Int]): Double = {
+    var dot = 0.0
+    var n2 = 0.0
+    var s = 0
+    while (s < offsets.length) {
+      val code = codes.getInt(s)
+      if (code >= 0) {
+        val idx = offsets(s) + code
+        dot += lut.getDouble(idx)
+        n2 += norms(idx)
+      }
+      s += 1
+    }
+    val qn = lut.getDouble(lut.numElements() - 1)
+    dot / (math.sqrt(qn) * math.sqrt(n2))
+  }
 }
 
 /** Random-hyperplane LSH bucket code of an array<double> vector —
@@ -1171,6 +1294,60 @@ case class Int8Recon(child: Expression)
   override def prettyName: String = "int8_recon"
 }
 
+/** The per-query ADC lookup table (partial dot products per
+  * (subspace, code) + trailing query norm) — the query-side half of
+  * true ADC scoring. Codebooks ride along as a reference object
+  * (m·k·dsub doubles — the broadcast-sized training artifact); the
+  * output is KBs per QUERY row, never per candidate.
+  */
+case class PqQueryLut(child: Expression, books: Seq[Seq[Seq[Double]]], dsub: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(dsub >= 1, s"pq_query_lut: dsub must be >= 1, got $dsub")
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  @transient private lazy val bookArr: Array[Array[Array[Double]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def nullSafeEval(v: Any): Any =
+    AnnKernels.pqQueryLut(v.asInstanceOf[ArrayData], bookArr, dsub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("books", bookArr, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.AnnKernels.pqQueryLut($c, $bRef, $dsub);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "pq_query_lut"
+}
+
+/** True-ADC cosine from a per-query LUT and a candidate's m CODES —
+  * the hot-path PQ scoring kernel: m table lookups per candidate, no
+  * reconstructed vector anywhere (the codebook norm table and layout
+  * offsets are constants derived from the books).
+  */
+case class AdcCosine(left: Expression, right: Expression, books: Seq[Seq[Seq[Double]]])
+    extends BinaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  @transient private lazy val bookArr: Array[Array[Array[Double]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val normArr: Array[Double] = AnnKernels.adcNorms(bookArr)
+  @transient private lazy val offArr: Array[Int] = AnnKernels.adcOffsets(bookArr)
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType),
+    ArrayType(org.apache.spark.sql.types.IntegerType))
+  override def nullSafeEval(lut: Any, codes: Any): Any =
+    AnnKernels.adcCosine(lut.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData],
+      normArr, offArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nRef = ctx.addReferenceObj("norms", normArr, "double[]")
+    val oRef = ctx.addReferenceObj("offsets", offArr, "int[]")
+    nullSafeCodeGen(ctx, ev, (l, c) =>
+      s"${ev.value} = graft.functions.expressions.AnnKernels.adcCosine($l, $c, $nRef, $oRef);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "adc_cosine"
+}
+
 /** Cosine under a per-dimension weight profile (weights ride along as
   * a reference object, like the LSH planes) — one compiled pass, no
   * materialized weighted-vector column, no HOF transform on the scan.
@@ -1552,6 +1729,11 @@ object GraftFunctions {
     column(MisraGries(expression(c), k).toAggregateExpression())
   def weightedCosine(a: Column, b: Column, w: Array[Double]): Column =
     column(WeightedCosine(expression(a), expression(b), w.toSeq))
+  def pqQueryLut(v: Column, books: Array[Array[Array[Double]]], dsub: Int): Column =
+    column(PqQueryLut(expression(v), books.toSeq.map(_.toSeq.map(_.toSeq)), dsub))
+  def adcCosine(lut: Column, codes: Column, books: Array[Array[Array[Double]]]): Column =
+    column(AdcCosine(expression(lut), expression(codes),
+      books.toSeq.map(_.toSeq.map(_.toSeq))))
   // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
   // runtime row-level filtering but does not register them as SQL
   // functions; surfacing them here gives pipelines the standard

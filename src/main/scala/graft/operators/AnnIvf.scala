@@ -393,6 +393,45 @@ object AnnIvf {
       .select(col("id"), col("v"), col("cell"))
   }
 
+  /** Query-side two-level probe: coarse argmin over the √cells
+    * constants, broadcast join per probed coarse group, the `nprobe`
+    * nearest fine cells out of the unioned neighborhood — appended as
+    * an exploded `cell` column, input columns preserved. Factored out
+    * of [[topKTwoLevel]] so EVERY two-level probe consumer (the plain
+    * search, the composed IVF+PQ search, the streaming serve) probes
+    * through the identical plan: projection + wProbe broadcast joins,
+    * no window, no corpus shuffle — legal on streaming inputs too
+    * (stream-static broadcast joins only).
+    */
+  def probeCellsTwoLevel(df: DataFrame, vCol: String, idx: TwoLevelIndex,
+      nprobe: Int, wProbe: Int): DataFrame = {
+    val emptyC = expr("CAST(array() AS ARRAY<ARRAY<DOUBLE>>)")
+    val emptyI = expr("CAST(array() AS ARRAY<INT>)")
+    val inCols = df.columns.toSeq
+    var q = df.withColumn("__tlprobes",
+      GraftFunctions.nearestCells(col(vCol), idx.coarseCents, idx.coarseIds, wProbe))
+    var cs: Column = null
+    var is: Column = null
+    for (p <- 0 until wProbe) {
+      val g = idx.groups.select(col("coarse").as(s"__qc$p"),
+        col("gcents").as(s"__qgc$p"), col("gids").as(s"__qgi$p"))
+      // same resolve-or-skip join rule as invertedFileTwoLevel: probe 1
+      // always resolves (the coarse table is restricted to non-empty
+      // cells), later probes may not exist when fewer coarse cells
+      // survive than wProbe
+      q = q.join(broadcast(g),
+        expr(s"try_element_at(__tlprobes, ${p + 1})") === col(s"__qc$p"),
+        if (p == 0) "inner" else "left")
+      val c = if (p == 0) col(s"__qgc$p") else coalesce(col(s"__qgc$p"), emptyC)
+      val i = if (p == 0) col(s"__qgi$p") else coalesce(col(s"__qgi$p"), emptyI)
+      cs = if (cs == null) c else concat(cs, c)
+      is = if (is == null) i else concat(is, i)
+    }
+    q.withColumn("cell",
+        explode(GraftFunctions.nearestCellsInGroup(col(vCol), cs, is, nprobe)))
+      .select((inCols.map(col) :+ col("cell")): _*)
+  }
+
   /** Top-k approximate neighbours through the two-level index: both
     * the corpus assignment and the query probes argmin over coarse
     * neighborhoods; re-rank is the same exact-cosine stage as
@@ -403,26 +442,7 @@ object AnnIvf {
       sampleRate: Long = -1L, knownCount: Long = -1L): DataFrame = {
     val idx = twoLevelIndex(vecs, cells, dim, sampleRate, knownCount)
     val inverted = invertedFileTwoLevel(vecs, idx, wProbe)
-    val emptyC = expr("CAST(array() AS ARRAY<ARRAY<DOUBLE>>)")
-    val emptyI = expr("CAST(array() AS ARRAY<INT>)")
-    var q = queries.withColumn("__probes",
-      GraftFunctions.nearestCells(col("qv"), idx.coarseCents, idx.coarseIds, wProbe))
-    var cs: Column = null
-    var is: Column = null
-    for (p <- 0 until wProbe) {
-      val g = idx.groups.select(col("coarse").as(s"__qc$p"),
-        col("gcents").as(s"__qgc$p"), col("gids").as(s"__qgi$p"))
-      q = q.join(broadcast(g),
-        expr(s"try_element_at(__probes, ${p + 1})") === col(s"__qc$p"),
-        if (p == 0) "inner" else "left")
-      val c = if (p == 0) col(s"__qgc$p") else coalesce(col(s"__qgc$p"), emptyC)
-      val i = if (p == 0) col(s"__qgi$p") else coalesce(col(s"__qgi$p"), emptyI)
-      cs = if (cs == null) c else concat(cs, c)
-      is = if (is == null) i else concat(is, i)
-    }
-    val probes = q
-      .withColumn("cell",
-        explode(GraftFunctions.nearestCellsInGroup(col("qv"), cs, is, nprobe)))
+    val probes = probeCellsTwoLevel(queries, "qv", idx, nprobe, wProbe)
       .select(col("query_id"), col("qv"), col("cell"))
     probes.join(inverted, Seq("cell"))
       .filter(col("query_id") =!= col("id"))

@@ -103,4 +103,26 @@ object AnnPq {
     }
     coded.withColumn("recon", concat(reconCols: _*))
   }
+
+  /** Codes packed as ONE `array<int>` column — the STORED index form
+    * (m small ints per vector, the only per-vector payload a coded
+    * inverted file ships through an ADC join). Same per-subspace
+    * argmin kernels as [[encode]]; no reconstruction is materialized —
+    * ADC consumers score codes against a per-query LUT
+    * ([[graft.functions.expressions.AnnKernels.adcCosine]]).
+    *
+    * @return input columns + `codes` (array&lt;int&gt; of length m;
+    *         −1 marks an empty-codebook subspace, skipped by ADC)
+    */
+  def encodeCodes(vecs: DataFrame, books: Array[Array[Array[Double]]],
+      dsub: Int): DataFrame = {
+    val m = books.length
+    val codeCols: Seq[Column] = (0 until m).map { s =>
+      if (books(s).isEmpty) lit(-1)
+      else GraftFunctions.nearestCell(
+        expr(s"slice(v, ${s * dsub + 1}, $dsub)"),
+        books(s), Array.tabulate(books(s).length)(identity))
+    }
+    vecs.select(vecs.columns.map(col) :+ array(codeCols: _*).as("codes"): _*)
+  }
 }

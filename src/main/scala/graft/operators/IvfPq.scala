@@ -1,0 +1,287 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StructField, StructType}
+
+import graft.functions.expressions.GraftFunctions
+
+/** The composed production ANN search (the FAISS IVF-PQ recipe, Jégou
+  * et al. 2011 §V): IVF routes each query to `nprobe` cells, true ADC
+  * scores ONLY those cells' members — m small CODES per candidate
+  * against a per-query lookup table of partial dot products — and the
+  * top `rerank` ADC survivors are re-ranked with exact cosine over
+  * their full vectors (a broadcast point fetch, never a corpus scan).
+  *
+  * Two structural disciplines both live HERE, shared by every composed
+  * consumer (batch search, rerank tuning curve, streaming serve):
+  *
+  *  - '''Regime dispatch''' ([[AnnIvf.regimeFor]]): below the
+  *    one-level ceiling the index is the full-corpus Lloyd build with
+  *    centroid codegen constants; past ~10⁷ vectors [[indexAuto]]
+  *    selects the two-level index (capped-sample training, √cells
+  *    coarse constants, broadcast fine neighborhoods) — the same
+  *    handover SemDeDup routes through, so the O(cells)-per-row /
+  *    50 MB-constant one-level shape is unreachable at scale by
+  *    construction. At every oracle-checked scale the dispatch
+  *    resolves to one-level, so the centroid-literal replays stay
+  *    valid unchanged; the forced two-level arm has its own
+  *    full-composition oracle (emb_ivfpq_topk_two_level).
+  *  - '''True ADC''': the candidate relation carries (cell, id,
+  *    codes) — m ints per vector, the part a 100 TB deployment keeps
+  *    memory-resident — and scoring is m lookups into a per-query LUT
+  *    (AnnKernels.pqQueryLut / adcCosine). The PQ reconstruction
+  *    (~dim doubles ≈ 32× the codes) exists nowhere in the join.
+  *
+  * [[buildIndex]]/[[loadIndex]] persist the trained artifact
+  * (centroids or coarse+groups, codebooks, the coded inverted file
+  * partitioned by cell) so a serving deployment trains ONCE and
+  * loads — the streaming serve's offline half consumes the stored
+  * form instead of re-running Lloyd per start.
+  */
+object IvfPq {
+
+  /** A built search index, regime-resolved. */
+  sealed trait Index
+  final case class OneLevelIndex(cellIds: Array[Int],
+      cents: Array[Array[Double]]) extends Index
+  final case class TwoLevelIndexW(idx: AnnIvf.TwoLevelIndex, wProbe: Int) extends Index
+
+  /** Build the index through whichever regime [[AnnIvf.regimeFor]]
+    * selects for a corpus of `n` vectors — the structural handover
+    * every composed-search consumer routes through.
+    */
+  def indexAuto(corpus: DataFrame, n: Long, dim: Int, wProbe: Int = 2,
+      oneLevelMax: Long = AnnIvf.OneLevelMaxVectors): Index = {
+    val cells = AnnIvf.adaptiveCells(n)
+    AnnIvf.regimeFor(n, oneLevelMax) match {
+      case AnnIvf.OneLevel =>
+        val (ids, cents) = AnnIvf.collectCentroids(
+          AnnIvf.refinedCentroids(corpus, cells, dim))
+        OneLevelIndex(ids, cents)
+      case AnnIvf.TwoLevel =>
+        TwoLevelIndexW(
+          AnnIvf.twoLevelIndex(corpus, cells, dim, knownCount = n), wProbe)
+    }
+  }
+
+  /** Corpus assignment under the index: (id, v, cell) — projection
+    * only (one-level) or projection + broadcast joins (two-level);
+    * never a corpus shuffle.
+    */
+  def assign(index: Index, vecs: DataFrame): DataFrame = index match {
+    case OneLevelIndex(ids, cents) => AnnIvf.invertedFile(vecs, ids, cents)
+    case TwoLevelIndexW(idx, w) => AnnIvf.invertedFileTwoLevel(vecs, idx, w)
+  }
+
+  /** Query-side probe: the `nprobe` nearest cells appended as an
+    * exploded `cell` column (input columns preserved). One-level: a
+    * single compiled argmin projection; two-level: coarse probe +
+    * broadcast neighborhood joins ([[AnnIvf.probeCellsTwoLevel]]).
+    * Both shapes are legal on streaming inputs (no window, no state).
+    */
+  def probe(index: Index, df: DataFrame, vCol: String, nprobe: Int): DataFrame =
+    index match {
+      case OneLevelIndex(ids, cents) =>
+        df.withColumn("cell",
+          explode(GraftFunctions.nearestCells(col(vCol), cents, ids, nprobe)))
+      case TwoLevelIndexW(idx, w) =>
+        AnnIvf.probeCellsTwoLevel(df, vCol, idx, nprobe, w)
+    }
+
+  /** The coded inverted file — the hot index a 100 TB deployment keeps
+    * memory-resident: (cell, id, codes array&lt;int&gt; of length m).
+    * Built by projection-only passes over one corpus scan.
+    */
+  def codedInvertedFile(index: Index, corpus: DataFrame,
+      books: Array[Array[Array[Double]]], dsub: Int): DataFrame =
+    AnnPq.encodeCodes(assign(index, corpus), books, dsub)
+      .select(col("cell"), col("id"), col("codes"))
+
+  /** ADC candidates for a query table (query_id, qv): probe, build the
+    * per-query LUT once (|Q|·nprobe rows), hash-join the coded file on
+    * cell, score codes via the LUT. Returns (query_id, neighbor_id,
+    * adc_cos) — the full query vector is dropped BEFORE the join, so
+    * the candidate stream carries ~24 bytes + m codes per row.
+    */
+  def adcCandidates(index: Index, books: Array[Array[Array[Double]]], dsub: Int,
+      codedInv: DataFrame, queries: DataFrame, nprobe: Int): DataFrame =
+    probe(index, queries, "qv", nprobe)
+      .withColumn("__lut", GraftFunctions.pqQueryLut(col("qv"), books, dsub))
+      .drop("qv")
+      .join(codedInv.withColumnRenamed("id", "neighbor_id"), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        GraftFunctions.adcCosine(col("__lut"), col("codes"), books).as("adc_cos"))
+
+  /** The composed top-k search over a pre-built index: ADC pool of
+    * `rerank` per query, exact-cosine re-rank of the survivors via a
+    * broadcast point fetch against the full-vector corpus. Output:
+    * (query_id, rank, neighbor_id, cos_sim, adc_cos, adc_rank),
+    * unsorted (callers order for presentation).
+    */
+  def topKWith(index: Index, books: Array[Array[Array[Double]]], dsub: Int,
+      corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      rerank: Int): DataFrame = {
+    val codedInv = codedInvertedFile(index, corpus, books, dsub)
+    // the ADC window shuffles only (query_id, neighbor_id, adc_cos) —
+    // never the query vector; qv rejoins AFTER the rerank cut from the
+    // tiny broadcast query table
+    val surv = adcCandidates(index, books, dsub, codedInv, queries, nprobe)
+      .withColumn("adc_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_cos").desc, col("neighbor_id"))))
+      .filter(col("adc_rank") <= rerank)
+      .join(broadcast(queries), Seq("query_id"))
+    val full = corpus.select(col("id").as("neighbor_id"), col("v").as("cv"))
+    full.join(broadcast(surv), Seq("neighbor_id"))
+      .withColumn("cos_sim", GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos_sim"), 4).as("cos_sim"),
+        round(col("adc_cos"), 4).as("adc_cos"), col("adc_rank"))
+  }
+
+  /** End-to-end composed search: train (regime-dispatched index + PQ
+    * codebooks) and run [[topKWith]]. `oneLevelMax` is parameterized
+    * for specs and the forced-two-level query; production call sites
+    * use the default ceiling.
+    */
+  def topK(corpus: DataFrame, n: Long, dim: Int, queries: DataFrame, k: Int,
+      nprobe: Int, rerank: Int, m: Int, dsub: Int, kCodes: Int,
+      wProbe: Int = 2, oneLevelMax: Long = AnnIvf.OneLevelMaxVectors): DataFrame = {
+    val index = indexAuto(corpus, n, dim, wProbe, oneLevelMax)
+    val books = AnnPq.collectCodebooks(
+      AnnPq.refinedCodebooks(corpus, m, dsub, kCodes), m)
+    topKWith(index, books, dsub, corpus, queries, k, nprobe, rerank)
+  }
+
+  // ------------------------------------------------ persisted index
+  // A production retrieval system builds the coded inverted file ONCE
+  // and serves from the stored artifact — it does not re-run Lloyd and
+  // codebook training per process start. The layout mirrors what the
+  // search executes: the coded file partitioned by cell (the join
+  // key — at 100 TB this is the bucketing that makes the stream-static
+  // join exchange-free on the static side), plus the tiny trained
+  // tables (centroids or coarse+groups, codebooks) and a one-row meta
+  // table pinning the regime and PQ geometry. Every write is
+  // deterministic (seeded training, decimal-exact means), so a loaded
+  // index reproduces the inline build bit for bit — the oracle replay
+  // of a loaded-index consumer is the SAME chain as the inline one.
+
+  private val invertedSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("codes", ArrayType(IntegerType, containsNull = false)),
+    StructField("cell", IntegerType)))
+  private val centroidSchema = StructType(Seq(
+    StructField("cell", IntegerType),
+    StructField("c", ArrayType(DoubleType))))
+  private val groupSchema = StructType(Seq(
+    StructField("coarse", IntegerType),
+    StructField("gcents", ArrayType(ArrayType(DoubleType))),
+    StructField("gids", ArrayType(IntegerType))))
+  private val codebookSchema = StructType(Seq(
+    StructField("sub", IntegerType),
+    StructField("code", IntegerType),
+    StructField("c", ArrayType(DoubleType))))
+  private val metaSchema = StructType(Seq(
+    StructField("regime", org.apache.spark.sql.types.StringType),
+    StructField("m", IntegerType),
+    StructField("dsub", IntegerType),
+    StructField("w_probe", IntegerType)))
+
+  /** Train and persist the full index artifact under `dir`
+    * (overwriting): `inverted/` (cell-partitioned coded file),
+    * `centroids/` or `coarse/`+`groups/`, `codebooks/`, `meta/`.
+    * Returns the built in-memory halves so a caller that builds AND
+    * serves in one process does not pay a second load.
+    */
+  def buildIndex(corpus: DataFrame, n: Long, dim: Int, m: Int, dsub: Int,
+      kCodes: Int, dir: String, wProbe: Int = 2,
+      oneLevelMax: Long = AnnIvf.OneLevelMaxVectors): (Index, Array[Array[Array[Double]]]) = {
+    val spark = corpus.sparkSession
+    val index = indexAuto(corpus, n, dim, wProbe, oneLevelMax)
+    val books = AnnPq.collectCodebooks(
+      AnnPq.refinedCodebooks(corpus, m, dsub, kCodes), m)
+    codedInvertedFile(index, corpus, books, dsub)
+      .select(col("id"), col("codes"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/inverted")
+    def toDf(rows: Seq[org.apache.spark.sql.Row], schema: StructType): DataFrame =
+      spark.createDataFrame(new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    index match {
+      case OneLevelIndex(ids, cents) =>
+        toDf(ids.zip(cents).toSeq.map { case (i, c) =>
+          org.apache.spark.sql.Row(i, c.toSeq) }, centroidSchema)
+          .write.mode("overwrite").parquet(s"$dir/centroids")
+      case TwoLevelIndexW(idx, _) =>
+        toDf(idx.coarseIds.zip(idx.coarseCents).toSeq.map { case (i, c) =>
+          org.apache.spark.sql.Row(i, c.toSeq) }, centroidSchema)
+          .write.mode("overwrite").parquet(s"$dir/coarse")
+        idx.groups.write.mode("overwrite").parquet(s"$dir/groups")
+    }
+    toDf(books.toSeq.zipWithIndex.flatMap { case (book, s) =>
+      book.toSeq.zipWithIndex.map { case (cent, code) =>
+        org.apache.spark.sql.Row(s, code, cent.toSeq) } }, codebookSchema)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    val regime = index match {
+      case _: OneLevelIndex => "one_level"
+      case _: TwoLevelIndexW => "two_level"
+    }
+    toDf(Seq(org.apache.spark.sql.Row(regime, m, dsub, wProbe)), metaSchema)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    (index, books)
+  }
+
+  /** Deterministic scratch location for the persisted index artifact
+    * of an sf dir — /tmp scratch (the ScaleUp-tile convention), never
+    * the read-only testdata; overwritten per build.
+    */
+  def indexDir(sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_ivfpq_index_" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** A loaded index: the trained halves plus the stored coded file AS
+    * A DATAFRAME (cell, id, codes) — the serve path joins it directly,
+    * so the corpus-sized artifact is never collected to the driver.
+    */
+  final case class Loaded(index: Index, books: Array[Array[Array[Double]]],
+      dsub: Int, inverted: DataFrame)
+
+  /** Load a persisted index from `dir`. All reads carry explicit
+    * schemas, so a zero-row artifact (empty corpus) loads as empty
+    * relations rather than failing schema inference.
+    */
+  def loadIndex(spark: SparkSession, dir: String): Loaded = {
+    val meta = spark.read.schema(metaSchema).parquet(s"$dir/meta").collect()
+    require(meta.length == 1, s"loadIndex: bad meta at $dir")
+    val (regime, dsub, wProbe) =
+      (meta(0).getString(0), meta(0).getInt(2), meta(0).getInt(3))
+    def centsOf(path: String): (Array[Int], Array[Array[Double]]) = {
+      val rows = spark.read.schema(centroidSchema).parquet(path).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      (rows.map(_._1), rows.map(_._2))
+    }
+    val index: Index = regime match {
+      case "one_level" =>
+        val (ids, cents) = centsOf(s"$dir/centroids")
+        OneLevelIndex(ids, cents)
+      case _ =>
+        val (cids, ccents) = centsOf(s"$dir/coarse")
+        val groups = spark.read.schema(groupSchema).parquet(s"$dir/groups")
+        TwoLevelIndexW(AnnIvf.TwoLevelIndex(cids, ccents, groups), wProbe)
+    }
+    val bookRows = spark.read.schema(codebookSchema).parquet(s"$dir/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = meta(0).getInt(1)
+    val books = Array.tabulate(m)(s =>
+      bookRows.filter(_._1 == s).sortBy(_._2).map(_._3))
+    val inverted = spark.read.schema(invertedSchema)
+      .parquet(s"$dir/inverted").select(col("cell"), col("id"), col("codes"))
+    Loaded(index, books, dsub, inverted)
+  }
+}

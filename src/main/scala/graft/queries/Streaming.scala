@@ -322,55 +322,57 @@ object Streaming {
 
   // Streaming IVF+PQ retrieval serving — the ONLINE half of the
   // composed production search (emb_ivfpq_topk is the batch form):
-  // the coded index is built OFFLINE (IVF centroids + PQ codebooks +
-  // the cell/id/codes inverted file — the part a 100 TB deployment
-  // keeps memory-resident), then each ARRIVING vector is answered
-  // with its similar corpus items in one stateless pass: probe
-  // nprobe cells (projection against the centroid constants),
-  // stream-static equi-join on cell against the coded file, ADC
-  // prefilter on the 16-byte-code reconstruction (cheap, loose
-  // threshold 0.3), and an exact-cosine verify (threshold 0.4, the
-  // dedup family's standard) via a second stream-static join that
-  // fetches full vectors ONLY for ADC survivors. No state store, no
-  // watermark, no stream-side shuffle — like st_ood_filter it scales
-  // to any ingestion rate by adding executors; at 100 TB both static
-  // sides are bucketed by their join key (cell / id) so the
-  // micro-batch join is exchange-free on the static side. Emits
+  // the index is trained and PERSISTED once (IvfPq.buildIndex — the
+  // cell-partitioned coded file + centroid/codebook tables), the
+  // serving process LOADS the stored artifact (never re-runs Lloyd),
+  // and each ARRIVING vector is answered in one stateless pass:
+  // regime-dispatched probe (projection against the loaded constants,
+  // or coarse probe + broadcast neighborhoods past the ceiling), a
+  // per-query ADC lookup table built scan-side, a stream-static
+  // equi-join on cell against the loaded (cell, id, codes) file —
+  // TRUE ADC: m code lookups per candidate, no reconstruction
+  // anywhere — an ADC prefilter (loose, shared constant), and an
+  // exact-cosine verify via a second stream-static join fetching full
+  // vectors ONLY for ADC survivors. No state store, no watermark, no
+  // stream-side shuffle — like st_ood_filter it scales to any
+  // ingestion rate by adding executors; both static sides are
+  // broadcast (the coded file is the part a deployment keeps
+  // memory-resident; at 100 TB they are bucketed by their join key),
+  // so the micro-batch join is shuffle-free on the static side. Emits
   // (query, neighbor, adc_cos, cos_sim) in append mode as vectors
-  // arrive; the batch oracle replays the entire composition.
+  // arrive; the batch oracle replays the entire composition including
+  // the blocked ADC folds.
   private val stIvfpqServe: Q = (s, d) => {
-    import graft.operators.{AnnIvf, AnnPq}
+    import graft.operators.IvfPq
     import org.apache.spark.sql.types.ArrayType
     import graft.functions.expressions.GraftFunctions
     val corpus = graft.Tables.embeddings(s, d)
       .select(col("vec_id").as("id"),
         col("embedding").cast(ArrayType(DoubleType)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the offline build: same index shape as every batch IVF consumer
-    // (adaptiveCells = 16 at oracle scales) + the PQ codebooks
-    val (ids, cents) = AnnIvf.collectCentroids(
-      AnnIvf.refinedCentroids(corpus,
-        cells = AnnIvf.adaptiveCells(corpus.count()), dim = 64))
-    val books = AnnPq.collectCodebooks(
-      AnnPq.refinedCodebooks(corpus, Vectors.pqM, Vectors.pqDsub, Vectors.pqK),
-      Vectors.pqM)
-    val codedInv = AnnPq.encode(
-        AnnIvf.invertedFile(corpus, ids, cents), books, Vectors.pqDsub)
-      .select(col("cell"), col("id").as("neighbor_id"), col("recon"))
+    val n = corpus.count()
+    // offline half: train + persist, then serve FROM THE STORED
+    // ARTIFACT (the load path emb_index_build audits hash-exactly)
+    val dir = Vectors.indexDir(d)
+    IvfPq.buildIndex(corpus, n, dim = 64, m = Vectors.pqM,
+      dsub = Vectors.pqDsub, kCodes = Vectors.pqK, dir = dir)
+    val loaded = IvfPq.loadIndex(s, dir)
+    val codedInv = broadcast(loaded.inverted.withColumnRenamed("id", "neighbor_id"))
     val full = corpus.select(col("id").as("neighbor_id"), col("v").as("cv"))
-    val served = QanStream.embeddingsStream(s, d)
+    val arriving = QanStream.embeddingsStream(s, d)
       .select(col("vec_id").as("query_id"),
         col("embedding").cast(ArrayType(DoubleType)).as("qv"))
-      // scan-level probe: one compiled argmin sweep per arriving vector
-      .select(col("query_id"), col("qv"),
-        explode(GraftFunctions.nearestCells(col("qv"), cents, ids, 2)).as("cell"))
+    val served = IvfPq.probe(loaded.index, arriving, "qv", Vectors.ivfpqNprobe)
+      .withColumn("__lut",
+        GraftFunctions.pqQueryLut(col("qv"), loaded.books, Vectors.pqDsub))
       .join(codedInv, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc_cos", GraftFunctions.cosineSimilarity(col("qv"), col("recon")))
-      .filter(col("adc_cos") >= 0.3)
-      .join(full, Seq("neighbor_id"))
+      .withColumn("adc_cos",
+        GraftFunctions.adcCosine(col("__lut"), col("codes"), loaded.books))
+      .filter(col("adc_cos") >= Vectors.ivfpqAdcPrefilter)
+      .join(broadcast(full), Seq("neighbor_id"))
       .withColumn("cos_sim", GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
-      .filter(col("cos_sim") >= 0.4)
+      .filter(col("cos_sim") >= Vectors.ivfpqExactVerify)
       .select(col("query_id"), col("neighbor_id"),
         round(col("adc_cos"), 4).as("adc_cos"),
         round(col("cos_sim"), 4).as("cos_sim"))
@@ -387,23 +389,93 @@ object Streaming {
           ROW_NUMBER() OVER (PARTITION BY e.vec_id
             ORDER BY ${ScaleOps.ivfSqDist("e.v", "c1.c", 64)}, c1.cell) AS rn
         FROM e CROSS JOIN centf c1)
-      WHERE rn <= 2),
-    cand AS (
-      SELECT p.query_id, iv.vec_id AS neighbor_id, p.qv AS qv,
-        pq.recon AS rv, iv.v AS cv
-      FROM probes p
-      JOIN inverted iv ON iv.cell = p.cell AND iv.vec_id <> p.query_id
-      JOIN pq_pq pq ON pq.vec_id = iv.vec_id),
+      WHERE rn <= ${Vectors.ivfpqNprobe}),
+    ${Vectors.adcCtes("probes", "inverted", 64)},
     scored AS (
-      SELECT query_id, neighbor_id,
-        ${Vectors.cosFold("qv", "rv", 64)} AS adc_raw,
-        ${Vectors.cosFold("qv", "cv", 64)} AS cos_raw
-      FROM cand)
+      SELECT a.query_id, a.neighbor_id, a.adc_raw,
+        ${Vectors.cosFold("qe.v", "ce.v", 64)} AS cos_raw
+      FROM adcr a
+      JOIN e qe ON qe.vec_id = a.query_id
+      JOIN e ce ON ce.vec_id = a.neighbor_id
+      WHERE a.adc_raw >= ${Vectors.ivfpqAdcPrefilter})
     SELECT query_id, neighbor_id,
       ROUND(adc_raw, 4) AS adc_cos, ROUND(cos_raw, 4) AS cos_sim
     FROM scored
-    WHERE adc_raw >= 0.3 AND cos_raw >= 0.4
+    WHERE cos_raw >= ${Vectors.ivfpqExactVerify}
     ORDER BY query_id, neighbor_id"""
+
+  // Top-k retrieval serving over the LOADED index — the real online
+  // contract (a retrieval service answers "the k best neighbors of
+  // this arriving vector", not "all pairs above τ"): same stateless
+  // probe → LUT → true-ADC stream-static join as st_ivfpq_serve, then
+  // a PER-MICRO-BATCH bounded top-k (ADC pool of `rerank`, exact
+  // re-rank to rank ≤ k) applied inside foreachBatch. Ranking windows
+  // are illegal on an unbounded stream, but every query's candidates
+  // derive from its own arriving row's stream-static joins, so they
+  // all live in that row's micro-batch — per-batch top-k IS global
+  // per-query top-k under ANY batching, with zero state operators in
+  // the streaming plan (StreamingSpec pins it). Work per batch is
+  // bounded by the batch's arrivals. The oracle replays the batch
+  // composition: same chain as emb_ivfpq_topk over ALL queries.
+  private val stIvfpqServeTopk: Q = (s, d) => {
+    import graft.operators.IvfPq
+    import org.apache.spark.sql.types.ArrayType
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.expressions.GraftFunctions
+    val corpus = graft.Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = corpus.count()
+    val dir = Vectors.indexDir(d)
+    IvfPq.buildIndex(corpus, n, dim = 64, m = Vectors.pqM,
+      dsub = Vectors.pqDsub, kCodes = Vectors.pqK, dir = dir)
+    val loaded = IvfPq.loadIndex(s, dir)
+    val codedInv = broadcast(loaded.inverted.withColumnRenamed("id", "neighbor_id"))
+    val full = corpus.select(col("id").as("neighbor_id"), col("v").as("cv"))
+    val arriving = QanStream.embeddingsStream(s, d)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("qv"))
+    // streaming plan: candidates + ADC scores only — stateless
+    val cand = IvfPq.probe(loaded.index, arriving, "qv", Vectors.ivfpqNprobe)
+      .withColumn("__lut",
+        GraftFunctions.pqQueryLut(col("qv"), loaded.books, Vectors.pqDsub))
+      .join(codedInv, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qv"), col("neighbor_id"),
+        GraftFunctions.adcCosine(col("__lut"), col("codes"), loaded.books)
+          .as("adc_cos"))
+    QanStream.runForeachBatch(cand, batch => {
+      val surv = batch
+        .withColumn("adc_rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("adc_cos").desc, col("neighbor_id"))))
+        .filter(col("adc_rank") <= Vectors.ivfpqRerank)
+      full.join(broadcast(surv), Seq("neighbor_id"))
+        .withColumn("cos_sim",
+          GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+        .filter(col("rank") <= Vectors.ivfpqK)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos_sim"), 4).as("cos_sim"),
+          round(col("adc_cos"), 4).as("adc_cos"), col("adc_rank"))
+    }).orderBy(col("query_id"), col("rank"))
+  }
+
+  private lazy val stIvfpqServeTopkSql: String = s"""
+    WITH ${ScaleOps.ivfCtes(16, 64)},
+    ${Vectors.pqCtesComposable},
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c1.cell,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ${ScaleOps.ivfSqDist("e.v", "c1.c", 64)}, c1.cell) AS rn
+        FROM e CROSS JOIN centf c1)
+      WHERE rn <= ${Vectors.ivfpqNprobe}),
+    ${Vectors.adcCtes("probes", "inverted", 64)},
+    ${Vectors.ivfpqRerankTailSql(Vectors.ivfpqRerank, Vectors.ivfpqK, 64)}"""
 
   // Streaming ingestion-time NEAR-dup detection (DedupStream): as docs
   // arrive, each is checked against resident (band, bucket) signature
@@ -611,6 +683,7 @@ object Streaming {
     "st_cell_dedup" -> stCellDedup,
     "st_ood_filter" -> stOodFilter,
     "st_ivfpq_serve" -> stIvfpqServe,
+    "st_ivfpq_serve_topk" -> stIvfpqServeTopk,
     "st_exact_dedup_stream" -> stExactDedup,
     "st_multi_counter_stream" -> stMultiCounter,
     "st_delta_stream" -> stDelta,
@@ -631,6 +704,7 @@ object Streaming {
     "st_cell_dedup" -> stCellDedupSql,
     "st_ood_filter" -> stOodFilterSql,
     "st_ivfpq_serve" -> stIvfpqServeSql,
+    "st_ivfpq_serve_topk" -> stIvfpqServeTopkSql,
     "st_exact_dedup_stream" -> Text.oracles("doc_exact_dedup"),
     "st_multi_counter_stream" -> Qan.oracles("qan_multi_counter_delta"),
     "st_session_stream" -> stSessionSql,

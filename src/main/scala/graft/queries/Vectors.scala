@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.Tables._
 import graft.functions.expressions.GraftFunctions
-import graft.operators.{AnnIvf, AnnPq}
+import graft.operators.{AnnIvf, AnnPq, IvfPq}
 
 /** Block D — similarity search over the `embeddings` table (SURVEY
   * §2.D). The pairwise kernel is the native CosineSimilarity
@@ -388,70 +388,120 @@ object Vectors {
 
   // --------------------------------------------------- emb_ivfpq_topk
   // The composed production ANN shape (the FAISS IVF-PQ recipe,
-  // Jégou et al. 2011 §V): IVF routes each query to nprobe cells, ADC
-  // scores ONLY those cells' members against their PQ reconstructions
-  // (16 bytes/vector of codes — the part of the index a 100 TB
-  // deployment keeps memory-resident), and the top `rerank` ADC
-  // survivors per query are re-ranked with exact cosine over their
-  // full vectors. emb_ann_ivf proves the routing, emb_pq_topk the ADC
-  // scoring; THIS is the composition a real vector store executes —
-  // candidate work is |cell|·nprobe codes per query instead of n full
-  // vectors, and full-precision vectors are touched only for the
-  // rerank·|Q| survivors (a broadcast-join point fetch, never a
-  // corpus-wide score).
+  // Jégou et al. 2011 §V): IVF routes each query to nprobe cells,
+  // TRUE ADC scores ONLY those cells' members — m CODES per candidate
+  // (16 ints — the part of the index a 100 TB deployment keeps
+  // memory-resident) against a per-query lookup table of partial dot
+  // products — and the top `rerank` ADC survivors per query are
+  // re-ranked with exact cosine over their full vectors. emb_ann_ivf
+  // proves the routing, emb_pq_topk the ADC math; THIS is the
+  // composition a real vector store executes — candidate work is
+  // |cell|·nprobe code lookups per query instead of n full vectors,
+  // and full-precision vectors are touched only for the rerank·|Q|
+  // survivors (a broadcast-join point fetch, never a corpus-wide
+  // score). The whole pipeline lives in the IvfPq operator and ROUTES
+  // THROUGH THE REGIME DISPATCH (AnnIvf.regimeFor): at every
+  // oracle-checked scale it resolves to the one-level index this
+  // oracle replays; past the ~10⁷-vector ceiling the two-level arm
+  // (its own oracle: emb_ivfpq_topk_two_level) is selected
+  // structurally — the O(cells)-per-row one-level shape cannot be
+  // chosen at scale by accident.
   //
   // 100 TB shape: the coded inverted file (cell, id, codes) is the
-  // hot index — built once by projection-only passes (argmin kernels
-  // over codegen-constant centroids/codebooks), bucketed by cell; the
-  // ADC join is a hash join on cell against a query-probe table of
-  // |Q|·nprobe rows; the exact re-rank broadcasts the ≤ rerank·|Q|
-  // survivor ids against the corpus (at scale: a point-lookup fetch).
-  // The oracle replays the ENTIRE composition — IVF Lloyd, PQ
-  // codebooks, positional re-coding, ADC ranking, exact re-rank —
-  // bit-exactly via the shared ivfCtes + pq_-namespaced PQ chain.
-  private val ivfpqNprobe = 2; private val ivfpqRerank = 30
+  // hot index — built once by projection-only passes, bucketed by
+  // cell (IvfPq.buildIndex persists exactly this layout); the ADC
+  // join is a hash join on cell whose candidate relation carries m
+  // ints per row (the reconstruction — ~32× the bytes — exists
+  // nowhere); the exact re-rank broadcasts the ≤ rerank·|Q| survivor
+  // ids against the corpus (at scale: a point-lookup fetch). The
+  // oracle replays the ENTIRE composition — IVF Lloyd, PQ codebooks,
+  // positional re-coding, the blocked ADC folds, exact re-rank —
+  // bit-exactly via the shared ivfCtes + pq_ chain + adcCtes.
+  private[queries] val ivfpqNprobe = 2
+  private[queries] val ivfpqRerank = 30
+  private[queries] val ivfpqK = 10
+  // streaming-serve thresholds (shared with the Streaming twins so the
+  // Spark plans and the SQL oracles can never drift apart)
+  private[queries] val ivfpqAdcPrefilter = 0.3
+  private[queries] val ivfpqExactVerify = 0.4
   private val embIvfpqTopk: Q = (s, d) => {
     val e = vecs(s, d)
     val corpus = e.select(col("vec_id").as("id"), col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one sizing count, shared by cell-count rule and nothing else
-    val cells = AnnIvf.adaptiveCells(corpus.count())
-    val (cellIds, cents) = AnnIvf.collectCentroids(
-      AnnIvf.refinedCentroids(corpus, cells, dim = 64))
-    val books = AnnPq.collectCodebooks(
-      AnnPq.refinedCodebooks(corpus, pqM, pqDsub, pqK), pqM)
-    // the coded inverted file: cell + id + PQ reconstruction (a
-    // constant-lookup projection over the m code columns). The full
-    // vector is DROPPED here — the ADC stage never carries it.
-    val codedInv = AnnPq.encode(
-        AnnIvf.invertedFile(corpus, cellIds, cents), books, pqDsub)
-      .select(col("cell"), col("id").as("neighbor_id"), col("recon"))
+    // one sizing count, shared by the regime dispatch and cell rule
+    val n = corpus.count()
     val queries = corpus.filter(col("id") < 5)
       .select(col("id").as("query_id"), col("v").as("qv"))
-    // query-side probe: one projection against the centroid constants
-    val probes = queries.select(col("query_id"), col("qv"),
-      explode(GraftFunctions.nearestCells(col("qv"), cents, cellIds, ivfpqNprobe)).as("cell"))
-    val adc = probes.join(codedInv, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc_cos", GraftFunctions.cosineSimilarity(col("qv"), col("recon")))
-      .withColumn("adc_rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("adc_cos").desc, col("neighbor_id"))))
-      .filter(col("adc_rank") <= ivfpqRerank)
-      .select(col("query_id"), col("qv"), col("neighbor_id"),
-        col("adc_cos"), col("adc_rank"))
-    // exact re-rank: fetch full vectors ONLY for the survivors —
-    // broadcast the ≤ rerank·|Q|-row survivor table, never the corpus
-    val full = corpus.select(col("id").as("neighbor_id"), col("v").as("cv"))
-    full.join(broadcast(adc), Seq("neighbor_id"))
-      .withColumn("cos_sim", GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))))
-      .filter(col("rank") <= 10)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos_sim"), 4).as("cos_sim"),
-        round(col("adc_cos"), 4).as("adc_cos"), col("adc_rank"))
+    IvfPq.topK(corpus, n, dim = 64, queries, k = ivfpqK,
+        nprobe = ivfpqNprobe, rerank = ivfpqRerank,
+        m = pqM, dsub = pqDsub, kCodes = pqK)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Shared TRUE-ADC replay CTEs: blocked per-subspace dot/norm
+    * partials over `pq_coded`'s chosen centroids, cross-subspace sums
+    * folded in ascending-sub order, query norm folded over the full
+    * vector — the exact arithmetic of AnnKernels.pqQueryLut/adcCosine
+    * (NOT the flat cosine fold: ADC's association is per-subspace by
+    * construction, and both engines execute the identical blocked
+    * order). Requires a `probesTable(query_id, qv, cell)` CTE, an
+    * `invTable(vec_id, cell)` CTE, and the pq_ chain. Terminal CTE:
+    * `adcr(query_id, neighbor_id, adc_raw, adc_rank)`.
+    */
+  private[queries] def adcCtes(probesTable: String, invTable: String,
+      dim: Int = 64): String = {
+    val d = pqDsub
+    def foldSub(term: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${d + 1}), " +
+        s"j -> $term)), (acc, x) -> acc + x)"
+    def fold64(term: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+        s"i -> $term)), (acc, x) -> acc + x)"
+    s"""adcp AS (
+      SELECT p.query_id, iv.vec_id AS neighbor_id, c.sub,
+        ${foldSub(s"p.qv[CAST(c.sub * $d + j AS INT)] * c.c[CAST(j AS INT)]")} AS pd,
+        ${foldSub("c.c[CAST(j AS INT)] * c.c[CAST(j AS INT)]")} AS pn
+      FROM $probesTable p
+      JOIN $invTable iv ON iv.cell = p.cell AND iv.vec_id <> p.query_id
+      JOIN pq_coded c ON c.vec_id = iv.vec_id),
+    adcs AS (
+      SELECT query_id, neighbor_id,
+        list_reduce(list_prepend(0.0, list(pd ORDER BY sub)), (acc, x) -> acc + x) AS dot,
+        list_reduce(list_prepend(0.0, list(pn ORDER BY sub)), (acc, x) -> acc + x) AS n2
+      FROM adcp GROUP BY query_id, neighbor_id),
+    qn AS (
+      SELECT DISTINCT query_id,
+        ${fold64("qv[CAST(i AS INT)] * qv[CAST(i AS INT)]")} AS qn2
+      FROM $probesTable),
+    adcr AS (
+      SELECT a.query_id, a.neighbor_id,
+        a.dot / (sqrt(q.qn2) * sqrt(a.n2)) AS adc_raw,
+        ROW_NUMBER() OVER (PARTITION BY a.query_id
+          ORDER BY a.dot / (sqrt(q.qn2) * sqrt(a.n2)) DESC, a.neighbor_id) AS adc_rank
+      FROM adcs a JOIN qn q ON q.query_id = a.query_id)"""
+  }
+
+  /** The exact-re-rank tail shared by the composed-search oracles:
+    * survivors at `rerank` depth, full-vector cosine, top-`k` rows.
+    */
+  private[queries] def ivfpqRerankTailSql(rerank: Int, k: Int, dim: Int): String = s"""
+    surv AS (SELECT * FROM adcr WHERE adc_rank <= $rerank),
+    ex AS (
+      SELECT s.query_id, s.neighbor_id, s.adc_raw, s.adc_rank,
+        ${cosFold("qe.v", "c.v", dim)} AS cos_raw
+      FROM surv s
+      JOIN e c ON c.vec_id = s.neighbor_id
+      JOIN e qe ON qe.vec_id = s.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc_raw, adc_rank, cos_raw,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM ex)
+    SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 4) AS cos_sim,
+      ROUND(adc_raw, 4) AS adc_cos, adc_rank
+    FROM ranked
+    WHERE rank <= $k
+    ORDER BY query_id, rank"""
 
   private lazy val embIvfpqTopkSql: String = {
     val dim = 64
@@ -466,32 +516,51 @@ object Vectors {
         FROM e CROSS JOIN centf c1
         WHERE e.vec_id < 5)
       WHERE rn <= $ivfpqNprobe),
-    adc AS (
-      SELECT p.query_id, iv.vec_id AS neighbor_id, p.qv AS qv, pq.recon AS rv
-      FROM probes p
-      JOIN inverted iv ON iv.cell = p.cell AND iv.vec_id <> p.query_id
-      JOIN pq_pq pq ON pq.vec_id = iv.vec_id),
-    adcr AS (
-      SELECT query_id, neighbor_id, qv,
-        ${cosFold("qv", "rv", dim)} AS adc_raw,
-        ROW_NUMBER() OVER (PARTITION BY query_id
-          ORDER BY ${cosFold("qv", "rv", dim)} DESC, neighbor_id) AS adc_rank
-      FROM adc),
-    surv AS (SELECT * FROM adcr WHERE adc_rank <= $ivfpqRerank),
-    ex AS (
-      SELECT s.query_id, s.neighbor_id, s.adc_raw, s.adc_rank,
-        ${cosFold("s.qv", "c.v", dim)} AS cos_raw
-      FROM surv s JOIN e c ON c.vec_id = s.neighbor_id),
-    ranked AS (
-      SELECT query_id, neighbor_id, adc_raw, adc_rank, cos_raw,
-        ROW_NUMBER() OVER (PARTITION BY query_id
-          ORDER BY cos_raw DESC, neighbor_id) AS rank
-      FROM ex)
-    SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 4) AS cos_sim,
-      ROUND(adc_raw, 4) AS adc_cos, adc_rank
-    FROM ranked
-    WHERE rank <= 10
-    ORDER BY query_id, rank"""
+    ${adcCtes("probes", "inverted", dim)},
+    ${ivfpqRerankTailSql(ivfpqRerank, ivfpqK, dim)}"""
+  }
+
+  // ----------------------------------------- emb_ivfpq_topk_two_level
+  // The composed search's TWO-LEVEL arm — what IvfPq.topK executes
+  // past AnnIvf.OneLevelMaxVectors (forced here via oneLevelMax = −1,
+  // the EmptyInputSpec convention): sampled fine Lloyd, √cells coarse
+  // constants, broadcast fine neighborhoods for BOTH the corpus
+  // assignment and the query probes, then the identical true-ADC +
+  // exact-re-rank tail. The full composition — sampled training,
+  // coarse Lloyd, wProbe pruning, PQ coding, blocked ADC folds,
+  // re-rank — is replayed bit-exactly by the DuckDB chain (ivf2Ctes +
+  // pq_ chain + adcCtes), so the arm the 100 TB deployment actually
+  // runs carries the same hash-level evidence as the one-level arm
+  // the driver gate exercises through emb_ivfpq_topk.
+  private val embIvfpqTopkTwoLevel: Q = (s, d) => {
+    val e = vecs(s, d)
+    val corpus = e.select(col("vec_id").as("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = corpus.count()
+    val queries = corpus.filter(col("id") < 5)
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    IvfPq.topK(corpus, n, dim = 64, queries, k = ivfpqK,
+        nprobe = ivfpqNprobe, rerank = ivfpqRerank,
+        m = pqM, dsub = pqDsub, kCodes = pqK,
+        wProbe = 2, oneLevelMax = -1L)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private lazy val embIvfpqTopkTwoLevelSql: String = {
+    val dim = 64
+    s"""
+    WITH ${ScaleOps.ivf2Ctes(16, dim, 2)},
+    $pqCtesComposable,
+    qprobes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT c.vec_id AS query_id, c.v AS qv, c.fcell AS cell,
+          ROW_NUMBER() OVER (PARTITION BY c.vec_id
+            ORDER BY ${ScaleOps.ivfSqDist("c.v", "c.fc", dim)}, c.fcell) AS rn
+        FROM cand c
+        WHERE c.vec_id < 5)
+      WHERE rn <= $ivfpqNprobe),
+    ${adcCtes("qprobes", "inverted2", dim)},
+    ${ivfpqRerankTailSql(ivfpqRerank, ivfpqK, dim)}"""
   }
 
   // --------------------------------------------- emb_ivfpq_rerank_curve
@@ -511,24 +580,22 @@ object Vectors {
     val e = vecs(s, d)
     val corpus = e.select(col("vec_id").as("id"), col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cells = AnnIvf.adaptiveCells(corpus.count())
-    val (cellIds, cents) = AnnIvf.collectCentroids(
-      AnnIvf.refinedCentroids(corpus, cells, dim = 64))
+    val n = corpus.count()
+    // the same regime-dispatched index + true-ADC candidate stage as
+    // emb_ivfpq_topk (IvfPq) — the curve tunes the knob of the REAL
+    // pipeline, so the two may never drift apart structurally
+    val index = IvfPq.indexAuto(corpus, n, dim = 64)
     val books = AnnPq.collectCodebooks(
       AnnPq.refinedCodebooks(corpus, pqM, pqDsub, pqK), pqM)
-    val codedInv = AnnPq.encode(
-        AnnIvf.invertedFile(corpus, cellIds, cents), books, pqDsub)
-      .select(col("cell"), col("id"), col("recon"))
-    val probes = corpus.filter(col("id") < 5)
-      .select(col("id").as("query_id"), col("v").as("qv"),
-        explode(GraftFunctions.nearestCells(col("v"), cents, cellIds, ivfpqNprobe)).as("cell"))
-    val surv = probes.join(codedInv, Seq("cell"))
-      .filter(col("query_id") =!= col("id"))
-      .withColumn("adc_cos", GraftFunctions.cosineSimilarity(col("qv"), col("recon")))
+    val codedInv = IvfPq.codedInvertedFile(index, corpus, books, pqDsub)
+    val queries = corpus.filter(col("id") < 5)
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    val surv = IvfPq.adcCandidates(index, books, pqDsub, codedInv, queries, ivfpqNprobe)
       .withColumn("adc_rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("adc_cos").desc, col("id"))))
+        Window.partitionBy(col("query_id")).orderBy(col("adc_cos").desc, col("neighbor_id"))))
       .filter(col("adc_rank") <= maxRerank)
-      .select(col("query_id"), col("qv"), col("id"), col("adc_rank"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("qv"), col("neighbor_id").as("id"), col("adc_rank"))
     // ONE full-vector fetch for the maxRerank pool (broadcast the
     // ≤ maxRerank·|Q| survivors), then explode to participating depths
     val dep = corpus.select(col("id"), col("v").as("cv"))
@@ -585,17 +652,14 @@ object Vectors {
         FROM e CROSS JOIN centf c1
         WHERE e.vec_id < 5)
       WHERE rn <= $ivfpqNprobe),
-    adc AS (
-      SELECT p.query_id, iv.vec_id AS id, p.qv AS qv, pq.recon AS rv, iv.v AS cv
-      FROM probes p
-      JOIN inverted iv ON iv.cell = p.cell AND iv.vec_id <> p.query_id
-      JOIN pq_pq pq ON pq.vec_id = iv.vec_id),
-    adcr AS (
-      SELECT query_id, id, qv, cv,
-        ROW_NUMBER() OVER (PARTITION BY query_id
-          ORDER BY ${cosFold("qv", "rv", dim)} DESC, id) AS adc_rank
-      FROM adc),
-    surv AS (SELECT * FROM adcr WHERE adc_rank <= 50),
+    ${adcCtes("probes", "inverted", dim)},
+    surv AS (
+      SELECT a.query_id, a.neighbor_id AS id, a.adc_rank,
+        qe.v AS qv, ce.v AS cv
+      FROM adcr a
+      JOIN e qe ON qe.vec_id = a.query_id
+      JOIN e ce ON ce.vec_id = a.neighbor_id
+      WHERE a.adc_rank <= 50),
     dep AS (
       SELECT s.query_id, s.id, ${cosFold("s.qv", "s.cv", dim)} AS cos_raw,
         d.d AS rerank_depth
@@ -627,6 +691,105 @@ object Vectors {
     LEFT JOIN scored sc ON sc.rerank_depth = ks.d
     ORDER BY rerank_depth"""
   }
+
+  // --------------------------------------------------- emb_index_build
+  // The persisted-index production half: train the regime-dispatched
+  // IVF+PQ index ONCE, write the artifact (the cell-partitioned coded
+  // inverted file + centroid/codebook/meta tables — IvfPq.buildIndex),
+  // RELOAD it from storage, and emit a manifest of the reloaded
+  // tables: row counts plus order-insensitive checksums (integer sums
+  // and decimal-exact element sums — associative, so engine
+  // aggregation order cannot perturb them). The oracle computes the
+  // identical stats from the training replay chain, so a hash-green
+  // row proves the stored artifact IS the deterministic build — the
+  // load path reproduces training bit for bit, which is what lets
+  // st_ivfpq_serve_topk serve from storage without retraining.
+  //
+  // 100 TB shape: the build is the usual projection-only index pass;
+  // the manifest aggregates are one scan of the (tiny relative to the
+  // corpus) coded file with map-side partials. The artifact directory
+  // is per-sf scratch, overwritten per build.
+  private val embIndexBuild: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val corpus = vecs(s, d).select(col("vec_id").as("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = corpus.count()
+    val dir = Vectors.indexDir(d)
+    IvfPq.buildIndex(corpus, n, dim = 64, m = pqM, dsub = pqDsub,
+      kCodes = pqK, dir = dir)
+    val loaded = IvfPq.loadIndex(s, dir)
+    // manifest from the RELOADED artifact (never the in-memory build)
+    val (cids, ccents) = loaded.index match {
+      case IvfPq.OneLevelIndex(ids, cents) => (ids, cents)
+      case IvfPq.TwoLevelIndexW(idx, _) => (idx.coarseIds, idx.coarseCents)
+    }
+    import s.implicits._
+    def decSum(c: Column): Column =
+      coalesce(sum(c.cast(DecimalType(18, 6))),
+        lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 6))).cast(DoubleType)
+    val centEl = cids.zip(ccents).toSeq
+      .flatMap { case (cell, cent) => cent.map(x => (cell, x)) }
+      .toDF("cell", "x")
+    val centRow = centEl.agg(
+      lit("centroids").as("artifact"),
+      lit(cids.length.toLong).as("n_rows"),
+      lit(cids.map(_.toLong).sum).as("sum_a"),
+      decSum(col("x")).as("sum_b"))
+    val bookEl = loaded.books.toSeq.zipWithIndex.flatMap { case (book, sub) =>
+      book.toSeq.zipWithIndex.flatMap { case (cent, code) =>
+        cent.map(x => (sub, code, x)) } }.toDF("sub", "code", "x")
+    val bookMeta = loaded.books.zipWithIndex.flatMap { case (book, sub) =>
+      book.indices.map(code => (sub + 1L) * (code + 1L)) }
+    val bookRow = bookEl.agg(
+      lit("codebooks").as("artifact"),
+      lit(loaded.books.map(_.length.toLong).sum).as("n_rows"),
+      lit(bookMeta.sum).as("sum_a"),
+      decSum(col("x")).as("sum_b"))
+    val invRow = loaded.inverted.agg(
+      lit("inverted").as("artifact"),
+      count(lit(1)).as("n_rows"),
+      (coalesce(sum(col("id")), lit(0L))
+        + coalesce(sum(col("cell").cast("long")), lit(0L))
+        + coalesce(sum(expr(
+          "aggregate(codes, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT))")),
+          lit(0L))).as("sum_a"),
+      countDistinct(col("cell")).cast(DoubleType).as("sum_b"))
+    centRow.unionAll(bookRow).unionAll(invRow).orderBy(col("artifact"))
+  }
+
+  private lazy val embIndexBuildSql: String = s"""
+    WITH ${ScaleOps.ivfCtes(16, 64)},
+    $pqCtesComposable,
+    cent_el AS (SELECT cell, unnest(c) AS x FROM centf),
+    cent_stats AS (
+      SELECT 'centroids' AS artifact,
+        (SELECT COUNT(*) FROM centf) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(cell), 0) AS BIGINT) FROM centf) AS sum_a,
+        CAST(COALESCE(SUM(CAST(x AS DECIMAL(18,6))), 0) AS DOUBLE) AS sum_b
+      FROM cent_el),
+    cb_el AS (SELECT sub, code, unnest(c) AS x FROM pq_cb),
+    cb_stats AS (
+      SELECT 'codebooks' AS artifact,
+        (SELECT COUNT(*) FROM pq_cb) AS n_rows,
+        (SELECT CAST(COALESCE(SUM((sub + 1) * (code + 1)), 0) AS BIGINT) FROM pq_cb) AS sum_a,
+        CAST(COALESCE(SUM(CAST(x AS DECIMAL(18,6))), 0) AS DOUBLE) AS sum_b
+      FROM cb_el),
+    inv_stats AS (
+      SELECT 'inverted' AS artifact,
+        (SELECT COUNT(*) FROM inverted) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(vec_id), 0) + COALESCE(SUM(cell), 0) AS BIGINT)
+           FROM inverted)
+          + (SELECT CAST(COALESCE(SUM(code), 0) AS BIGINT) FROM pq_coded) AS sum_a,
+        (SELECT CAST(COUNT(DISTINCT cell) AS DOUBLE) FROM inverted) AS sum_b)
+    SELECT * FROM cent_stats
+    UNION ALL SELECT * FROM cb_stats
+    UNION ALL SELECT * FROM inv_stats
+    ORDER BY artifact"""
+
+  /** Scratch location of the persisted index artifact — IvfPq owns the
+    * rule; the query layer and the Streaming twins share it.
+    */
+  private[queries] def indexDir(sfDir: String): String = IvfPq.indexDir(sfDir)
 
   // --------------------------------------------- emb_matryoshka_recall
   // Truncated-dimension retrieval audit (the Matryoshka-representation
@@ -877,7 +1040,9 @@ object Vectors {
     "emb_pq_codes" -> embPqCodes,
     "emb_pq_topk" -> embPqTopk,
     "emb_ivfpq_topk" -> embIvfpqTopk,
+    "emb_ivfpq_topk_two_level" -> embIvfpqTopkTwoLevel,
     "emb_ivfpq_rerank_curve" -> embIvfpqRerankCurve,
+    "emb_index_build" -> embIndexBuild,
     "emb_cosine_topk" -> embCosineTopk,
     "emb_near_dup_pairs" -> embNearDupPairs,
     "emb_int8_quantize" -> embInt8Quantize,
@@ -892,7 +1057,9 @@ object Vectors {
     "emb_pq_codes" -> embPqCodesSql,
     "emb_pq_topk" -> embPqTopkSql,
     "emb_ivfpq_topk" -> embIvfpqTopkSql,
+    "emb_ivfpq_topk_two_level" -> embIvfpqTopkTwoLevelSql,
     "emb_ivfpq_rerank_curve" -> embIvfpqRerankCurveSql,
+    "emb_index_build" -> embIndexBuildSql,
     "emb_cosine_topk" -> embCosineTopkSql,
     "emb_near_dup_pairs" -> embNearDupPairsSql,
     "emb_int8_quantize" -> embInt8QuantizeSql,

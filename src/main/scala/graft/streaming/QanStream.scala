@@ -371,6 +371,54 @@ object QanStream {
 
   case class MemorySink(name: String, query: org.apache.spark.sql.streaming.StreamingQuery)
 
+  /** Run a STATELESS streaming DataFrame through a foreachBatch sink,
+    * applying `finish` to each micro-batch (a BATCH plan — ranking
+    * windows and sorts are legal there, unlike on the unbounded
+    * stream) and returning the union of the finished batches. This is
+    * the per-micro-batch bounded-top-k harness for serving queries
+    * whose per-query candidate sets are wholly contained in one
+    * micro-batch (stream-static joins only): per-batch ranking then
+    * equals global per-query ranking under ANY batching, while the
+    * streaming plan itself keeps zero state operators. Per-batch work
+    * is bounded by that batch's arrivals — the same contract as a
+    * production foreachBatch sink writing to a serving store.
+    */
+  def runForeachBatch(df: DataFrame,
+      finish: DataFrame => DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    @volatile var schema: org.apache.spark.sql.types.StructType = null
+    val q = startLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "8")
+      try df.writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val out = finish(batch.toDF())
+          val rows = out.collect()
+          buf.synchronized {
+            if (schema == null) schema = out.schema
+            buf ++= rows
+          }
+          ()
+        }.start()
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    q.processAllAvailable()
+    q.stop()
+    val rows = buf.synchronized { buf.toSeq }
+    val sch =
+      if (schema != null) schema
+      else finish(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)).schema
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      sch)
+  }
+
   /** Release everything a finished memory-sink replay pins in the JVM:
     * the sink temp views (each holds EVERY emitted row — 100+ queries
     * × repeated bench runs accumulate GBs and the GC pressure slowed

@@ -316,6 +316,149 @@ class AnnSpec extends SparkSpec {
     assert(composed.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("true ADC: LUT-scored codes equal the reconstruction cosine, bit-stable across runs") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.operators.AnnPq
+    import graft.functions.expressions.GraftFunctions
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val books = AnnPq.collectCodebooks(
+      AnnPq.refinedCodebooks(corpus, 16, 4, 64), 16)
+    // ADC via the LUT kernels (the production hot path: codes only)
+    val coded = AnnPq.encodeCodes(corpus, books, 4).select(col("id"), col("codes"))
+    val q = corpus.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("v").as("qv"),
+        GraftFunctions.pqQueryLut(col("v"), books, 4).as("lut"))
+    val viaLut = q.crossJoin(coded)
+      .select(col("qid"), col("id"),
+        GraftFunctions.adcCosine(col("lut"), col("codes"), books).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the mathematically identical reconstruction form it replaced
+    val recon = AnnPq.encode(corpus, books, 4).select(col("id"), col("recon"))
+    val viaRecon = q.crossJoin(recon)
+      .select(col("qid"), col("id"),
+        GraftFunctions.cosineSimilarity(col("qv"), col("recon")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(viaRecon.nonEmpty)
+    viaRecon.foreach { case (k, want) =>
+      // same real number, different (blocked vs flat) fold association:
+      // agreement to 1e-9 relative catches any math error while
+      // allowing re-association ulps; the oracle replays the blocked
+      // form bit-exactly (the hash gate)
+      assert(math.abs(viaLut(k) - want) <= 1e-9 * math.max(1.0, math.abs(want)),
+        s"$k: lut ${viaLut(k)} vs recon $want")
+    }
+    val again = q.crossJoin(coded)
+      .select(col("qid"), col("id"),
+        GraftFunctions.adcCosine(col("lut"), col("codes"), books).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(viaLut == again, "ADC scoring must be bit-stable")
+  }
+
+  test("composed search regime handover: dispatch pinned, two-level arm at wProbe=all reproduces one-level bit-for-bit") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.operators.{AnnIvf, AnnPq, IvfPq}
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val n = corpus.count()
+    // the cutover is structural: below the ceiling one-level, past it
+    // two-level — the composed search can no longer be pinned to the
+    // one-level index by accident (the r10 verdict's hole)
+    assert(IvfPq.indexAuto(corpus, n, dim = 64).isInstanceOf[IvfPq.OneLevelIndex])
+    assert(IvfPq.indexAuto(corpus, n, dim = 64, oneLevelMax = n - 1)
+      .isInstanceOf[IvfPq.TwoLevelIndexW])
+    val queries = corpus.filter(col("id") < 5)
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    val books = AnnPq.collectCodebooks(
+      AnnPq.refinedCodebooks(corpus, 16, 4, 64), 16)
+    val (ids, cents) = AnnIvf.collectCentroids(
+      AnnIvf.refinedCentroids(corpus, cells = 16, dim = 64))
+    val explicitOne = IvfPq.topKWith(IvfPq.OneLevelIndex(ids, cents), books, 4,
+        corpus, queries, k = 10, nprobe = 2, rerank = 30)
+      .collect().map(_.toString).sorted.toSeq
+    // the default dispatch IS the explicit one-level build
+    val auto = IvfPq.topK(corpus, n, dim = 64, queries, k = 10, nprobe = 2,
+        rerank = 30, m = 16, dsub = 4, kCodes = 64)
+      .collect().map(_.toString).sorted.toSeq
+    assert(auto == explicitOne)
+    // two-level arm, 100% training sample (fine centroids = the
+    // one-level build), wProbe covering every coarse cell: assignment
+    // AND probes equal the one-level argmin exactly, same codebooks ⇒
+    // the COMPOSED output (ADC ranks, exact re-rank, every column) is
+    // bit-equal — the wProbe=all property lifted to the whole search
+    val idx = AnnIvf.twoLevelIndex(corpus, cells = 16, dim = 64,
+      sampleRate = AnnIvf.SampleModulus, knownCount = n)
+    val two = IvfPq.topKWith(IvfPq.TwoLevelIndexW(idx, idx.coarseIds.length),
+        books, 4, corpus, queries, k = 10, nprobe = 2, rerank = 30)
+      .collect().map(_.toString).sorted.toSeq
+    assert(two == explicitOne)
+    assert(two.nonEmpty)
+  }
+
+  test("composed two-level search: non-empty, exact-score dominance, deterministic") {
+    val exactRows = SparkEntry.queries("emb_cosine_topk")(spark, sf).collect()
+    val exactByRank = exactRows.map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val composed = SparkEntry.queries("emb_ivfpq_topk_two_level")(spark, sf).collect()
+    assert(composed.nonEmpty, "two-level ivf+pq produced no results")
+    // final scores are EXACT cosines over survivors: no rank's score
+    // may exceed the brute-force score at the same rank
+    composed.foreach { r =>
+      val key = (r.getLong(0), r.getInt(1))
+      exactByRank.get(key).foreach { ex =>
+        assert(r.getDouble(3) <= ex + 1e-9,
+          s"two-level composed cos ${r.getDouble(3)} beats exact $ex at $key")
+      }
+    }
+    // sampled training + coarse pruning + ADC pool: strictly more
+    // approximation than the one-level composition, but recall must
+    // still beat random selection by a wide margin
+    val exact = exactRows.map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val comp = composed.map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.toSeq.map { q =>
+      exact(q).intersect(comp.getOrElse(q, Set.empty)).size.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.1, s"two-level composed mean recall@10 $mean too low: $recalls")
+    val again = SparkEntry.queries("emb_ivfpq_topk_two_level")(spark, sf).collect()
+    assert(composed.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("persisted index: the loaded artifact reproduces the in-memory build bit-for-bit") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.operators.IvfPq
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val n = corpus.count()
+    val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_idx_spec_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    val (index, books) = IvfPq.buildIndex(corpus, n, dim = 64, m = 16,
+      dsub = 4, kCodes = 64, dir = dir)
+    val loaded = IvfPq.loadIndex(spark, dir)
+    (index, loaded.index) match {
+      case (IvfPq.OneLevelIndex(ids, cents), IvfPq.OneLevelIndex(lids, lcents)) =>
+        assert(lids.toSeq == ids.toSeq)
+        assert(lcents.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+      case other => fail(s"regime mismatch across the store round-trip: $other")
+    }
+    assert(loaded.books.map(_.map(_.toSeq).toSeq).toSeq ==
+      books.map(_.map(_.toSeq).toSeq).toSeq, "codebooks must round-trip")
+    val built = IvfPq.codedInvertedFile(index, corpus, books, 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](2).toList)).toSet
+    val stored = loaded.inverted
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](2).toList)).toSet
+    assert(stored == built, "the stored coded file must equal the build")
+    // manifest op is consistent with the corpus: inverted rows = n
+    val manifest = SparkEntry.queries("emb_index_build")(spark, sf).collect()
+    assert(manifest.map(_.getString(0)).toSeq ==
+      Seq("centroids", "codebooks", "inverted"))
+    assert(manifest.find(_.getString(0) == "inverted").get.getLong(1) == n)
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val approx = SparkEntry.queries("q13_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -489,6 +489,69 @@ class StreamingSpec extends SparkSpec {
     } finally h.query.stop()
   }
 
+  test("topk serve from the stored index equals the batch composition; plan stateless and shuffle-free") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.operators.IvfPq
+    import graft.streaming.QanStream
+    import graft.functions.expressions.GraftFunctions
+    // the serve twin loads the persisted artifact and answers every
+    // arriving vector with rank <= k — which must equal the BATCH
+    // composed search run over the same corpus with every vector as a
+    // query (deterministic build ⇒ the stored index IS the inline one)
+    val served = SparkEntry.queries("st_ivfpq_serve_topk")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(served.nonEmpty, "topk serve emitted nothing")
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val n = corpus.count()
+    val allQ = corpus.select(col("id").as("query_id"), col("v").as("qv"))
+    val batch = IvfPq.topK(corpus, n, dim = 64, allQ, k = 10, nprobe = 2,
+        rerank = 30, m = 16, dsub = 4, kCodes = 64)
+      .orderBy(col("query_id"), col("rank"))
+      .collect().map(_.toString).toSeq
+    assert(served == batch,
+      s"loaded-index serve diverged from the batch composition (${served.size} vs ${batch.size} rows)")
+    // per-query ranks are dense from 1 — top-k semantics, not pairs
+    val byQuery = SparkEntry.queries("st_ivfpq_serve_topk")(spark, sf)
+      .collect().groupBy(_.getLong(0))
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length),
+        "ranks must be dense from 1")
+    }
+    // the STREAMING plan (probe → LUT → stream-static ADC join) holds
+    // zero state operators — the foreachBatch ranking is batch-side
+    val dir = IvfPq.indexDir(sf)
+    val loaded = IvfPq.loadIndex(spark, dir)
+    val codedInv = broadcast(loaded.inverted.withColumnRenamed("id", "neighbor_id"))
+    def candOf(src: org.apache.spark.sql.DataFrame) =
+      IvfPq.probe(loaded.index,
+          src.select(col("vec_id").as("query_id"),
+            col("embedding").cast(ArrayType(DoubleType)).as("qv")), "qv", 2)
+        .withColumn("__lut", GraftFunctions.pqQueryLut(col("qv"), loaded.books, 4))
+        .join(codedInv, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          GraftFunctions.adcCosine(col("__lut"), col("codes"), loaded.books)
+            .as("adc_cos"))
+    val h = QanStream.runToMemoryQuery(candOf(QanStream.embeddingsStream(spark, sf)))
+    try {
+      h.query.processAllAvailable()
+      assert(h.query.lastProgress.stateOperators.isEmpty,
+        s"loaded-index serve must keep zero state operators: ${h.query.lastProgress.json}")
+    } finally h.query.stop()
+    // shuffle-free on the static side: the batch twin of the same plan
+    // (identical operators, batch source) joins by BROADCAST only —
+    // no hash-partitioning exchange anywhere in the candidate stage
+    val batchCand = candOf(Tables.embeddings(spark, sf))
+    batchCand.collect()
+    val plan = batchCand.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"candidate stage must not shuffle:\n$plan")
+  }
+
   test("ood filter stream is stateless: no state store, no aggregation in the streaming plan") {
     // the calibrate-offline/apply-online split means the streaming
     // side must be a pure scan-level projection+filter — any stateful
