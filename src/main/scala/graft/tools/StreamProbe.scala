@@ -59,7 +59,7 @@ object StreamProbe {
     * maxResultSize and charging the scan-only variant a driver-ingest
     * cost the stateful variants never pay (they emit only pairs).
     */
-  private def runNoop(spark: SparkSession, label: String, df: DataFrame): Unit = {
+  private[tools] def runNoop(spark: SparkSession, label: String, df: DataFrame): Unit = {
     val t0 = System.nanoTime()
     val q = df.writeStream.outputMode(OutputMode.Append())
       .format("noop")
@@ -78,7 +78,7 @@ object StreamProbe {
     QanStream.releaseReplayState(spark)
   }
 
-  private def runVariant(spark: SparkSession, label: String, df: DataFrame): Unit = {
+  private[tools] def runVariant(spark: SparkSession, label: String, df: DataFrame): Unit = {
     val t0 = System.nanoTime()
     val h = QanStream.runToMemoryQuery(df, OutputMode.Append())
     h.query.processAllAvailable()
