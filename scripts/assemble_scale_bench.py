@@ -31,7 +31,8 @@ def main():
         "emb_quantized_topk", "emb_ann_recall", "emb_ann_recall_tuned",
         "emb_cosine_topk", "emb_recall_curve", "emb_two_level_probe_curve",
         "emb_cell_recall", "emb_cell_recall_two_level",
-        "emb_ivfpq_topk", "emb_ivfpq_rerank_curve", "st_ivfpq_serve")
+        "emb_ivfpq_topk", "emb_ivfpq_topk_two_level", "emb_ivfpq_rerank_curve",
+        "emb_index_build", "st_ivfpq_serve", "st_ivfpq_serve_topk")
     st = lambda k: k.startswith("st_")
 
     rat1, rat10 = ratios(r1), ratios(r10)
