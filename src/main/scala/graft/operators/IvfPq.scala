@@ -237,6 +237,27 @@ object IvfPq {
     (index, books)
   }
 
+  /** Incremental index maintenance: assign + encode `delta` (id, v)
+    * under the FROZEN trained halves of a loaded index — the same
+    * per-row projections the build ran, against centroids and
+    * codebooks that do NOT move — and APPEND the coded rows to the
+    * stored inverted file. Work and writes are delta-sized: existing
+    * cells' files are never rewritten (each append lands new files
+    * under the touched `cell=` partitions; a deployment compacts them
+    * asynchronously). Because assignment and encoding are
+    * deterministic per-row maps, the appended store is bit-equal to
+    * encoding base ∪ delta under the same frozen index (AnnSpec pins
+    * it) — which is what keeps the append oracle a pure replay.
+    * Drift discipline: frozen centroids mean accumulated deltas can
+    * unbalance cells; emb_index_append's `balance` manifest row
+    * (max-cell / mean-cell occupancy) is the retrain trigger a
+    * deployment watches.
+    */
+  def appendToIndex(loaded: Loaded, delta: DataFrame, dir: String): Unit =
+    codedInvertedFile(loaded.index, delta, loaded.books, loaded.dsub)
+      .select(col("id"), col("codes"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/inverted")
+
   /** Deterministic scratch location for the persisted index artifact
     * of an sf dir — /tmp scratch (the ScaleUp-tile convention), never
     * the read-only testdata; overwritten per build.

@@ -1610,7 +1610,11 @@ object ScaleOps {
     s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
       s"i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))), (acc, x) -> acc + x)"
 
-  private[queries] def ivfCtes(cells: Int, dim: Int): String = {
+  /** `eWhere` (optional) restricts the training corpus `e` — the
+    * incremental-append oracle trains on the base subset and replays
+    * the frozen-index delta encode separately.
+    */
+  private[queries] def ivfCtes(cells: Int, dim: Int, eWhere: String = ""): String = {
     val cents = AnnIvf.centroids0(cells, dim)
     val centRows = cents.zipWithIndex.map { case (c, i) =>
       s"($i, ${c.map(java.lang.Double.toString).mkString("[", ", ", "]")}::DOUBLE[])"
@@ -1635,8 +1639,9 @@ object ScaleOps {
         GROUP BY a.cell, i)
       GROUP BY cell)"""
     val rounds = AnnIvf.LloydRounds
+    val eFilter = if (eWhere.isEmpty) "" else s" WHERE $eWhere"
     val sb = new StringBuilder(s"""e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings$eFilter),
     cents0(cell, c) AS (VALUES $centRows),${assignCte("assign0", "cents0")}""")
     for (r <- 1 to rounds) {
       sb.append(",").append(meanCte(s"cent$r", s"assign${r - 1}"))

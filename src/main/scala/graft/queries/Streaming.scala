@@ -477,6 +477,92 @@ object Streaming {
     ${Vectors.adcCtes("probes", "inverted", 64)},
     ${Vectors.ivfpqRerankTailSql(Vectors.ivfpqRerank, Vectors.ivfpqK, 64)}"""
 
+  // Streaming index INGEST — the online half of emb_index_append, and
+  // the third member of the production retrieval triangle (build once
+  // [emb_index_build] / serve [st_ivfpq_serve_topk] / ingest [this]):
+  // new vectors ARRIVE as a stream, and each micro-batch is assigned +
+  // PQ-encoded under the FROZEN loaded index (per-row projections and
+  // broadcast joins — no window, no state, no stream-side shuffle) and
+  // APPENDED to the stored cell-partitioned coded file, one
+  // delta-sized write per batch (a deployment compacts the small files
+  // asynchronously; base cells are never rewritten). Each ingested
+  // vector emits a receipt (id, cell, codes); after the stream drains,
+  // the receipts are audited against the RELOADED store — `in_store`
+  // must be true for every row, proving the ingest path's writes are
+  // the bytes the serve path will read. Receipts are per-row facts
+  // (frozen-index assignment/encode is deterministic), so the output
+  // is identical under ANY batching; the oracle replays the frozen
+  // delta encode and asserts the same receipts with in_store = TRUE.
+  private val stIndexAppend: Q = (s, d) => {
+    import graft.operators.IvfPq
+    import org.apache.spark.sql.types.ArrayType
+    val isDelta = col("id") % Vectors.appendDeltaMod === Vectors.appendDeltaRem
+    val all = graft.Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = all.filter(!isDelta)
+    val nBase = base.count()
+    val dir = Vectors.indexDir(d) + "_stream_append"
+    IvfPq.buildIndex(base, nBase, dim = 64, m = Vectors.pqM,
+      dsub = Vectors.pqDsub, kCodes = Vectors.pqK, dir = dir)
+    val loaded = IvfPq.loadIndex(s, dir)
+    val arrivingDelta = QanStream.embeddingsStream(s, d)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .filter(isDelta)
+    val receipts = QanStream.runForeachBatch(arrivingDelta, batch => {
+      val coded = IvfPq.codedInvertedFile(loaded.index, batch,
+        loaded.books, loaded.dsub)
+      coded.select(col("id"), col("codes"), col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/inverted")
+      coded.select(col("id").as("vec_id"), col("cell"),
+        concat_ws(",", col("codes")).as("codes"))
+    })
+    // post-stream audit: every receipt must be readable back from the
+    // RELOADED store, byte-identical (id, cell, codes)
+    val stored = IvfPq.loadIndex(s, dir).inverted
+      .select(col("id").as("vec_id"), col("cell"),
+        concat_ws(",", col("codes")).as("codes"), lit(true).as("in_store"))
+    receipts.join(stored, Seq("vec_id", "cell", "codes"), "left")
+      .select(col("vec_id"), col("cell"), col("codes"),
+        coalesce(col("in_store"), lit(false)).as("in_store"))
+      .orderBy(col("vec_id"))
+  }
+
+  private lazy val stIndexAppendSql: String = s"""
+    WITH ${ScaleOps.ivfCtes(16, 64,
+        eWhere = s"vec_id % ${Vectors.appendDeltaMod} <> ${Vectors.appendDeltaRem}")},
+    ${Vectors.pqCtesComposable},
+    dl AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id % ${Vectors.appendDeltaMod} = ${Vectors.appendDeltaRem}),
+    dl_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT d.vec_id, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY d.vec_id
+            ORDER BY ${ScaleOps.ivfSqDist("d.v", "c.c", 64)}, c.cell) AS rn
+        FROM dl d CROSS JOIN centf c)
+      WHERE rn = 1),
+    dl_subs AS (
+      SELECT vec_id, CAST(sub AS INT) AS sub,
+        list_slice(v, sub * ${Vectors.pqDsub} + 1,
+          sub * ${Vectors.pqDsub} + ${Vectors.pqDsub}) AS subv
+      FROM dl CROSS JOIN (SELECT unnest(range(0, ${Vectors.pqM})) AS sub)),
+    dl_coded AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT s.vec_id, s.sub, b.code,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+            ORDER BY ${Vectors.pqSqDist("s.subv", "b.c")}, b.cell) AS rn
+        FROM dl_subs s JOIN pq_cb b ON b.sub = s.sub)
+      WHERE rn = 1)
+    SELECT a.vec_id, a.cell,
+      (SELECT string_agg(CAST(c.code AS VARCHAR), ',' ORDER BY c.sub)
+         FROM dl_coded c WHERE c.vec_id = a.vec_id) AS codes,
+      TRUE AS in_store
+    FROM dl_assign a
+    ORDER BY a.vec_id"""
+
   // Streaming ingestion-time NEAR-dup detection (DedupStream): as docs
   // arrive, each is checked against resident (band, bucket) signature
   // state; (older, newer, signature-estimate) pairs stream out, with
@@ -684,6 +770,7 @@ object Streaming {
     "st_ood_filter" -> stOodFilter,
     "st_ivfpq_serve" -> stIvfpqServe,
     "st_ivfpq_serve_topk" -> stIvfpqServeTopk,
+    "st_index_append" -> stIndexAppend,
     "st_exact_dedup_stream" -> stExactDedup,
     "st_multi_counter_stream" -> stMultiCounter,
     "st_delta_stream" -> stDelta,
@@ -705,6 +792,7 @@ object Streaming {
     "st_ood_filter" -> stOodFilterSql,
     "st_ivfpq_serve" -> stIvfpqServeSql,
     "st_ivfpq_serve_topk" -> stIvfpqServeTopkSql,
+    "st_index_append" -> stIndexAppendSql,
     "st_exact_dedup_stream" -> Text.oracles("doc_exact_dedup"),
     "st_multi_counter_stream" -> Qan.oracles("qan_multi_counter_delta"),
     "st_session_stream" -> stSessionSql,

@@ -274,14 +274,20 @@ object Vectors {
     * base CTE is emitted. The terminal CTE is
     * `<prefix>pq(vec_id, codes, recon)`.
     */
+  /** The per-subspace squared-distance fold (dsub-length) — shared by
+    * the PQ training replay and the frozen-codebook delta encode so
+    * the two can never drift.
+    */
+  private[queries] def pqSqDist(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, ${pqDsub + 1}), " +
+      s"i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))), (acc, x) -> acc + x)"
+
   private def pqCtesGen(prefix: String, withE: Boolean): String = {
     val c0 = AnnPq.codebook0(pqK, pqDsub)
     val centRows = c0.zipWithIndex.map { case (c, i) =>
       s"($i, ${c.map(java.lang.Double.toString).mkString("[", ", ", "]")}::DOUBLE[])"
     }.mkString(", ")
-    def sqDist(a: String, b: String): String =
-      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${pqDsub + 1}), " +
-        s"i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))), (acc, x) -> acc + x)"
+    def sqDist(a: String, b: String): String = pqSqDist(a, b)
     def n(x: String) = prefix + x
     val eCte = if (withE) """e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -791,6 +797,129 @@ object Vectors {
     */
   private[queries] def indexDir(sfDir: String): String = IvfPq.indexDir(sfDir)
 
+  // -------------------------------------------------- emb_index_append
+  // Incremental maintenance of the persisted index — the ingest half a
+  // production retrieval system runs continuously: new vectors (the
+  // delta, id ≡ appendDeltaRem mod appendDeltaMod here) are assigned
+  // and PQ-encoded under the FROZEN trained halves of the stored index
+  // (centroids and codebooks do not move — retraining per ingest is
+  // exactly what the persisted artifact exists to avoid) and APPENDED
+  // to the cell-partitioned coded file; base cells' files are never
+  // rewritten. The manifest is computed from the RELOADED post-append
+  // store: the full file and the delta slice (counts +
+  // order-insensitive checksums over id/cell/codes), plus the
+  // `balance` row — non-empty cells, largest cell, and the
+  // max/mean occupancy imbalance factor, the drift signal that tells a
+  // deployment its frozen quantizer needs retraining. The oracle
+  // trains on the base subset (ivfCtes eWhere), replays the frozen
+  // delta assignment/encode CTE-for-CTE, and computes the same stats
+  // over the union — hash-green means append ≡ encode(base ∪ delta)
+  // under the frozen index, bit for bit.
+  //
+  // 100 TB shape: ingest work is delta-sized projections + the same
+  // broadcast joins as the build (never a corpus pass); the append
+  // writes only the touched cell partitions (new files — a compactor
+  // folds them in asynchronously); manifest aggregates are one scan of
+  // the coded file with map-side partials.
+  private[queries] val appendDeltaMod = 10
+  private[queries] val appendDeltaRem = 7
+  private val embIndexAppend: Q = (s, d) => {
+    val all = vecs(s, d).select(col("vec_id").as("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val isDelta = col("id") % appendDeltaMod === appendDeltaRem
+    val base = all.filter(!isDelta)
+    val nBase = base.count()
+    val dir = indexDir(d) + "_append"
+    IvfPq.buildIndex(base, nBase, dim = 64, m = pqM, dsub = pqDsub,
+      kCodes = pqK, dir = dir)
+    IvfPq.appendToIndex(IvfPq.loadIndex(s, dir), all.filter(isDelta), dir)
+    // manifest from the RELOADED post-append artifact
+    val after = IvfPq.loadIndex(s, dir).inverted
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codesSum = expr(
+      "aggregate(codes, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT))")
+    def checksumRow(label: String, df: DataFrame): DataFrame = df.agg(
+      lit(label).as("artifact"),
+      count(lit(1)).as("n_rows"),
+      (coalesce(sum(col("id")), lit(0L))
+        + coalesce(sum(col("cell").cast("long")), lit(0L))
+        + coalesce(sum(codesSum), lit(0L))).as("sum_a"),
+      countDistinct(col("cell")).cast(DoubleType).as("sum_b"))
+    val sizes = after.groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+    val balanceRow = sizes.agg(
+      lit("balance").as("artifact"),
+      count(lit(1)).as("n_rows"),
+      coalesce(max(col("sz")), lit(0L)).as("sum_a"),
+      coalesce(round(max(col("sz")).cast(DoubleType)
+          * count(lit(1)).cast(DoubleType)
+          / sum(col("sz")).cast(DoubleType), 6),
+        lit(0.0)).as("sum_b"))
+    checksumRow("appended", after)
+      .unionAll(checksumRow("delta", after.filter(isDelta)))
+      .unionAll(balanceRow)
+      .orderBy(col("artifact"))
+  }
+
+  private lazy val embIndexAppendSql: String = {
+    val dim = 64
+    s"""
+    WITH ${ScaleOps.ivfCtes(16, dim,
+        eWhere = s"vec_id % $appendDeltaMod <> $appendDeltaRem")},
+    $pqCtesComposable,
+    dl AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id % $appendDeltaMod = $appendDeltaRem),
+    dl_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT d.vec_id, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY d.vec_id
+            ORDER BY ${ScaleOps.ivfSqDist("d.v", "c.c", dim)}, c.cell) AS rn
+        FROM dl d CROSS JOIN centf c)
+      WHERE rn = 1),
+    dl_subs AS (
+      SELECT vec_id, CAST(sub AS INT) AS sub,
+        list_slice(v, sub * $pqDsub + 1, sub * $pqDsub + $pqDsub) AS subv
+      FROM dl CROSS JOIN (SELECT unnest(range(0, $pqM)) AS sub)),
+    dl_coded AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT s.vec_id, s.sub, b.code,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+            ORDER BY ${pqSqDist("s.subv", "b.c")}, b.cell) AS rn
+        FROM dl_subs s JOIN pq_cb b ON b.sub = s.sub)
+      WHERE rn = 1),
+    inv_all AS (
+      SELECT vec_id, cell FROM inverted
+      UNION ALL SELECT vec_id, cell FROM dl_assign),
+    codes_all AS (
+      SELECT vec_id, code FROM pq_coded
+      UNION ALL SELECT vec_id, code FROM dl_coded),
+    row_appended AS (
+      SELECT 'appended' AS artifact,
+        (SELECT COUNT(*) FROM inv_all) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(vec_id), 0) + COALESCE(SUM(cell), 0) AS BIGINT)
+           FROM inv_all)
+          + (SELECT CAST(COALESCE(SUM(code), 0) AS BIGINT) FROM codes_all) AS sum_a,
+        (SELECT CAST(COUNT(DISTINCT cell) AS DOUBLE) FROM inv_all) AS sum_b),
+    row_delta AS (
+      SELECT 'delta' AS artifact,
+        (SELECT COUNT(*) FROM dl_assign) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(vec_id), 0) + COALESCE(SUM(cell), 0) AS BIGINT)
+           FROM dl_assign)
+          + (SELECT CAST(COALESCE(SUM(code), 0) AS BIGINT) FROM dl_coded) AS sum_a,
+        (SELECT CAST(COUNT(DISTINCT cell) AS DOUBLE) FROM dl_assign) AS sum_b),
+    sizes AS (SELECT cell, COUNT(*) AS sz FROM inv_all GROUP BY cell),
+    row_balance AS (
+      SELECT 'balance' AS artifact,
+        (SELECT COUNT(*) FROM sizes) AS n_rows,
+        (SELECT CAST(COALESCE(MAX(sz), 0) AS BIGINT) FROM sizes) AS sum_a,
+        (SELECT COALESCE(ROUND(CAST(MAX(sz) AS DOUBLE) * COUNT(*) / SUM(sz), 6), 0)
+           FROM sizes) AS sum_b)
+    SELECT * FROM row_appended
+    UNION ALL SELECT * FROM row_delta
+    UNION ALL SELECT * FROM row_balance
+    ORDER BY artifact"""
+  }
+
   // --------------------------------------------- emb_matryoshka_recall
   // Truncated-dimension retrieval audit (the Matryoshka-representation
   // question): how much top-k quality survives if the index stores
@@ -1043,6 +1172,7 @@ object Vectors {
     "emb_ivfpq_topk_two_level" -> embIvfpqTopkTwoLevel,
     "emb_ivfpq_rerank_curve" -> embIvfpqRerankCurve,
     "emb_index_build" -> embIndexBuild,
+    "emb_index_append" -> embIndexAppend,
     "emb_cosine_topk" -> embCosineTopk,
     "emb_near_dup_pairs" -> embNearDupPairs,
     "emb_int8_quantize" -> embInt8Quantize,
@@ -1060,6 +1190,7 @@ object Vectors {
     "emb_ivfpq_topk_two_level" -> embIvfpqTopkTwoLevelSql,
     "emb_ivfpq_rerank_curve" -> embIvfpqRerankCurveSql,
     "emb_index_build" -> embIndexBuildSql,
+    "emb_index_append" -> embIndexAppendSql,
     "emb_cosine_topk" -> embCosineTopkSql,
     "emb_near_dup_pairs" -> embNearDupPairsSql,
     "emb_int8_quantize" -> embInt8QuantizeSql,

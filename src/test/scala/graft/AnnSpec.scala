@@ -459,6 +459,47 @@ class AnnSpec extends SparkSpec {
     assert(manifest.find(_.getString(0) == "inverted").get.getLong(1) == n)
   }
 
+  test("incremental append: append == encode(base ∪ delta) under the frozen index; empty delta is a no-op") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.operators.IvfPq
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val isDelta = col("id") % 10 === 7
+    val base = all.filter(!isDelta)
+    val delta = all.filter(isDelta)
+    val nBase = base.count()
+    val nDelta = delta.count()
+    assert(nDelta > 0, "spec needs a non-empty delta slice")
+    val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_idx_app_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    val (index, books) = IvfPq.buildIndex(base, nBase, dim = 64, m = 16,
+      dsub = 4, kCodes = 64, dir = dir)
+    IvfPq.appendToIndex(IvfPq.loadIndex(spark, dir), delta, dir)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](2).toList)).toSet
+    val stored = asSet(IvfPq.loadIndex(spark, dir).inverted)
+    // the production property: the appended store is bit-equal to a
+    // one-shot encode of the union under the SAME frozen halves —
+    // frozen assignment/encode are per-row maps, so order can't matter
+    val direct = asSet(IvfPq.codedInvertedFile(index, all, books, 4))
+    assert(stored == direct,
+      "appended store must equal the frozen-index encode of base ∪ delta")
+    assert(stored.size == nBase + nDelta)
+    // empty-delta append: a no-op on the store, not a crash
+    IvfPq.appendToIndex(IvfPq.loadIndex(spark, dir), delta.limit(0), dir)
+    assert(asSet(IvfPq.loadIndex(spark, dir).inverted) == stored,
+      "zero-row append must leave the store unchanged")
+    // the manifest op agrees: appended = base + delta rows, delta row
+    // counts exactly the slice, balance row is a sane imbalance factor
+    val m = SparkEntry.queries("emb_index_append")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(m("appended")._1 == nBase + nDelta)
+    assert(m("delta")._1 == nDelta)
+    assert(m("balance")._3 >= 1.0, "max/mean imbalance is >= 1 by definition")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val approx = SparkEntry.queries("q13_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

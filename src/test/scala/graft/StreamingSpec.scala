@@ -552,6 +552,44 @@ class StreamingSpec extends SparkSpec {
       s"candidate stage must not shuffle:\n$plan")
   }
 
+  test("streaming index ingest: receipts audited in-store, batching-independent, ingest plan stateless") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.operators.IvfPq
+    import graft.streaming.QanStream
+    val out = SparkEntry.queries("st_index_append")(spark, sf).collect()
+    assert(out.nonEmpty, "ingest stream emitted nothing")
+    // every receipt must have been read back from the reloaded store
+    assert(out.forall(_.getBoolean(3)),
+      "a receipt was not found in the reloaded store — ingest wrote bytes the serve path cannot read")
+    // exactly the delta slice, exactly once (a duplicated micro-batch
+    // write would surface as extra rows here)
+    val nDelta = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 === 7).count()
+    assert(out.length == nDelta, s"${out.length} receipts for $nDelta delta rows")
+    // receipts are per-row facts under a FROZEN index: a second full
+    // run (fresh build + fresh stream, its own batching) is identical
+    val again = SparkEntry.queries("st_index_append")(spark, sf).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "ingest receipts must be independent of micro-batch boundaries")
+    // the ingest stream plan (assign + encode projections against the
+    // loaded constants) holds zero state operators
+    val dir = IvfPq.indexDir(sf) + "_stream_append"
+    val loaded = IvfPq.loadIndex(spark, dir)
+    val arriving = QanStream.embeddingsStream(spark, sf)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .filter(col("id") % 10 === 7)
+    val coded = IvfPq.codedInvertedFile(loaded.index, arriving,
+      loaded.books, loaded.dsub)
+    val h = QanStream.runToMemoryQuery(coded)
+    try {
+      h.query.processAllAvailable()
+      assert(h.query.lastProgress.stateOperators.isEmpty,
+        s"index ingest must keep zero state operators: ${h.query.lastProgress.json}")
+    } finally h.query.stop()
+  }
+
   test("ood filter stream is stateless: no state store, no aggregation in the streaming plan") {
     // the calibrate-offline/apply-online split means the streaming
     // side must be a pure scan-level projection+filter — any stateful
