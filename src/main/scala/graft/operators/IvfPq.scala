@@ -258,6 +258,50 @@ object IvfPq {
       .select(col("id"), col("codes"), col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/inverted")
 
+  /** Compact the stored inverted file after a run of appends: each
+    * micro-batch/append lands new small files under the touched
+    * `cell=` partitions, and an unbounded ingest stream would
+    * eventually make cell scans file-count-bound. Rewrites ONLY the
+    * fragmented cells (> `maxFiles` parquet files) via dynamic
+    * partition overwrite — untouched cells' files are left exactly as
+    * written, so compaction work is proportional to fragmentation, not
+    * store size. Content is bit-preserved (AnnSpec pins it); returns
+    * the compacted cell ids.
+    */
+  def compactIndex(spark: SparkSession, dir: String, maxFiles: Int = 1): Seq[Int] = {
+    val inv = new org.apache.hadoop.fs.Path(s"$dir/inverted")
+    val fs = inv.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(inv)) return Seq.empty
+    val fragmented = fs.listStatus(inv).filter(_.isDirectory).flatMap { st =>
+      val name = st.getPath.getName
+      if (!name.startsWith("cell=")) None
+      else {
+        val files = fs.listStatus(st.getPath)
+          .count(_.getPath.getName.endsWith(".parquet"))
+        if (files > maxFiles) Some(name.stripPrefix("cell=").toInt) else None
+      }
+    }.toSeq.sorted
+    if (fragmented.nonEmpty) {
+      // localCheckpoint truncates the lineage off the source path so
+      // the self-overwrite is legal; only fragmented cells are read
+      val rows = spark.read.schema(invertedSchema).parquet(s"$dir/inverted")
+        .filter(col("cell").isin(fragmented: _*))
+        .repartition(col("cell")) // co-locate each cell → one file per cell
+        .localCheckpoint(true)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try rows.select(col("id"), col("codes"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/inverted")
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      rows.unpersist()
+    }
+    fragmented
+  }
+
   /** Deterministic scratch location for the persisted index artifact
     * of an sf dir — /tmp scratch (the ScaleUp-tile convention), never
     * the read-only testdata; overwritten per build.

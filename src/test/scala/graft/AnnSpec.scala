@@ -498,6 +498,31 @@ class AnnSpec extends SparkSpec {
     assert(m("appended")._1 == nBase + nDelta)
     assert(m("delta")._1 == nDelta)
     assert(m("balance")._3 >= 1.0, "max/mean imbalance is >= 1 by definition")
+    // compaction: three more appends fragment the touched cells; the
+    // compactor folds ONLY those back to one file per cell and the
+    // store content is bit-preserved
+    (1 to 3).foreach { _ =>
+      IvfPq.appendToIndex(IvfPq.loadIndex(spark, dir), delta.limit(5), dir)
+    }
+    val before = asSet(IvfPq.loadIndex(spark, dir).inverted)
+    val beforeCount = IvfPq.loadIndex(spark, dir).inverted.count()
+    val compacted = IvfPq.compactIndex(spark, dir)
+    assert(compacted.nonEmpty, "three appends must fragment at least one cell")
+    assert(asSet(IvfPq.loadIndex(spark, dir).inverted) == before,
+      "compaction must preserve store content exactly")
+    assert(IvfPq.loadIndex(spark, dir).inverted.count() == beforeCount,
+      "compaction must preserve row multiplicity")
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/inverted")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/inverted"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .foreach { st =>
+        val files = fs.listStatus(st.getPath)
+          .count(_.getPath.getName.endsWith(".parquet"))
+        assert(files <= 1, s"${st.getPath.getName}: $files files post-compaction")
+      }
+    // a second compaction finds nothing to do
+    assert(IvfPq.compactIndex(spark, dir).isEmpty, "compaction must be idempotent")
   }
 
   test("approx_count_distinct within 5% of exact") {
