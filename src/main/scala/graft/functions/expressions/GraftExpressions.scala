@@ -878,6 +878,48 @@ object AnnKernels {
     val qn = lut.getDouble(lut.numElements() - 1)
     dot / (math.sqrt(qn) * math.sqrt(n2))
   }
+
+  /** ADC cosine straight from (query vector, codes) — the hot-path
+    * form the composed search and the streaming serves execute.
+    * Numerically IDENTICAL to pqQueryLut + adcCosine (per-subspace
+    * partials folded j-ascending, summed s-ascending, query norm over
+    * the full vector — the adcCtes oracle contract), but with ZERO
+    * per-call allocation. The per-query LUT formulation amortizes the
+    * subvector dots across a cell's candidates in a FAISS-style tight
+    * loop; under whole-stage codegen a non-cheap projection below the
+    * stream side of a broadcast join is re-evaluated PER MATCH, so the
+    * KB-sized LUT was rebuilt (and its 1 025 doubles boxed into a
+    * GenericArrayData) once per CANDIDATE — jstack-attributed as ~85 s
+    * of the 130 s sf1 serve regression. Direct scoring is ~100 flops
+    * per candidate, allocation-free, and safe at any candidate volume.
+    */
+  def adcCosineFromQuery(qv: ArrayData, codes: ArrayData,
+      books: Array[Array[Array[Double]]], dsub: Int,
+      norms: Array[Double], offsets: Array[Int]): Double = {
+    val n = qv.numElements()
+    var dot = 0.0
+    var n2 = 0.0
+    var s = 0
+    while (s < offsets.length) {
+      val code = codes.getInt(s)
+      if (code >= 0) {
+        val cent = books(s)(code)
+        val off = s * dsub
+        // the same clamped j-ascending partial fold as pqQueryLut
+        val lim = math.min(cent.length, math.max(0, n - off))
+        var p = 0.0
+        var j = 0
+        while (j < lim) { p += qv.getDouble(off + j) * cent(j); j += 1 }
+        dot += p
+        n2 += norms(offsets(s) + code)
+      }
+      s += 1
+    }
+    var qn = 0.0
+    var i = 0
+    while (i < n) { val x = qv.getDouble(i); qn += x * x; i += 1 }
+    dot / (math.sqrt(qn) * math.sqrt(n2))
+  }
 }
 
 /** Random-hyperplane LSH bucket code of an array<double> vector —
@@ -1348,6 +1390,39 @@ case class AdcCosine(left: Expression, right: Expression, books: Seq[Seq[Seq[Dou
   override def prettyName: String = "adc_cosine"
 }
 
+/** True-ADC cosine straight from (query vector, candidate CODES) —
+  * see AnnKernels.adcCosineFromQuery for why this beats the LUT
+  * formulation under whole-stage codegen (bit-identical folds, zero
+  * per-call allocation; AnnSpec pins the bit-equality).
+  */
+case class AdcCosineFromQuery(left: Expression, right: Expression,
+    books: Seq[Seq[Seq[Double]]], dsub: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  require(dsub >= 1, s"adc_cosine_from_query: dsub must be >= 1, got $dsub")
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  @transient private lazy val bookArr: Array[Array[Array[Double]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val normArr: Array[Double] = AnnKernels.adcNorms(bookArr)
+  @transient private lazy val offArr: Array[Int] = AnnKernels.adcOffsets(bookArr)
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType),
+    ArrayType(org.apache.spark.sql.types.IntegerType))
+  override def nullSafeEval(qv: Any, codes: Any): Any =
+    AnnKernels.adcCosineFromQuery(qv.asInstanceOf[ArrayData],
+      codes.asInstanceOf[ArrayData], bookArr, dsub, normArr, offArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("books", bookArr, "double[][][]")
+    val nRef = ctx.addReferenceObj("norms", normArr, "double[]")
+    val oRef = ctx.addReferenceObj("offsets", offArr, "int[]")
+    nullSafeCodeGen(ctx, ev, (q, c) =>
+      s"${ev.value} = graft.functions.expressions.AnnKernels.adcCosineFromQuery(" +
+        s"$q, $c, $bRef, $dsub, $nRef, $oRef);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "adc_cosine_from_query"
+}
+
 /** Cosine under a per-dimension weight profile (weights ride along as
   * a reference object, like the LSH planes) — one compiled pass, no
   * materialized weighted-vector column, no HOF transform on the scan.
@@ -1734,6 +1809,10 @@ object GraftFunctions {
   def adcCosine(lut: Column, codes: Column, books: Array[Array[Array[Double]]]): Column =
     column(AdcCosine(expression(lut), expression(codes),
       books.toSeq.map(_.toSeq.map(_.toSeq))))
+  def adcCosineFromQuery(qv: Column, codes: Column,
+      books: Array[Array[Array[Double]]], dsub: Int): Column =
+    column(AdcCosineFromQuery(expression(qv), expression(codes),
+      books.toSeq.map(_.toSeq.map(_.toSeq)), dsub))
   // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
   // runtime row-level filtering but does not register them as SQL
   // functions; surfacing them here gives pipelines the standard

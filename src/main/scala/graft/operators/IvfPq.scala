@@ -99,21 +99,26 @@ object IvfPq {
     AnnPq.encodeCodes(assign(index, corpus), books, dsub)
       .select(col("cell"), col("id"), col("codes"))
 
-  /** ADC candidates for a query table (query_id, qv): probe, build the
-    * per-query LUT once (|Q|·nprobe rows), hash-join the coded file on
-    * cell, score codes via the LUT. Returns (query_id, neighbor_id,
-    * adc_cos) — the full query vector is dropped BEFORE the join, so
-    * the candidate stream carries ~24 bytes + m codes per row.
+  /** ADC candidates for a query table (query_id, qv): probe, hash-join
+    * the coded file on cell, score each candidate's m CODES directly
+    * against the query vector (AdcCosineFromQuery — the per-subspace
+    * blocked fold, bit-identical to the LUT formulation, zero
+    * per-call allocation). Returns (query_id, neighbor_id, adc_cos) —
+    * nothing wider than the codes ever crosses a shuffle or sink
+    * boundary. The LUT formulation is deliberately NOT used here:
+    * under whole-stage codegen a non-cheap projection below the
+    * stream side of a broadcast join is re-evaluated per match, so
+    * the KB-sized LUT was rebuilt per CANDIDATE (jstack-attributed,
+    * ~30× the scoring cost at sf1's 32.5M-candidate volume).
     */
   def adcCandidates(index: Index, books: Array[Array[Array[Double]]], dsub: Int,
       codedInv: DataFrame, queries: DataFrame, nprobe: Int): DataFrame =
     probe(index, queries, "qv", nprobe)
-      .withColumn("__lut", GraftFunctions.pqQueryLut(col("qv"), books, dsub))
-      .drop("qv")
       .join(codedInv.withColumnRenamed("id", "neighbor_id"), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        GraftFunctions.adcCosine(col("__lut"), col("codes"), books).as("adc_cos"))
+        GraftFunctions.adcCosineFromQuery(col("qv"), col("codes"), books, dsub)
+          .as("adc_cos"))
 
   /** The composed top-k search over a pre-built index: ADC pool of
     * `rerank` per query, exact-cosine re-rank of the survivors via a

@@ -328,10 +328,11 @@ object Streaming {
   // and each ARRIVING vector is answered in one stateless pass:
   // regime-dispatched probe (projection against the loaded constants,
   // or coarse probe + broadcast neighborhoods past the ceiling), a
-  // per-query ADC lookup table built scan-side, a stream-static
-  // equi-join on cell against the loaded (cell, id, codes) file —
-  // TRUE ADC: m code lookups per candidate, no reconstruction
-  // anywhere — an ADC prefilter (loose, shared constant), and an
+  // stream-static equi-join on cell against the loaded (cell, id,
+  // codes) file — TRUE ADC: each candidate's m codes scored directly
+  // against the arriving vector (AdcCosineFromQuery — allocation-free
+  // per-subspace folds; no LUT, no reconstruction anywhere) — an ADC
+  // prefilter (loose, shared constant), and an
   // exact-cosine verify via a second stream-static join fetching full
   // vectors ONLY for ADC survivors. No state store, no watermark, no
   // stream-side shuffle — like st_ood_filter it scales to any
@@ -362,13 +363,20 @@ object Streaming {
     val arriving = QanStream.embeddingsStream(s, d)
       .select(col("vec_id").as("query_id"),
         col("embedding").cast(ArrayType(DoubleType)).as("qv"))
-    val served = IvfPq.probe(loaded.index, arriving, "qv", Vectors.ivfpqNprobe)
-      .withColumn("__lut",
-        GraftFunctions.pqQueryLut(col("qv"), loaded.books, Vectors.pqDsub))
+    // scatter arriving queries across executors BEFORE the ×|cell|
+    // candidate fan-out: the file source delivers a micro-batch in
+    // 1-2 partitions (one parquet file), which would serialize the
+    // whole candidate stage onto as many cores; a round-robin
+    // repartition of the (tiny) query rows is what a production
+    // receiver does and costs |batch|·~0.5 KB of shuffle
+    val scattered = arriving.repartition(
+      s.conf.get("spark.sql.shuffle.partitions").toInt)
+    val served = IvfPq.probe(loaded.index, scattered, "qv", Vectors.ivfpqNprobe)
       .join(codedInv, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_cos",
-        GraftFunctions.adcCosine(col("__lut"), col("codes"), loaded.books))
+        GraftFunctions.adcCosineFromQuery(col("qv"), col("codes"),
+          loaded.books, Vectors.pqDsub))
       .filter(col("adc_cos") >= Vectors.ivfpqAdcPrefilter)
       .join(broadcast(full), Seq("neighbor_id"))
       .withColumn("cos_sim", GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
@@ -419,7 +427,7 @@ object Streaming {
   // composition: same chain as emb_ivfpq_topk over ALL queries.
   private val stIvfpqServeTopk: Q = (s, d) => {
     import graft.operators.IvfPq
-    import org.apache.spark.sql.types.ArrayType
+    import org.apache.spark.sql.types.{ArrayType, LongType}
     import org.apache.spark.sql.expressions.Window
     import graft.functions.expressions.GraftFunctions
     val corpus = graft.Tables.embeddings(s, d)
@@ -436,24 +444,48 @@ object Streaming {
     val arriving = QanStream.embeddingsStream(s, d)
       .select(col("vec_id").as("query_id"),
         col("embedding").cast(ArrayType(DoubleType)).as("qv"))
-    // streaming plan: candidates + ADC scores only — stateless
-    val cand = IvfPq.probe(loaded.index, arriving, "qv", Vectors.ivfpqNprobe)
-      .withColumn("__lut",
-        GraftFunctions.pqQueryLut(col("qv"), loaded.books, Vectors.pqDsub))
+    // Streaming plan (stateless): SLIM ADC candidates — the query
+    // vector must NOT ride the candidate relation (|cell|·nprobe
+    // copies of 512 B per query materialize at the micro-batch sink
+    // boundary: superlinear at 10× data when first measured) — the
+    // same discipline the batch composition applies by dropping qv
+    // before the cell join. The exact re-rank still needs qv ONCE per
+    // query, so the feed is a self-source union: per-candidate slim
+    // rows + one qv row per arriving query (both legs are projections
+    // of the SAME source, so every query's candidates share its
+    // micro-batch and per-batch top-k stays exact under any batching).
+    // same receiver-side scatter as st_ivfpq_serve: fan the candidate
+    // stage across executors instead of the file source's 1-2 splits
+    val candSlim = IvfPq.probe(loaded.index,
+        arriving.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt),
+        "qv", Vectors.ivfpqNprobe)
       .join(codedInv, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("qv"), col("neighbor_id"),
-        GraftFunctions.adcCosine(col("__lut"), col("codes"), loaded.books)
-          .as("adc_cos"))
-    QanStream.runForeachBatch(cand, batch => {
-      val surv = batch
+      .select(col("query_id"),
+        GraftFunctions.adcCosineFromQuery(col("qv"), col("codes"),
+          loaded.books, Vectors.pqDsub).as("adc_cos"),
+        col("neighbor_id"),
+        lit(null).cast(ArrayType(DoubleType)).as("qv"))
+    val queryRows = arriving.select(col("query_id"),
+      lit(null).cast(DoubleType).as("adc_cos"),
+      lit(null).cast(LongType).as("neighbor_id"), col("qv"))
+    QanStream.runForeachBatch(candSlim.unionByName(queryRows), batch => {
+      val qs = batch.filter(col("neighbor_id").isNull)
+        .select(col("query_id"), col("qv"))
+      val surv = batch.filter(col("neighbor_id").isNotNull).drop("qv")
         .withColumn("adc_rank", row_number().over(
           Window.partitionBy(col("query_id"))
             .orderBy(col("adc_cos").desc, col("neighbor_id"))))
         .filter(col("adc_rank") <= Vectors.ivfpqRerank)
+      // join order keeps every broadcast and shuffle SLIM: full-vector
+      // fetch against the ≤ rerank·|Q| survivor ids, qv joined back
+      // once per survivor, cosine computed and both vectors DROPPED
+      // before the ranking shuffle
       full.join(broadcast(surv), Seq("neighbor_id"))
-        .withColumn("cos_sim",
-          GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
+        .join(broadcast(qs), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"), col("adc_cos"),
+          col("adc_rank"),
+          GraftFunctions.cosineSimilarity(col("qv"), col("cv")).as("cos_sim"))
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("query_id"))
             .orderBy(col("cos_sim").desc, col("neighbor_id"))))

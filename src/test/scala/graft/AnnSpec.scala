@@ -354,6 +354,15 @@ class AnnSpec extends SparkSpec {
         GraftFunctions.adcCosine(col("lut"), col("codes"), books).as("s"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(viaLut == again, "ADC scoring must be bit-stable")
+    // the allocation-free direct form the hot paths execute must be
+    // BIT-equal to the LUT formulation (same blocked folds — this is
+    // what keeps the adcCtes oracle valid after the kernel swap)
+    val viaDirect = q.crossJoin(coded)
+      .select(col("qid"), col("id"),
+        GraftFunctions.adcCosineFromQuery(col("qv"), col("codes"), books, 4).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(viaDirect == viaLut,
+      "direct ADC must bit-equal the LUT formulation")
   }
 
   test("composed search regime handover: dispatch pinned, two-level arm at wProbe=all reproduces one-level bit-for-bit") {

@@ -529,12 +529,11 @@ class StreamingSpec extends SparkSpec {
       IvfPq.probe(loaded.index,
           src.select(col("vec_id").as("query_id"),
             col("embedding").cast(ArrayType(DoubleType)).as("qv")), "qv", 2)
-        .withColumn("__lut", GraftFunctions.pqQueryLut(col("qv"), loaded.books, 4))
         .join(codedInv, Seq("cell"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
-          GraftFunctions.adcCosine(col("__lut"), col("codes"), loaded.books)
-            .as("adc_cos"))
+          GraftFunctions.adcCosineFromQuery(col("qv"), col("codes"),
+            loaded.books, 4).as("adc_cos"))
     val h = QanStream.runToMemoryQuery(candOf(QanStream.embeddingsStream(spark, sf)))
     try {
       h.query.processAllAvailable()
