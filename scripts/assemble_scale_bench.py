@@ -32,7 +32,7 @@ def main():
         "emb_cosine_topk", "emb_recall_curve", "emb_two_level_probe_curve",
         "emb_cell_recall", "emb_cell_recall_two_level",
         "emb_ivfpq_topk", "emb_ivfpq_topk_two_level", "emb_ivfpq_rerank_curve",
-        "emb_index_build", "emb_index_append",
+        "emb_index_build", "emb_index_append", "emb_index_delete",
         "st_ivfpq_serve", "st_ivfpq_serve_topk", "st_index_append")
     st = lambda k: k.startswith("st_")
 

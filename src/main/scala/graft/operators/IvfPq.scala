@@ -263,15 +263,35 @@ object IvfPq {
       .select(col("id"), col("codes"), col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/inverted")
 
-  /** Compact the stored inverted file after a run of appends: each
-    * micro-batch/append lands new small files under the touched
-    * `cell=` partitions, and an unbounded ingest stream would
-    * eventually make cell scans file-count-bound. Rewrites ONLY the
-    * fragmented cells (> `maxFiles` parquet files) via dynamic
-    * partition overwrite — untouched cells' files are left exactly as
-    * written, so compaction work is proportional to fragmentation, not
-    * store size. Content is bit-preserved (AnnSpec pins it); returns
-    * the compacted cell ids.
+  /** Tombstone-delete from the stored index: append the ids to the
+    * side tombstone table — the store itself is untouched (deleting
+    * from an immutable cell-partitioned file in place would mean
+    * rewriting cells synchronously on every takedown). Serving reads
+    * [[Loaded.live]], which anti-joins the (small, broadcast)
+    * tombstone set out of the coded file — deleted vectors are
+    * unservable the moment the delete lands; physical removal is
+    * deferred to [[compactIndex]], which folds tombstones into the
+    * cells it rewrites and then clears the applied set. The
+    * Lucene/LSM delete discipline, re-expressed as parquet + a
+    * broadcast anti-join.
+    */
+  def deleteFromIndex(ids: DataFrame, dir: String): Unit =
+    ids.select(col("id").cast(LongType).as("id"))
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  /** Compact the stored inverted file after a run of appends and
+    * deletes: each micro-batch/append lands new small files under the
+    * touched `cell=` partitions (an unbounded ingest stream would
+    * eventually make cell scans file-count-bound), and tombstoned
+    * rows accumulate read-side anti-join work. Rewrites ONLY the
+    * touched cells — fragmented (> `maxFiles` parquet files) or
+    * holding at least one tombstoned row — via dynamic partition
+    * overwrite, dropping tombstoned rows as it goes; untouched cells'
+    * files are left exactly as written, so compaction work is
+    * proportional to fragmentation + deletes, not store size. Every
+    * cell containing a tombstoned row is rewritten, so afterwards the
+    * tombstone set is fully applied and is cleared. Live content is
+    * bit-preserved (AnnSpec pins it); returns the rewritten cell ids.
     */
   def compactIndex(spark: SparkSession, dir: String, maxFiles: Int = 1): Seq[Int] = {
     val inv = new org.apache.hadoop.fs.Path(s"$dir/inverted")
@@ -285,12 +305,24 @@ object IvfPq {
           .count(_.getPath.getName.endsWith(".parquet"))
         if (files > maxFiles) Some(name.stripPrefix("cell=").toInt) else None
       }
-    }.toSeq.sorted
-    if (fragmented.nonEmpty) {
+    }.toSeq
+    val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val hasTombs = fs.exists(tombPath)
+    val tombs = tombstonesOf(spark, dir)
+    // cells holding a tombstoned row: a semi-join of the store against
+    // the small tombstone set, collected as (<= cell-count) ints
+    val tombCells =
+      if (!hasTombs) Seq.empty[Int]
+      else spark.read.schema(invertedSchema).parquet(s"$dir/inverted")
+        .join(broadcast(tombs), Seq("id"), "left_semi")
+        .select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+    val touched = (fragmented ++ tombCells).distinct.sorted
+    if (touched.nonEmpty) {
       // localCheckpoint truncates the lineage off the source path so
-      // the self-overwrite is legal; only fragmented cells are read
+      // the self-overwrite is legal; only touched cells are read
       val rows = spark.read.schema(invertedSchema).parquet(s"$dir/inverted")
-        .filter(col("cell").isin(fragmented: _*))
+        .filter(col("cell").isin(touched: _*))
+        .join(broadcast(tombs), Seq("id"), "left_anti")
         .repartition(col("cell")) // co-locate each cell → one file per cell
         .localCheckpoint(true)
       val key = "spark.sql.sources.partitionOverwriteMode"
@@ -304,7 +336,24 @@ object IvfPq {
       }
       rows.unpersist()
     }
-    fragmented
+    // every tombstoned row sat in a touched cell (or never existed in
+    // the store) — the set is applied; clear it so serving reverts to
+    // the join-free plan
+    if (hasTombs) fs.delete(tombPath, true)
+    touched
+  }
+
+  private val tombstoneSchema = StructType(Seq(StructField("id", LongType)))
+
+  /** The pending tombstone set of a stored index — empty (not an
+    * error) when no delete has landed since the last compaction.
+    */
+  def tombstonesOf(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(tombstoneSchema).parquet(p.toString)
+    else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      tombstoneSchema)
   }
 
   /** Deterministic scratch location for the persisted index artifact
@@ -318,9 +367,13 @@ object IvfPq {
   /** A loaded index: the trained halves plus the stored coded file AS
     * A DATAFRAME (cell, id, codes) — the serve path joins it directly,
     * so the corpus-sized artifact is never collected to the driver.
+    * `inverted` is the raw store (what the manifest ops audit); `live`
+    * is what serving consumes — the store minus pending tombstones.
+    * With no pending deletes `live` IS `inverted` (no join node is
+    * added), so deletion costs nothing until a delete actually lands.
     */
   final case class Loaded(index: Index, books: Array[Array[Array[Double]]],
-      dsub: Int, inverted: DataFrame)
+      dsub: Int, inverted: DataFrame, live: DataFrame)
 
   /** Load a persisted index from `dir`. All reads carry explicit
     * schemas, so a zero-row artifact (empty corpus) loads as empty
@@ -352,6 +405,13 @@ object IvfPq {
       bookRows.filter(_._1 == s).sortBy(_._2).map(_._3))
     val inverted = spark.read.schema(invertedSchema)
       .parquet(s"$dir/inverted").select(col("cell"), col("id"), col("codes"))
-    Loaded(index, books, dsub, inverted)
+    val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val tombFs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live =
+      if (tombFs.exists(tombPath))
+        inverted.join(broadcast(tombstonesOf(spark, dir)), Seq("id"), "left_anti")
+          .select(col("cell"), col("id"), col("codes")) // using-join moves id first
+      else inverted
+    Loaded(index, books, dsub, inverted, live)
   }
 }

@@ -358,7 +358,7 @@ object Streaming {
     IvfPq.buildIndex(corpus, n, dim = 64, m = Vectors.pqM,
       dsub = Vectors.pqDsub, kCodes = Vectors.pqK, dir = dir)
     val loaded = IvfPq.loadIndex(s, dir)
-    val codedInv = broadcast(loaded.inverted.withColumnRenamed("id", "neighbor_id"))
+    val codedInv = broadcast(loaded.live.withColumnRenamed("id", "neighbor_id"))
     val full = corpus.select(col("id").as("neighbor_id"), col("v").as("cv"))
     val arriving = QanStream.embeddingsStream(s, d)
       .select(col("vec_id").as("query_id"),
@@ -439,7 +439,7 @@ object Streaming {
     IvfPq.buildIndex(corpus, n, dim = 64, m = Vectors.pqM,
       dsub = Vectors.pqDsub, kCodes = Vectors.pqK, dir = dir)
     val loaded = IvfPq.loadIndex(s, dir)
-    val codedInv = broadcast(loaded.inverted.withColumnRenamed("id", "neighbor_id"))
+    val codedInv = broadcast(loaded.live.withColumnRenamed("id", "neighbor_id"))
     val full = corpus.select(col("id").as("neighbor_id"), col("v").as("cv"))
     val arriving = QanStream.embeddingsStream(s, d)
       .select(col("vec_id").as("query_id"),

@@ -920,6 +920,97 @@ object Vectors {
     ORDER BY artifact"""
   }
 
+  // -------------------------------------------------- emb_index_delete
+  // The remaining lifecycle op of the persisted index — takedown
+  // (GDPR erasure, corpus filtering) without a rebuild. Deletes are
+  // TOMBSTONES (IvfPq.deleteFromIndex appends the ids to a side
+  // table; the immutable cell-partitioned store is untouched), serving
+  // consumes Loaded.live — the store minus the broadcast tombstone
+  // set, so deleted vectors are unservable the moment the delete
+  // lands — and physical removal is deferred to compactIndex, which
+  // rewrites exactly the cells holding a tombstoned row (work ∝
+  // deletes, not store size) and clears the applied set. The manifest
+  // proves the whole discipline in one hash: the `live` row is the
+  // post-delete serving view, the `compacted` row is the RAW store
+  // after physical removal (identical stats ⇒ compaction dropped
+  // exactly the tombstoned rows, bit-preserving the rest), and the
+  // `tombstones` row pins the pending set between delete and compact.
+  // The oracle replays training on the full corpus and filters the
+  // delete predicate out of the coded file — a pure replay, because
+  // the trained halves do NOT move on delete (quantizer drift from
+  // mass deletion is the same `balance`-row retrain trigger the
+  // append path watches).
+  //
+  // 100 TB shape: the delete writes |deleted| ids; the serve-side
+  // anti-join broadcasts the tombstone set (small between
+  // compactions by operational definition — the compactor is the
+  // backstop); compaction reads and rewrites only touched cells.
+  private[queries] val deleteMod = 9
+  private[queries] val deleteRem = 4
+  private val embIndexDelete: Q = (s, d) => {
+    val corpus = vecs(s, d).select(col("vec_id").as("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = corpus.count()
+    val dir = indexDir(d) + "_delete"
+    IvfPq.buildIndex(corpus, n, dim = 64, m = pqM, dsub = pqDsub,
+      kCodes = pqK, dir = dir)
+    val isDel = col("id") % deleteMod === deleteRem
+    IvfPq.deleteFromIndex(corpus.filter(isDel).select(col("id")), dir)
+    val afterDel = IvfPq.loadIndex(s, dir)
+    val codesSum = expr(
+      "aggregate(codes, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT))")
+    def checksumRow(label: String, df: DataFrame): DataFrame = df.agg(
+      lit(label).as("artifact"),
+      count(lit(1)).as("n_rows"),
+      (coalesce(sum(col("id")), lit(0L))
+        + coalesce(sum(col("cell").cast("long")), lit(0L))
+        + coalesce(sum(codesSum), lit(0L))).as("sum_a"),
+      countDistinct(col("cell")).cast(DoubleType).as("sum_b"))
+    val tombRow = IvfPq.tombstonesOf(s, dir).agg(
+      lit("tombstones").as("artifact"),
+      count(lit(1)).as("n_rows"),
+      coalesce(sum(col("id")), lit(0L)).as("sum_a"),
+      countDistinct(col("id")).cast(DoubleType).as("sum_b"))
+    // materialize the pre-compaction rows NOW — compaction mutates the
+    // store (and clears the tombstone files) these lazy plans read
+    val pre = checksumRow("live", afterDel.live).unionAll(tombRow)
+      .localCheckpoint(true)
+    IvfPq.compactIndex(s, dir)
+    checksumRow("compacted", IvfPq.loadIndex(s, dir).inverted)
+      .unionAll(pre)
+      .orderBy(col("artifact"))
+  }
+
+  private lazy val embIndexDeleteSql: String = s"""
+    WITH ${ScaleOps.ivfCtes(16, 64)},
+    $pqCtesComposable,
+    live AS (SELECT vec_id, cell FROM inverted
+      WHERE vec_id % $deleteMod <> $deleteRem),
+    codes_live AS (SELECT vec_id, code FROM pq_coded
+      WHERE vec_id % $deleteMod <> $deleteRem),
+    tomb AS (
+      SELECT vec_id FROM embeddings WHERE vec_id % $deleteMod = $deleteRem),
+    live_stats AS (
+      SELECT
+        (SELECT COUNT(*) FROM live) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(vec_id), 0) + COALESCE(SUM(cell), 0) AS BIGINT)
+           FROM live)
+          + (SELECT CAST(COALESCE(SUM(code), 0) AS BIGINT) FROM codes_live) AS sum_a,
+        (SELECT CAST(COUNT(DISTINCT cell) AS DOUBLE) FROM live) AS sum_b),
+    row_compacted AS (
+      SELECT 'compacted' AS artifact, n_rows, sum_a, sum_b FROM live_stats),
+    row_live AS (
+      SELECT 'live' AS artifact, n_rows, sum_a, sum_b FROM live_stats),
+    row_tomb AS (
+      SELECT 'tombstones' AS artifact,
+        (SELECT COUNT(*) FROM tomb) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(vec_id), 0) AS BIGINT) FROM tomb) AS sum_a,
+        (SELECT CAST(COUNT(DISTINCT vec_id) AS DOUBLE) FROM tomb) AS sum_b)
+    SELECT * FROM row_compacted
+    UNION ALL SELECT * FROM row_live
+    UNION ALL SELECT * FROM row_tomb
+    ORDER BY artifact"""
+
   // --------------------------------------------- emb_matryoshka_recall
   // Truncated-dimension retrieval audit (the Matryoshka-representation
   // question): how much top-k quality survives if the index stores
@@ -1173,6 +1264,7 @@ object Vectors {
     "emb_ivfpq_rerank_curve" -> embIvfpqRerankCurve,
     "emb_index_build" -> embIndexBuild,
     "emb_index_append" -> embIndexAppend,
+    "emb_index_delete" -> embIndexDelete,
     "emb_cosine_topk" -> embCosineTopk,
     "emb_near_dup_pairs" -> embNearDupPairs,
     "emb_int8_quantize" -> embInt8Quantize,
@@ -1191,6 +1283,7 @@ object Vectors {
     "emb_ivfpq_rerank_curve" -> embIvfpqRerankCurveSql,
     "emb_index_build" -> embIndexBuildSql,
     "emb_index_append" -> embIndexAppendSql,
+    "emb_index_delete" -> embIndexDeleteSql,
     "emb_cosine_topk" -> embCosineTopkSql,
     "emb_near_dup_pairs" -> embNearDupPairsSql,
     "emb_int8_quantize" -> embInt8QuantizeSql,

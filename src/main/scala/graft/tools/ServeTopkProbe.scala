@@ -46,7 +46,7 @@ object ServeTopkProbe {
     timed("buildIndex")(IvfPq.buildIndex(corpus, n, dim = 64, m = 16,
       dsub = 4, kCodes = 64, dir = dir))
     val loaded = timed("loadIndex")(IvfPq.loadIndex(spark, dir))
-    val codedInv = broadcast(loaded.inverted.withColumnRenamed("id", "neighbor_id"))
+    val codedInv = broadcast(loaded.live.withColumnRenamed("id", "neighbor_id"))
     val full = corpus.select(col("id").as("neighbor_id"), col("v").as("cv"))
 
     // batch-land replica of the streaming candidate pipeline

@@ -534,6 +534,61 @@ class AnnSpec extends SparkSpec {
     assert(IvfPq.compactIndex(spark, dir).isEmpty, "compaction must be idempotent")
   }
 
+  test("tombstone delete: live view drops the ids immediately, compaction removes them physically and clears the set") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.operators.IvfPq
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val n = all.count()
+    val isDel = col("id") % 3 === 1
+    val nDel = all.filter(isDel).count()
+    assert(nDel > 0, "spec needs a non-empty delete slice")
+    val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_idx_del_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    val (index, books) = IvfPq.buildIndex(all, n, dim = 64, m = 16,
+      dsub = 4, kCodes = 64, dir = dir)
+    IvfPq.deleteFromIndex(all.filter(isDel).select(col("id")), dir)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](2).toList)).toSet
+    val loaded = IvfPq.loadIndex(spark, dir)
+    // the raw store is untouched by the delete; the live view excludes
+    // exactly the tombstoned ids — bit-equal to encoding the surviving
+    // corpus under the same frozen index
+    assert(loaded.inverted.count() == n, "delete must not rewrite the store")
+    val live = asSet(loaded.live)
+    assert(live == asSet(IvfPq.codedInvertedFile(index, all.filter(!isDel), books, 4)),
+      "live view must equal the frozen-index encode of the surviving corpus")
+    assert(live.forall(_._2 % 3 != 1), "no deleted id may be servable")
+    // physical removal: compaction rewrites the touched cells minus
+    // tombstoned rows and clears the applied set
+    val touched = IvfPq.compactIndex(spark, dir)
+    assert(touched.nonEmpty, "cells holding tombstoned rows must be rewritten")
+    assert(asSet(IvfPq.loadIndex(spark, dir).inverted) == live,
+      "post-compaction raw store must equal the live content bit for bit")
+    assert(IvfPq.tombstonesOf(spark, dir).count() == 0,
+      "applied tombstones must be cleared")
+    assert(IvfPq.compactIndex(spark, dir).isEmpty, "compaction must be idempotent")
+    // deleting an id absent from the store: the tombstone lands, live
+    // is unchanged, and the next compaction rewrites nothing but still
+    // clears the (fully applied) set
+    import spark.implicits._
+    IvfPq.deleteFromIndex(Seq(-999L).toDF("id"), dir)
+    assert(asSet(IvfPq.loadIndex(spark, dir).live) == live)
+    assert(IvfPq.compactIndex(spark, dir).isEmpty)
+    assert(IvfPq.tombstonesOf(spark, dir).count() == 0)
+    // the manifest op: live == compacted stats (physical removal is
+    // bit-preserving), tombstones row counts exactly the delete slice
+    val m = SparkEntry.queries("emb_index_delete")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(m("live") == m("compacted"),
+      "compacted store stats must equal the live view's")
+    val nDelQ = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 9 === 4).count()
+    assert(m("tombstones")._1 == nDelQ)
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val approx = SparkEntry.queries("q13_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
