@@ -516,6 +516,33 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast survivor fetch before the depth explode:\n$plan")
   }
 
+  test("index delete: the live view anti-joins tombstones BROADCAST — the store side never shuffles") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.operators.IvfPq
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_idx_plan_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    IvfPq.buildIndex(all, all.count(), dim = 64, m = 16, dsub = 4,
+      kCodes = 64, dir = dir)
+    // no pending deletes: the live view IS the raw store — no join node
+    val clean = IvfPq.loadIndex(spark, dir).live
+    assert(!clean.queryExecution.executedPlan.toString.contains("Join"),
+      "live view must be join-free when no deletes are pending")
+    // pending deletes: a broadcast LEFT ANTI against the (small)
+    // tombstone set — the corpus-sized coded file must not shuffle or
+    // sort for the delete filter
+    IvfPq.deleteFromIndex(all.filter(col("id") % 5 === 0).select(col("id")), dir)
+    val live = IvfPq.loadIndex(spark, dir).live
+    live.collect()
+    val plan = live.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected a broadcast left-anti tombstone filter:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the store side must never shuffle for a delete filter:\n$plan")
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     // the "*(n)" prefix marks codegen spans; the fingerprint/simhash
     // projections must carry it (no CodegenFallback breaking the span)
