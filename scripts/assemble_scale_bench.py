@@ -33,7 +33,8 @@ def main():
         "emb_cell_recall", "emb_cell_recall_two_level",
         "emb_ivfpq_topk", "emb_ivfpq_topk_two_level", "emb_ivfpq_rerank_curve",
         "emb_index_build", "emb_index_append", "emb_index_delete",
-        "st_ivfpq_serve", "st_ivfpq_serve_topk", "st_index_append")
+        "st_ivfpq_serve", "st_ivfpq_serve_topk", "st_index_append",
+        "st_index_delete")
     st = lambda k: k.startswith("st_")
 
     rat1, rat10 = ratios(r1), ratios(r10)

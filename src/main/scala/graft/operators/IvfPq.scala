@@ -209,6 +209,12 @@ object IvfPq {
       kCodes: Int, dir: String, wProbe: Int = 2,
       oneLevelMax: Long = AnnIvf.OneLevelMaxVectors): (Index, Array[Array[Array[Double]]]) = {
     val spark = corpus.sparkSession
+    // a build defines a FRESH store: tombstones from a previous
+    // incarnation of this dir are stale state and must not leak into
+    // the new artifact's live view
+    val staleTombs = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val tfs = staleTombs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (tfs.exists(staleTombs)) tfs.delete(staleTombs, true)
     val index = indexAuto(corpus, n, dim, wProbe, oneLevelMax)
     val books = AnnPq.collectCodebooks(
       AnnPq.refinedCodebooks(corpus, m, dsub, kCodes), m)

@@ -595,6 +595,63 @@ object Streaming {
     FROM dl_assign a
     ORDER BY a.vec_id"""
 
+  // ------------------------------------------------- st_index_delete
+  // Streaming TAKEDOWN — the online half of emb_index_delete,
+  // completing the streaming symmetry of the index lifecycle (ingest
+  // has st_index_append; deletes arrive as a stream too: GDPR
+  // requests, moderation actions). Each micro-batch of arriving
+  // delete requests lands as a tombstone append (IvfPq.deleteFromIndex
+  // — a delta-sized write of just the ids; the store is untouched, no
+  // state, no window). Each request emits a receipt; after the stream
+  // drains, receipts are audited against the RELOADED index: the cell
+  // the vector occupied (from the raw store — the bytes compaction
+  // will rewrite) and `still_servable` from the live view, which must
+  // be FALSE for every row — takedown is effective the moment the
+  // batch commits, before any compaction. Receipts are per-row facts,
+  // so the output is identical under any batching; the oracle derives
+  // the same rows from the training replay (cell assignment) with
+  // still_servable = FALSE.
+  private val stIndexDelete: Q = (s, d) => {
+    import graft.operators.IvfPq
+    import org.apache.spark.sql.types.ArrayType
+    val all = graft.Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = all.count()
+    val dir = Vectors.indexDir(d) + "_stream_delete"
+    IvfPq.buildIndex(all, n, dim = 64, m = Vectors.pqM,
+      dsub = Vectors.pqDsub, kCodes = Vectors.pqK, dir = dir)
+    val isDel = col("id") % Vectors.deleteMod === Vectors.deleteRem
+    val arriving = QanStream.embeddingsStream(s, d)
+      .select(col("vec_id").as("id")).filter(isDel)
+    val receipts = QanStream.runForeachBatch(arriving, batch => {
+      IvfPq.deleteFromIndex(batch.select(col("id")), dir)
+      batch.select(col("id").as("vec_id"))
+    })
+    // post-stream audit against the RELOADED index: the raw store
+    // still holds the row (physical removal is compaction's job), but
+    // the live view must not serve it
+    val loaded = IvfPq.loadIndex(s, dir)
+    val cells = loaded.inverted.select(col("id").as("vec_id"), col("cell"))
+    val liveIds = loaded.live
+      .select(col("id").as("vec_id"), lit(true).as("servable"))
+    receipts.join(cells, Seq("vec_id"), "left")
+      .join(liveIds, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("servable"), lit(false)).as("still_servable"))
+      .orderBy(col("vec_id"))
+  }
+
+  private lazy val stIndexDeleteSql: String = s"""
+    WITH ${ScaleOps.ivfCtes(16, 64)},
+    del AS (
+      SELECT vec_id FROM embeddings
+      WHERE vec_id % ${Vectors.deleteMod} = ${Vectors.deleteRem})
+    SELECT d.vec_id, i.cell, FALSE AS still_servable
+    FROM del d JOIN inverted i ON i.vec_id = d.vec_id
+    ORDER BY d.vec_id"""
+
   // Streaming ingestion-time NEAR-dup detection (DedupStream): as docs
   // arrive, each is checked against resident (band, bucket) signature
   // state; (older, newer, signature-estimate) pairs stream out, with
@@ -803,6 +860,7 @@ object Streaming {
     "st_ivfpq_serve" -> stIvfpqServe,
     "st_ivfpq_serve_topk" -> stIvfpqServeTopk,
     "st_index_append" -> stIndexAppend,
+    "st_index_delete" -> stIndexDelete,
     "st_exact_dedup_stream" -> stExactDedup,
     "st_multi_counter_stream" -> stMultiCounter,
     "st_delta_stream" -> stDelta,
@@ -825,6 +883,7 @@ object Streaming {
     "st_ivfpq_serve" -> stIvfpqServeSql,
     "st_ivfpq_serve_topk" -> stIvfpqServeTopkSql,
     "st_index_append" -> stIndexAppendSql,
+    "st_index_delete" -> stIndexDeleteSql,
     "st_exact_dedup_stream" -> Text.oracles("doc_exact_dedup"),
     "st_multi_counter_stream" -> Qan.oracles("qan_multi_counter_delta"),
     "st_session_stream" -> stSessionSql,

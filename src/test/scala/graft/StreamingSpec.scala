@@ -589,6 +589,46 @@ class StreamingSpec extends SparkSpec {
     } finally h.query.stop()
   }
 
+  test("streaming index takedown: receipts unservable post-batch, batching-independent, delete plan stateless") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.IvfPq
+    import graft.streaming.QanStream
+    val out = SparkEntry.queries("st_index_delete")(spark, sf).collect()
+    assert(out.nonEmpty, "takedown stream emitted nothing")
+    // takedown must be effective BEFORE any compaction: no receipt id
+    // may remain servable in the reloaded live view
+    assert(out.forall(!_.getBoolean(2)),
+      "a deleted id is still servable — the live view missed a tombstone")
+    // exactly the delete slice, exactly once
+    val nDel = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 9 === 4).count()
+    assert(out.length == nDel, s"${out.length} receipts for $nDel delete requests")
+    // the raw store is untouched (every receipt still reports the cell
+    // it occupies — physical removal is compaction's job, not the
+    // stream's) and the surviving live view is the complement
+    assert(out.forall(!_.isNullAt(1)), "receipt lost its store cell")
+    val dir = IvfPq.indexDir(sf) + "_stream_delete"
+    val loaded = IvfPq.loadIndex(spark, dir)
+    val nAll = Tables.embeddings(spark, sf).count()
+    assert(loaded.inverted.count() == nAll, "stream delete must not rewrite the store")
+    assert(loaded.live.count() == nAll - nDel, "live view must be the complement of the takedowns")
+    // receipts are per-row facts: a second full run (fresh build +
+    // fresh stream, its own batching) is identical
+    val again = SparkEntry.queries("st_index_delete")(spark, sf).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "takedown receipts must be independent of micro-batch boundaries")
+    // the arriving-request plan is a pure projection+filter — zero
+    // state operators in the streaming plan
+    val arriving = QanStream.embeddingsStream(spark, sf)
+      .select(col("vec_id").as("id")).filter(col("id") % 9 === 4)
+    val h = QanStream.runToMemoryQuery(arriving)
+    try {
+      h.query.processAllAvailable()
+      assert(h.query.lastProgress.stateOperators.isEmpty,
+        s"takedown stream must keep zero state operators: ${h.query.lastProgress.json}")
+    } finally h.query.stop()
+  }
+
   test("ood filter stream is stateless: no state store, no aggregation in the streaming plan") {
     // the calibrate-offline/apply-online split means the streaming
     // side must be a pure scan-level projection+filter — any stateful
