@@ -293,11 +293,29 @@ object IvfPq {
     * touched cells — fragmented (> `maxFiles` parquet files) or
     * holding at least one tombstoned row — via dynamic partition
     * overwrite, dropping tombstoned rows as it goes; untouched cells'
-    * files are left exactly as written, so compaction work is
-    * proportional to fragmentation + deletes, not store size. Every
-    * cell containing a tombstoned row is rewritten, so afterwards the
-    * tombstone set is fully applied and is cleared. Live content is
-    * bit-preserved (AnnSpec pins it); returns the rewritten cell ids.
+    * files are left exactly as written. Rewrite work is proportional
+    * to fragmentation + deletes, not store size; tombstone-cell
+    * DISCOVERY is one column-pruned store scan (the id column plus the
+    * directory-encoded cell value — the codes payload is never read).
+    * Live content is bit-preserved (AnnSpec pins it); returns the
+    * rewritten cell ids.
+    *
+    * Durability discipline (single concurrent compactor assumed; the
+    * Lucene/LSM rule):
+    *  - The tombstone FILES are snapshotted up front and only that
+    *    snapshot is applied and cleared — a delete landing while
+    *    compaction runs stays pending for the next run, never
+    *    cleared-unapplied.
+    *  - A touched cell whose every row is tombstoned produces ZERO
+    *    output rows, which dynamic partition overwrite would leave in
+    *    place (it only replaces partitions present in the written
+    *    data) — those cell directories are deleted explicitly, so a
+    *    full-cell takedown cannot resurrect.
+    *  - The snapshot clear is ordered strictly AFTER every physical
+    *    removal (rewrites and emptied-cell deletes): a crash at any
+    *    point leaves tombstones pending — re-applied on the next run,
+    *    where the anti-join of already-removed ids is a no-op — never
+    *    lost (AnnSpec pins the crash window).
     */
   def compactIndex(spark: SparkSession, dir: String, maxFiles: Int = 1): Seq[Int] = {
     val inv = new org.apache.hadoop.fs.Path(s"$dir/inverted")
@@ -312,13 +330,25 @@ object IvfPq {
         if (files > maxFiles) Some(name.stripPrefix("cell=").toInt) else None
       }
     }.toSeq
+    // snapshot the tombstone data files NOW: only this set is applied
+    // and cleared; later-arriving tombstone files remain pending
     val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    val hasTombs = fs.exists(tombPath)
-    val tombs = tombstonesOf(spark, dir)
+    val tombFiles: Seq[org.apache.hadoop.fs.Path] =
+      if (!fs.exists(tombPath)) Seq.empty
+      else fs.listStatus(tombPath).filter(_.isFile).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).toSeq
+    val tombs =
+      if (tombFiles.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          tombstoneSchema)
+      else spark.read.schema(tombstoneSchema)
+        .parquet(tombFiles.map(_.toString): _*)
     // cells holding a tombstoned row: a semi-join of the store against
-    // the small tombstone set, collected as (<= cell-count) ints
+    // the small tombstone set, collected as (<= cell-count) ints —
+    // column pruning reaches the scan, so only `id` (and the cell
+    // partition value) is read, never the codes
     val tombCells =
-      if (!hasTombs) Seq.empty[Int]
+      if (tombFiles.isEmpty) Seq.empty[Int]
       else spark.read.schema(invertedSchema).parquet(s"$dir/inverted")
         .join(broadcast(tombs), Seq("id"), "left_semi")
         .select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
@@ -331,6 +361,10 @@ object IvfPq {
         .join(broadcast(tombs), Seq("id"), "left_anti")
         .repartition(col("cell")) // co-locate each cell → one file per cell
         .localCheckpoint(true)
+      // a touched cell with zero surviving rows is absent from the
+      // written data — dynamic overwrite won't replace it; delete it
+      val surviving = rows.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSet
       val key = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "dynamic")
@@ -341,11 +375,17 @@ object IvfPq {
         case None => spark.conf.unset(key)
       }
       rows.unpersist()
+      touched.filterNot(surviving).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/inverted/cell=$c"), true): Unit
+      }
     }
-    // every tombstoned row sat in a touched cell (or never existed in
-    // the store) — the set is applied; clear it so serving reverts to
-    // the join-free plan
-    if (hasTombs) fs.delete(tombPath, true)
+    // every snapshotted tombstone sat in a touched cell (or never
+    // existed in the store) — the snapshot is applied; clear ONLY it,
+    // strictly after all physical removals above
+    tombFiles.foreach(f => fs.delete(f, false): Unit)
+    if (fs.exists(tombPath) &&
+        !fs.listStatus(tombPath).exists(_.getPath.getName.endsWith(".parquet")))
+      fs.delete(tombPath, true): Unit
     touched
   }
 

