@@ -1011,6 +1011,138 @@ object Vectors {
     UNION ALL SELECT * FROM row_tomb
     ORDER BY artifact"""
 
+  // ---------------------------------- emb_index_lifecycle_two_level
+  // The persisted-index lifecycle in the TWO-LEVEL regime — the store a
+  // >10⁷-vector deployment actually writes (forced here via
+  // oneLevelMax = −1, the emb_ivfpq_topk_two_level convention). One
+  // query exercises the arms that are structurally unreachable at
+  // oracle scale through the default dispatch: buildIndex's
+  // coarse/groups persistence, loadIndex's two-level load, the live
+  // anti-join over a two-level store, and compaction's physical
+  // removal of tombstoned rows from cell-partitioned two-level data.
+  // The manifest pins all of it in one hash: `coarse` and `groups`
+  // checksum the RELOADED trained halves against the ivf2Ctes training
+  // replay (sampled fine Lloyd → coarse Lloyd → non-empty restriction
+  // → final fine→coarse grouping), `live` is the post-delete serving
+  // view, `compacted` is the raw store after physical removal
+  // (identical stats ⇒ compaction dropped exactly the tombstoned rows,
+  // bit-preserving the rest), and `tombstones` pins the pending set.
+  // The oracle replays the full two-level training chain and filters
+  // the delete predicate out of the two-level coded file — a pure
+  // replay, because the trained halves do not move on delete.
+  //
+  // 100 TB shape: identical to the one-level lifecycle ops (this IS
+  // the at-scale regime): delta-sized tombstone writes, broadcast
+  // anti-join serving, compaction ∝ touched cells.
+  private val embIndexLifecycleTwoLevel: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val corpus = vecs(s, d).select(col("vec_id").as("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = corpus.count()
+    val dir = indexDir(d) + "_two_level"
+    IvfPq.buildIndex(corpus, n, dim = 64, m = pqM, dsub = pqDsub,
+      kCodes = pqK, dir = dir, wProbe = 2, oneLevelMax = -1L)
+    val isDel = col("id") % deleteMod === deleteRem
+    IvfPq.deleteFromIndex(corpus.filter(isDel).select(col("id")), dir)
+    val afterDel = IvfPq.loadIndex(s, dir)
+    val idx = afterDel.index match {
+      case IvfPq.TwoLevelIndexW(i, _) => i
+      case other => sys.error(s"forced two-level store loaded as $other")
+    }
+    import s.implicits._
+    def decSum(c: Column): Column =
+      coalesce(sum(c.cast(DecimalType(18, 6))),
+        lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 6))).cast(DoubleType)
+    // trained halves from the RELOADED artifact (never the in-memory
+    // build) — driver-local tables, ≤ √cells rows by construction
+    val coarseEl = idx.coarseIds.zip(idx.coarseCents).toSeq
+      .flatMap { case (cell, cent) => cent.map(x => (cell, x)) }.toDF("cell", "x")
+    val coarseRow = coarseEl.agg(
+      lit("coarse").as("artifact"),
+      lit(idx.coarseIds.length.toLong).as("n_rows"),
+      lit(idx.coarseIds.map(_.toLong).sum).as("sum_a"),
+      decSum(col("x")).as("sum_b"))
+    val g = idx.groups.collect()
+    val gEl = g.flatMap(r => r.getSeq[scala.collection.Seq[Double]](1).flatMap(_.toSeq))
+      .toSeq.toDF("x")
+    val groupsRow = gEl.agg(
+      lit("groups").as("artifact"),
+      lit(g.length.toLong).as("n_rows"),
+      lit(g.flatMap(_.getSeq[Int](2)).map(_.toLong).sum).as("sum_a"),
+      decSum(col("x")).as("sum_b"))
+    val codesSum = expr(
+      "aggregate(codes, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT))")
+    def checksumRow(label: String, df: DataFrame): DataFrame = df.agg(
+      lit(label).as("artifact"),
+      count(lit(1)).as("n_rows"),
+      (coalesce(sum(col("id")), lit(0L))
+        + coalesce(sum(col("cell").cast("long")), lit(0L))
+        + coalesce(sum(codesSum), lit(0L))).as("sum_a"),
+      countDistinct(col("cell")).cast(DoubleType).as("sum_b"))
+    val tombRow = IvfPq.tombstonesOf(s, dir).agg(
+      lit("tombstones").as("artifact"),
+      count(lit(1)).as("n_rows"),
+      coalesce(sum(col("id")), lit(0L)).as("sum_a"),
+      countDistinct(col("id")).cast(DoubleType).as("sum_b"))
+    // materialize the pre-compaction rows NOW — compaction mutates the
+    // store (and clears the tombstone files) these lazy plans read
+    val pre = coarseRow.unionAll(groupsRow)
+      .unionAll(checksumRow("live", afterDel.live)).unionAll(tombRow)
+      .localCheckpoint(true)
+    IvfPq.compactIndex(s, dir)
+    checksumRow("compacted", IvfPq.loadIndex(s, dir).inverted)
+      .unionAll(pre)
+      .orderBy(col("artifact"))
+  }
+
+  private lazy val embIndexLifecycleTwoLevelSql: String = s"""
+    WITH ${ScaleOps.ivf2Ctes(16, 64, 2)},
+    $pqCtesComposable,
+    live AS (SELECT vec_id, cell FROM inverted2
+      WHERE vec_id % $deleteMod <> $deleteRem),
+    codes_live AS (SELECT vec_id, code FROM pq_coded
+      WHERE vec_id % $deleteMod <> $deleteRem),
+    tomb AS (
+      SELECT vec_id FROM embeddings WHERE vec_id % $deleteMod = $deleteRem),
+    coarse_el AS (SELECT cell, unnest(c) AS x FROM coarsep),
+    row_coarse AS (
+      SELECT 'coarse' AS artifact,
+        (SELECT COUNT(*) FROM coarsep) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(cell), 0) AS BIGINT) FROM coarsep) AS sum_a,
+        CAST(COALESCE(SUM(CAST(x AS DECIMAL(18,6))), 0) AS DOUBLE) AS sum_b
+      FROM coarse_el),
+    grp_el AS (
+      SELECT f2c.fid, unnest(f.fv) AS x
+      FROM f2c JOIN fines f ON f.fid = f2c.fid),
+    row_groups AS (
+      SELECT 'groups' AS artifact,
+        (SELECT COUNT(DISTINCT coarse) FROM f2c) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(fid), 0) AS BIGINT) FROM f2c) AS sum_a,
+        CAST(COALESCE(SUM(CAST(x AS DECIMAL(18,6))), 0) AS DOUBLE) AS sum_b
+      FROM grp_el),
+    live_stats AS (
+      SELECT
+        (SELECT COUNT(*) FROM live) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(vec_id), 0) + COALESCE(SUM(cell), 0) AS BIGINT)
+           FROM live)
+          + (SELECT CAST(COALESCE(SUM(code), 0) AS BIGINT) FROM codes_live) AS sum_a,
+        (SELECT CAST(COUNT(DISTINCT cell) AS DOUBLE) FROM live) AS sum_b),
+    row_compacted AS (
+      SELECT 'compacted' AS artifact, n_rows, sum_a, sum_b FROM live_stats),
+    row_live AS (
+      SELECT 'live' AS artifact, n_rows, sum_a, sum_b FROM live_stats),
+    row_tomb AS (
+      SELECT 'tombstones' AS artifact,
+        (SELECT COUNT(*) FROM tomb) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(vec_id), 0) AS BIGINT) FROM tomb) AS sum_a,
+        (SELECT CAST(COUNT(DISTINCT vec_id) AS DOUBLE) FROM tomb) AS sum_b)
+    SELECT * FROM row_coarse
+    UNION ALL SELECT * FROM row_compacted
+    UNION ALL SELECT * FROM row_groups
+    UNION ALL SELECT * FROM row_live
+    UNION ALL SELECT * FROM row_tomb
+    ORDER BY artifact"""
+
   // --------------------------------------------- emb_matryoshka_recall
   // Truncated-dimension retrieval audit (the Matryoshka-representation
   // question): how much top-k quality survives if the index stores
@@ -1265,6 +1397,7 @@ object Vectors {
     "emb_index_build" -> embIndexBuild,
     "emb_index_append" -> embIndexAppend,
     "emb_index_delete" -> embIndexDelete,
+    "emb_index_lifecycle_two_level" -> embIndexLifecycleTwoLevel,
     "emb_cosine_topk" -> embCosineTopk,
     "emb_near_dup_pairs" -> embNearDupPairs,
     "emb_int8_quantize" -> embInt8Quantize,
@@ -1284,6 +1417,7 @@ object Vectors {
     "emb_index_build" -> embIndexBuildSql,
     "emb_index_append" -> embIndexAppendSql,
     "emb_index_delete" -> embIndexDeleteSql,
+    "emb_index_lifecycle_two_level" -> embIndexLifecycleTwoLevelSql,
     "emb_cosine_topk" -> embCosineTopkSql,
     "emb_near_dup_pairs" -> embNearDupPairsSql,
     "emb_int8_quantize" -> embInt8QuantizeSql,

@@ -589,6 +589,91 @@ class AnnSpec extends SparkSpec {
     assert(m("tombstones")._1 == nDelQ)
   }
 
+  test("persisted index two-level: store round-trip + append/delete/compact/serve over a two-level store") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.operators.IvfPq
+    // the forced regime (oneLevelMax = -1, the emb_ivfpq_topk_two_level
+    // convention): every lifecycle op below runs against the store a
+    // >10^7-vector deployment actually writes — the coarse/groups
+    // persistence and loadIndex's two-level arm, previously dead at
+    // every tested scale
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val isDelta = col("id") % 10 === 7
+    val base = all.filter(!isDelta)
+    val delta = all.filter(isDelta)
+    val nBase = base.count()
+    assert(delta.count() > 0)
+    val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_idx_2l_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    val (index, books) = IvfPq.buildIndex(base, nBase, dim = 64, m = 16,
+      dsub = 4, kCodes = 64, dir = dir, wProbe = 2, oneLevelMax = -1L)
+    val idx = index match {
+      case IvfPq.TwoLevelIndexW(i, w) => assert(w == 2); i
+      case other => fail(s"forced build must select the two-level regime: $other")
+    }
+    // store round-trip: coarse constants, groups table, codebooks, and
+    // the coded file all reproduce the in-memory build bit for bit
+    val loaded = IvfPq.loadIndex(spark, dir)
+    val lidx = loaded.index match {
+      case IvfPq.TwoLevelIndexW(i, w) => assert(w == 2); i
+      case other => fail(s"two-level store loaded as $other")
+    }
+    assert(lidx.coarseIds.toSeq == idx.coarseIds.toSeq)
+    assert(lidx.coarseCents.map(_.toSeq).toSeq == idx.coarseCents.map(_.toSeq).toSeq)
+    def groupSet(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getInt(0), r.getSeq[scala.collection.Seq[Double]](1).map(_.toList).toList,
+        r.getSeq[Int](2).toList)
+    }.toSet
+    assert(groupSet(lidx.groups) == groupSet(idx.groups), "groups table must round-trip")
+    assert(loaded.books.map(_.map(_.toSeq).toSeq).toSeq ==
+      books.map(_.map(_.toSeq).toSeq).toSeq)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](2).toList)).toSet
+    assert(asSet(loaded.inverted) == asSet(IvfPq.codedInvertedFile(index, base, books, 4)),
+      "the stored two-level coded file must equal the build")
+    // serve from the LOADED two-level store: the composed search equals
+    // the in-memory composition (what st_ivfpq_serve_topk relies on)
+    val queries = all.filter(col("id") < 5)
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    val servedFromStore = IvfPq.topKWith(loaded.index, loaded.books, loaded.dsub,
+        base, queries, k = 10, nprobe = 2, rerank = 30)
+      .collect().map(_.toString).sorted.toSeq
+    val inMemory = IvfPq.topKWith(index, books, 4,
+        base, queries, k = 10, nprobe = 2, rerank = 30)
+      .collect().map(_.toString).sorted.toSeq
+    assert(servedFromStore.nonEmpty)
+    assert(servedFromStore == inMemory,
+      "serving from the loaded two-level store must equal the in-memory composition")
+    // incremental ingest under the FROZEN two-level index
+    IvfPq.appendToIndex(loaded, delta, dir)
+    val appended = asSet(IvfPq.loadIndex(spark, dir).inverted)
+    assert(appended == asSet(IvfPq.codedInvertedFile(index, all, books, 4)),
+      "two-level append must equal the frozen-index encode of base ∪ delta")
+    // tombstone delete: live view == frozen encode of the survivors
+    val isDel = col("id") % 3 === 1
+    IvfPq.deleteFromIndex(all.filter(isDel).select(col("id")), dir)
+    val afterDel = IvfPq.loadIndex(spark, dir)
+    assert(afterDel.index.isInstanceOf[IvfPq.TwoLevelIndexW])
+    val live = asSet(afterDel.live)
+    assert(live == asSet(IvfPq.codedInvertedFile(index, all.filter(!isDel), books, 4)),
+      "two-level live view must equal the frozen-index encode of the surviving corpus")
+    // compaction over the two-level store: content bit-preserved,
+    // applied set cleared, idempotent
+    assert(IvfPq.compactIndex(spark, dir).nonEmpty)
+    assert(asSet(IvfPq.loadIndex(spark, dir).inverted) == live,
+      "two-level compaction must preserve live content exactly")
+    assert(IvfPq.tombstonesOf(spark, dir).count() == 0)
+    assert(IvfPq.compactIndex(spark, dir).isEmpty)
+    // and the post-compaction store still serves through the two-level arm
+    val servedAfter = IvfPq.loadIndex(spark, dir)
+    assert(servedAfter.index.isInstanceOf[IvfPq.TwoLevelIndexW])
+    assert(IvfPq.topKWith(servedAfter.index, servedAfter.books, servedAfter.dsub,
+        all.filter(!isDel), queries, k = 10, nprobe = 2, rerank = 30)
+      .collect().nonEmpty)
+  }
+
   test("full-cell takedown: compaction deletes the emptied cell instead of resurrecting it") {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     import graft.operators.IvfPq
