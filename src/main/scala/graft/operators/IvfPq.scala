@@ -209,12 +209,17 @@ object IvfPq {
       kCodes: Int, dir: String, wProbe: Int = 2,
       oneLevelMax: Long = AnnIvf.OneLevelMaxVectors): (Index, Array[Array[Array[Double]]]) = {
     val spark = corpus.sparkSession
-    // a build defines a FRESH store: tombstones from a previous
-    // incarnation of this dir are stale state and must not leak into
-    // the new artifact's live view
-    val staleTombs = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    val tfs = staleTombs.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (tfs.exists(staleTombs)) tfs.delete(staleTombs, true)
+    // a build defines a FRESH store: tombstones, ingest commit markers,
+    // and staging scratch from a previous incarnation of this dir are
+    // stale state — leaked tombstones would gate the new live view, and
+    // leaked commit markers would make appendBatchToIndex silently
+    // no-op batch ids the new store never saw
+    val tfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("tombstones", "_ingest_commits", "_staging").foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      if (tfs.exists(p)) tfs.delete(p, true): Unit
+    }
     val index = indexAuto(corpus, n, dim, wProbe, oneLevelMax)
     val books = AnnPq.collectCodebooks(
       AnnPq.refinedCodebooks(corpus, m, dsub, kCodes), m)
@@ -268,6 +273,63 @@ object IvfPq {
     codedInvertedFile(loaded.index, delta, loaded.books, loaded.dsub)
       .select(col("id"), col("codes"), col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/inverted")
+
+  /** [[appendToIndex]] for STREAMING ingest — idempotent under
+    * micro-batch retry. Structured Streaming re-runs a batch after a
+    * failure with the SAME batchId; a plain `.mode("append")` write
+    * would then land the batch's rows twice. This variant is
+    * replay-safe at every crash point, with no multiplicity drift:
+    *
+    *  1. A commit marker (`_ingest_commits/<batchId>`) short-circuits
+    *     a replay of an already-committed batch to a no-op.
+    *  2. The coded rows are staged to a batchId-keyed scratch dir with
+    *     `overwrite` — a retry that died mid-stage rewrites the SAME
+    *     dir, never appends.
+    *  3. Publish renames the staged files (one per cell — the batch is
+    *     repartitioned by cell) to DETERMINISTIC batchId-keyed names
+    *     inside the store's `cell=` partitions, deleting any partial
+    *     publish of this batch first — a retry that died mid-publish
+    *     replaces its own files byte-for-byte instead of duplicating.
+    *  4. The marker is written last: a crash anywhere earlier replays
+    *     the whole sequence; frozen-index assignment/encode is
+    *     deterministic per row, so the replay reproduces the identical
+    *     cells and bytes.
+    *
+    * Work and writes stay delta-sized (the stage + rename touch only
+    * the batch's cells); base files are never rewritten.
+    */
+  def appendBatchToIndex(loaded: Loaded, batch: DataFrame, dir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_ingest_commits/$batchId")
+    if (fs.exists(marker)) return
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/_staging/batch=$batchId")
+    codedInvertedFile(loaded.index, batch, loaded.books, loaded.dsub)
+      .select(col("id"), col("codes"), col("cell"))
+      .repartition(col("cell")) // one deterministic file per touched cell
+      .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+    fs.listStatus(staging)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .foreach { cellDir =>
+        val target = new org.apache.hadoop.fs.Path(s"$dir/inverted/${cellDir.getPath.getName}")
+        if (!fs.exists(target)) fs.mkdirs(target): Unit
+        // clear any partial publish of THIS batch before re-publishing
+        fs.listStatus(target).map(_.getPath)
+          .filter(_.getName.startsWith(s"ingest-$batchId-"))
+          .foreach(p => fs.delete(p, false): Unit)
+        fs.listStatus(cellDir.getPath).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex
+          .foreach { case (f, i) =>
+            fs.rename(f, new org.apache.hadoop.fs.Path(target,
+              s"ingest-$batchId-$i.parquet")): Unit
+          }
+      }
+    fs.delete(staging, true)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker).close()
+  }
 
   /** Tombstone-delete from the stored index: append the ids to the
     * side tombstone table — the store itself is untouched (deleting

@@ -521,10 +521,19 @@ object Streaming {
   // vector emits a receipt (id, cell, codes); after the stream drains,
   // the receipts are audited against the RELOADED store — `in_store`
   // must be true for every row, proving the ingest path's writes are
-  // the bytes the serve path will read. Receipts are per-row facts
-  // (frozen-index assignment/encode is deterministic), so the output
-  // is identical under ANY batching; the oracle replays the frozen
-  // delta encode and asserts the same receipts with in_store = TRUE.
+  // the bytes the serve path will read. The per-batch write is
+  // IDEMPOTENT under micro-batch retry (IvfPq.appendBatchToIndex:
+  // batchId-keyed deterministic publish behind a commit log — a
+  // re-run batch replaces its own files instead of double-appending;
+  // AnnSpec replays a batch at every crash point and pins store
+  // multiplicity), and the audit makes multiplicity VISIBLE:
+  // `store_copies` counts the store rows matching each receipt and
+  // must be exactly 1 — a duplicate-append bug shows up in the hash,
+  // where the old membership-only left join was multiplicity-blind.
+  // Receipts are per-row facts (frozen-index assignment/encode is
+  // deterministic), so the output is identical under ANY batching; the
+  // oracle replays the frozen delta encode and asserts the same
+  // receipts with in_store = TRUE, store_copies = 1.
   private val stIndexAppend: Q = (s, d) => {
     import graft.operators.IvfPq
     import org.apache.spark.sql.types.ArrayType
@@ -543,22 +552,23 @@ object Streaming {
       .select(col("vec_id").as("id"),
         col("embedding").cast(ArrayType(DoubleType)).as("v"))
       .filter(isDelta)
-    val receipts = QanStream.runForeachBatch(arrivingDelta, batch => {
-      val coded = IvfPq.codedInvertedFile(loaded.index, batch,
-        loaded.books, loaded.dsub)
-      coded.select(col("id"), col("codes"), col("cell"))
-        .write.mode("append").partitionBy("cell").parquet(s"$dir/inverted")
-      coded.select(col("id").as("vec_id"), col("cell"),
-        concat_ws(",", col("codes")).as("codes"))
+    val receipts = QanStream.runForeachBatchWithId(arrivingDelta, (batch, bid) => {
+      IvfPq.appendBatchToIndex(loaded, batch, dir, bid)
+      IvfPq.codedInvertedFile(loaded.index, batch, loaded.books, loaded.dsub)
+        .select(col("id").as("vec_id"), col("cell"),
+          concat_ws(",", col("codes")).as("codes"))
     })
     // post-stream audit: every receipt must be readable back from the
-    // RELOADED store, byte-identical (id, cell, codes)
+    // RELOADED store, byte-identical (id, cell, codes), exactly once
     val stored = IvfPq.loadIndex(s, dir).inverted
       .select(col("id").as("vec_id"), col("cell"),
-        concat_ws(",", col("codes")).as("codes"), lit(true).as("in_store"))
+        concat_ws(",", col("codes")).as("codes"))
+      .groupBy(col("vec_id"), col("cell"), col("codes"))
+      .agg(count(lit(1)).as("store_copies"))
     receipts.join(stored, Seq("vec_id", "cell", "codes"), "left")
       .select(col("vec_id"), col("cell"), col("codes"),
-        coalesce(col("in_store"), lit(false)).as("in_store"))
+        (coalesce(col("store_copies"), lit(0L)) >= 1).as("in_store"),
+        coalesce(col("store_copies"), lit(0L)).as("store_copies"))
       .orderBy(col("vec_id"))
   }
 
@@ -591,7 +601,8 @@ object Streaming {
     SELECT a.vec_id, a.cell,
       (SELECT string_agg(CAST(c.code AS VARCHAR), ',' ORDER BY c.sub)
          FROM dl_coded c WHERE c.vec_id = a.vec_id) AS codes,
-      TRUE AS in_store
+      TRUE AS in_store,
+      CAST(1 AS BIGINT) AS store_copies
     FROM dl_assign a
     ORDER BY a.vec_id"""
 

@@ -384,7 +384,17 @@ object QanStream {
     * production foreachBatch sink writing to a serving store.
     */
   def runForeachBatch(df: DataFrame,
-      finish: DataFrame => DataFrame): DataFrame = {
+      finish: DataFrame => DataFrame): DataFrame =
+    runForeachBatchWithId(df, (batch, _) => finish(batch))
+
+  /** [[runForeachBatch]] with the micro-batch id surfaced to `finish` —
+    * what a replay-safe sink needs: Structured Streaming re-runs a
+    * failed batch with the SAME id, so any externally-visible write in
+    * the body must key its output on the id to stay idempotent
+    * (IvfPq.appendBatchToIndex is the index-ingest form).
+    */
+  def runForeachBatchWithId(df: DataFrame,
+      finish: (DataFrame, Long) => DataFrame): DataFrame = {
     val spark = df.sparkSession
     val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     @volatile var schema: org.apache.spark.sql.types.StructType = null
@@ -393,8 +403,8 @@ object QanStream {
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "8")
       try df.writeStream.outputMode(OutputMode.Append())
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val out = finish(batch.toDF())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          val out = finish(batch.toDF(), bid)
           val rows = out.collect()
           buf.synchronized {
             if (schema == null) schema = out.schema
@@ -413,7 +423,7 @@ object QanStream {
     val sch =
       if (schema != null) schema
       else finish(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)).schema
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema), -1L).schema
     spark.createDataFrame(
       new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
       sch)

@@ -674,6 +674,67 @@ class AnnSpec extends SparkSpec {
       .collect().nonEmpty)
   }
 
+  test("streaming ingest idempotence: a replayed micro-batch cannot change store multiplicity at any crash point") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.operators.IvfPq
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val isDelta = col("id") % 10 === 7
+    val base = all.filter(!isDelta)
+    val nBase = base.count()
+    val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_idx_retry_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    val (index, books) = IvfPq.buildIndex(base, nBase, dim = 64, m = 16,
+      dsub = 4, kCodes = 64, dir = dir)
+    val loaded = IvfPq.loadIndex(spark, dir)
+    val batch0 = all.filter(isDelta).filter(col("id") % 20 === 7)   // first micro-batch
+    val batch1 = all.filter(isDelta).filter(col("id") % 20 === 17)  // second micro-batch
+    val n0 = batch0.count(); val n1 = batch1.count()
+    assert(n0 > 0 && n1 > 0, "spec needs two non-empty micro-batches")
+    def asBag(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](2).toList))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    IvfPq.appendBatchToIndex(loaded, batch0, dir, batchId = 0L)
+    val afterB0 = asBag(IvfPq.loadIndex(spark, dir).inverted)
+    assert(afterB0.values.sum == nBase + n0)
+    assert(afterB0.values.forall(_ == 1), "no duplicate rows after a clean batch")
+    // replay after a successful commit (Structured Streaming re-runs a
+    // failed trigger with the SAME batchId): the commit log no-ops it
+    IvfPq.appendBatchToIndex(loaded, batch0, dir, batchId = 0L)
+    assert(asBag(IvfPq.loadIndex(spark, dir).inverted) == afterB0,
+      "a committed batch replay must be a no-op")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash AFTER publish, BEFORE the commit marker: the retry re-runs
+    // the whole body — deterministic batchId-keyed filenames mean it
+    // REPLACES its own files instead of double-appending
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_ingest_commits/0"), false)
+    IvfPq.appendBatchToIndex(loaded, batch0, dir, batchId = 0L)
+    assert(asBag(IvfPq.loadIndex(spark, dir).inverted) == afterB0,
+      "a replay across the publish/commit crash window must not duplicate rows")
+    // crash MID-publish: some cells of the batch published, marker
+    // absent — drop one published file, retry, content fully restored
+    val published = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/inverted"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .flatMap(st => fs.listStatus(st.getPath).map(_.getPath))
+      .filter(_.getName.startsWith("ingest-0-"))
+    assert(published.nonEmpty, "batch 0 must have published batchId-keyed files")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_ingest_commits/0"), false)
+    fs.delete(published.head, false)
+    IvfPq.appendBatchToIndex(loaded, batch0, dir, batchId = 0L)
+    assert(asBag(IvfPq.loadIndex(spark, dir).inverted) == afterB0,
+      "a replay after a mid-publish crash must restore the batch exactly once")
+    // a SECOND batch under its own id appends; the final store equals
+    // the frozen-index encode of base ∪ both batches, multiplicity 1
+    IvfPq.appendBatchToIndex(loaded, batch1, dir, batchId = 1L)
+    val finalBag = asBag(IvfPq.loadIndex(spark, dir).inverted)
+    assert(finalBag.values.sum == nBase + n0 + n1)
+    assert(finalBag == asBag(IvfPq.codedInvertedFile(index,
+        base.unionByName(batch0).unionByName(batch1), books, 4)),
+      "the ingested store must equal the frozen-index encode, exactly once each")
+  }
+
   test("full-cell takedown: compaction deletes the emptied cell instead of resurrecting it") {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     import graft.operators.IvfPq
