@@ -333,19 +333,24 @@ object Streaming {
   // against the arriving vector (AdcCosineFromQuery — allocation-free
   // per-subspace folds; no LUT, no reconstruction anywhere) — an ADC
   // prefilter (loose, shared constant), and an
-  // exact-cosine verify via a second stream-static join fetching full
-  // vectors ONLY for ADC survivors. No state store, no watermark, no
-  // stream-side shuffle — like st_ood_filter it scales to any
-  // ingestion rate by adding executors; both static sides are
-  // broadcast (the coded file is the part a deployment keeps
-  // memory-resident; at 100 TB they are bucketed by their join key),
-  // so the micro-batch join is shuffle-free on the static side. Emits
-  // (query, neighbor, adc_cos, cos_sim) in append mode as vectors
-  // arrive; the batch oracle replays the entire composition including
-  // the blocked ADC folds.
+  // exact-cosine verify fetching full vectors ONLY for ADC survivors —
+  // the SURVIVORS are broadcast against the DISTRIBUTED corpus inside
+  // foreachBatch (the topk twin's shape), never the corpus against the
+  // survivors: at 100 TB a corpus-sized broadcast is ~500 GB and the
+  // plan dies, while the survivor side is bounded by the batch's
+  // arrivals × the ADC prefilter. No state store, no watermark, no
+  // stream-side shuffle in the STREAMING plan (probe + ADC prefilter
+  // only — StreamingSpec pins zero state operators and PlanSpec pins
+  // the verify stage's broadcast SIDE); the coded file is the static
+  // side a deployment keeps memory-resident (at 100 TB bucketed by
+  // cell — BucketJoinSpec pins the exchange-free shape). Emits (query,
+  // neighbor, adc_cos, cos_sim) as vectors arrive; threshold outputs
+  // are per-row facts, so per-batch evaluation equals global under any
+  // batching, and the batch oracle replays the entire composition
+  // including the blocked ADC folds.
   private val stIvfpqServe: Q = (s, d) => {
     import graft.operators.IvfPq
-    import org.apache.spark.sql.types.ArrayType
+    import org.apache.spark.sql.types.{ArrayType, LongType}
     import graft.functions.expressions.GraftFunctions
     val corpus = graft.Tables.embeddings(s, d)
       .select(col("vec_id").as("id"),
@@ -363,29 +368,41 @@ object Streaming {
     val arriving = QanStream.embeddingsStream(s, d)
       .select(col("vec_id").as("query_id"),
         col("embedding").cast(ArrayType(DoubleType)).as("qv"))
-    // scatter arriving queries across executors BEFORE the ×|cell|
-    // candidate fan-out: the file source delivers a micro-batch in
-    // 1-2 partitions (one parquet file), which would serialize the
-    // whole candidate stage onto as many cores; a round-robin
-    // repartition of the (tiny) query rows is what a production
-    // receiver does and costs |batch|·~0.5 KB of shuffle
-    val scattered = arriving.repartition(
-      s.conf.get("spark.sql.shuffle.partitions").toInt)
-    val served = IvfPq.probe(loaded.index, scattered, "qv", Vectors.ivfpqNprobe)
+    // Streaming plan (stateless): SLIM ADC survivors — the qv must not
+    // ride the candidate relation (the topk twin's discipline), but the
+    // exact verify needs it once per query, so the feed is the same
+    // self-source union: per-survivor slim rows + one qv row per
+    // arriving query. The receiver-side scatter fans the candidate
+    // stage across executors instead of the file source's 1-2 splits.
+    val candSlim = IvfPq.probe(loaded.index,
+        arriving.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt),
+        "qv", Vectors.ivfpqNprobe)
       .join(codedInv, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc_cos",
+      .select(col("query_id"),
         GraftFunctions.adcCosineFromQuery(col("qv"), col("codes"),
-          loaded.books, Vectors.pqDsub))
+          loaded.books, Vectors.pqDsub).as("adc_cos"),
+        col("neighbor_id"),
+        lit(null).cast(ArrayType(DoubleType)).as("qv"))
       .filter(col("adc_cos") >= Vectors.ivfpqAdcPrefilter)
-      .join(broadcast(full), Seq("neighbor_id"))
-      .withColumn("cos_sim", GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
-      .filter(col("cos_sim") >= Vectors.ivfpqExactVerify)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("adc_cos"), 4).as("adc_cos"),
-        round(col("cos_sim"), 4).as("cos_sim"))
-    QanStream.runToMemory(served, OutputMode.Append())
-      .orderBy(col("query_id"), col("neighbor_id"))
+    val queryRows = arriving.select(col("query_id"),
+      lit(null).cast(DoubleType).as("adc_cos"),
+      lit(null).cast(LongType).as("neighbor_id"), col("qv"))
+    QanStream.runForeachBatch(candSlim.unionByName(queryRows), batch => {
+      val qs = batch.filter(col("neighbor_id").isNull)
+        .select(col("query_id"), col("qv"))
+      val surv = batch.filter(col("neighbor_id").isNotNull).drop("qv")
+      // survivors-only full-vector fetch: the SMALL side is broadcast,
+      // the corpus stays distributed (at scale: a point-lookup fetch)
+      full.join(broadcast(surv), Seq("neighbor_id"))
+        .join(broadcast(qs), Seq("query_id"))
+        .withColumn("cos_sim",
+          GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
+        .filter(col("cos_sim") >= Vectors.ivfpqExactVerify)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("adc_cos"), 4).as("adc_cos"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+    }).orderBy(col("query_id"), col("neighbor_id"))
   }
 
   private lazy val stIvfpqServeSql: String = s"""
