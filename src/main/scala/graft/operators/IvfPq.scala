@@ -171,7 +171,10 @@ object IvfPq {
   // codebook training per process start. The layout mirrors what the
   // search executes: the coded file partitioned by cell (the join
   // key — at 100 TB this is the bucketing that makes the stream-static
-  // join exchange-free on the static side), plus the tiny trained
+  // join exchange-free on the static side; BucketJoinSpec pins exactly
+  // that shape: the coded file as a cell-bucketed table joins the
+  // probe relation with ONE exchange total, zero on the index side),
+  // plus the tiny trained
   // tables (centroids or coarse+groups, codebooks) and a one-row meta
   // table pinning the regime and PQ geometry. Every write is
   // deterministic (seeded training, decimal-exact means), so a loaded

@@ -928,8 +928,10 @@ object Vectors {
   // consumes Loaded.live — the store minus the broadcast tombstone
   // set, so deleted vectors are unservable the moment the delete
   // lands — and physical removal is deferred to compactIndex, which
-  // rewrites exactly the cells holding a tombstoned row (work ∝
-  // deletes, not store size) and clears the applied set. The manifest
+  // rewrites exactly the cells holding a tombstoned row (REWRITE work
+  // ∝ deletes; discovery of those cells is one column-pruned store
+  // scan — id plus the directory-encoded cell, never the codes) and
+  // clears the applied set. The manifest
   // proves the whole discipline in one hash: the `live` row is the
   // post-delete serving view, the `compacted` row is the RAW store
   // after physical removal (identical stats ⇒ compaction dropped

@@ -10,6 +10,52 @@ import org.apache.spark.sql.functions._
   */
 class BucketJoinSpec extends SparkSpec {
 
+  test("cell-bucketed coded index joins probes without an exchange on the static side") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.operators.IvfPq
+    // Both streaming serves broadcast the coded file in the sandbox and
+    // CLAIM "at 100 TB it is bucketed by cell" — this makes the claim
+    // checkable: the persisted coded inverted file written as a
+    // cell-bucketed table joins the (batch stand-in) probe relation on
+    // cell with the static side read straight out of its buckets —
+    // exactly ONE exchange in the whole plan (the arriving probes
+    // shuffling to the bucket layout), zero on the index side. At 100
+    // TB that is the entire per-micro-batch shuffle of the
+    // memory-resident index eliminated.
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val n = corpus.count()
+    val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_idx_bucket_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    val (index, _) = IvfPq.buildIndex(corpus, n, dim = 64, m = 16,
+      dsub = 4, kCodes = 64, dir = dir)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      IvfPq.loadIndex(spark, dir).inverted
+        .write.mode("overwrite").bucketBy(8, "cell").sortBy("cell")
+        .saveAsTable("graft_coded_b")
+      val probes = IvfPq.probe(index, corpus.limit(50)
+          .select(col("id").as("query_id"), col("v").as("qv")), "qv", 2)
+        .select(col("query_id"), col("cell"))
+      val j = probes.join(spark.table("graft_coded_b"), Seq("cell"))
+        .filter(col("query_id") =!= col("id"))
+        .select(col("query_id"), col("id").as("neighbor_id"))
+      assert(j.collect().nonEmpty)
+      val plan = j.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1,
+        s"exactly the probe side may shuffle (static side reads its buckets):\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"the index scan must come straight out of its buckets:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_coded_b")
+    }
+  }
+
   test("bucketed+sorted fact tables join without exchange or sort on the key") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
