@@ -99,6 +99,28 @@ object Bench {
     }
     clearState()
     System.gc()
+    // Settled-start gate (the r11 anomaly recipe made structural): a
+    // bench started while a just-exited JVM's pages drain times its
+    // first slots under external memory pressure (doc_leakage_safe_split
+    // 9.11 s vs 3.0 s settled, COST_ATTRIBUTION_r11 §1). Wait — bounded
+    // — for the 1-min load to fall to the core budget, then STAMP the
+    // output with the load at the moment the timed section started, so
+    // every bench artifact self-declares whether its numbers were taken
+    // settled instead of leaving it to a post-hoc probe.
+    def loadNow(): Double = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+    val settleWait = sys.env.getOrElse("SPARK_GRAFT_SETTLE_WAIT", "60").toInt
+    val settleBar = cpus.toDouble
+    val settleT0 = System.nanoTime()
+    while (loadNow() > settleBar &&
+        (System.nanoTime() - settleT0) / 1e9 < settleWait) Thread.sleep(2000)
+    val settleSec = (System.nanoTime() - settleT0) / 1e9
+    val startLoad = loadNow()
+    val settledOk = startLoad >= 0 && startLoad <= settleBar
+    System.err.println(f"[bench-settle] load=$startLoad%.2f bar=$settleBar%.1f " +
+      f"waited=${settleSec}%.0fs ok=$settledOk")
     // Per-query JVM-state probe: an r7-vs-r6 audit showed 5-7x
     // tight-band cost shifts on byte-identical code+data that vanished
     // when the same queries ran isolated — i.e. cumulative in-run JVM
@@ -187,8 +209,10 @@ object Bench {
     val spreads = results.map { case (k, (_, mn, mx)) =>
       s"\"" + k + "\":[" + r3(mn) + "," + r3(mx) + "]"
     }.mkString("{", ",", "}")
+    val settledJson =
+      s""""settled":{"ok":$settledOk,"start_load":${r3(startLoad)},"bar":${r3(settleBar)},"waited_sec":${r3(settleSec)}}"""
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"queries":$fullQs,"spread":$spreads,"failures":$fails,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,$settledJson,"queries":$fullQs,"spread":$spreads,"failures":$fails,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (fullLine + "\n").getBytes("UTF-8"))
@@ -205,7 +229,7 @@ object Bench {
       .collect { case (k, (med, mn, mx)) if med > 0 => (k, (mx - mn) / med) }
       .sortBy(-_._2).headOption.getOrElse(("none", 0.0))
     val budget = 1750
-    val header = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"q_total":${results.size},"full":"BENCH_FULL.json","max_spread":{${jstr(rsdName)}:${r3(rsdVal)}},"queries":{"""
+    val header = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"q_total":${results.size},$settledJson,"full":"BENCH_FULL.json","max_spread":{${jstr(rsdName)}:${r3(rsdVal)}},"queries":{"""
     val footer = s"""},"failures":$fails,"sf":"$sfDir"}"""
     val inline = scala.collection.mutable.ArrayBuffer[String]()
     var len = header.length + footer.length
