@@ -213,12 +213,14 @@ object AnnIvf {
 
   /** The inverted file: each corpus vector tagged with its nearest
     * refined cell — a single scan-level projection (PlanSpec-asserted:
-    * no Window, no Exchange in this stage).
+    * no Window, no Exchange in this stage). Input columns are
+    * preserved, so metadata attributes (e.g. the label a filtered
+    * search prunes on) ride the assignment for free.
     */
   def invertedFile(vecs: DataFrame, cellIds: Array[Int],
       cents: Array[Array[Double]]): DataFrame =
-    vecs.select(col("id"), col("v"),
-      GraftFunctions.nearestCell(col("v"), cents, cellIds).as("cell"))
+    vecs.withColumn("cell",
+      GraftFunctions.nearestCell(col("v"), cents, cellIds))
 
   // ------------------------------------------------------- two-level
   // The one-level path above collects ALL fine centroids to the driver
@@ -389,8 +391,11 @@ object AnnIvf {
       cs = if (cs == null) c else concat(cs, c)
       is = if (is == null) i else concat(is, i)
     }
+    // preserve the input columns (same contract as probeCellsTwoLevel
+    // and the one-level invertedFile): attributes ride the assignment
+    val inCols = vecs.columns.toSeq
     out.withColumn("cell", GraftFunctions.nearestCellInGroup(col("v"), cs, is))
-      .select(col("id"), col("v"), col("cell"))
+      .select((inCols.map(col) :+ col("cell")): _*)
   }
 
   /** Query-side two-level probe: coarse argmin over the √cells

@@ -165,6 +165,153 @@ object IvfPq {
     topKWith(index, books, dsub, corpus, queries, k, nprobe, rerank)
   }
 
+  // -------------------------------------------------- filtered search
+  // Metadata-filtered ANN — "top-k among the vectors satisfying a
+  // predicate" (tenant / language / source / license filters: the
+  // single most common production constraint on a retrieval index;
+  // FAISS "searching with filters", Milvus/Qdrant filtered HNSW).
+  // Two regimes, dispatched on SELECTIVITY — the same
+  // structural-handover discipline as AnnIvf.regimeFor, because each
+  // shape is catastrophically wrong in the other's regime:
+  //
+  //  - PreFilteredProbe (broad filters): probe the index with a
+  //    BOOSTED nprobe (filtering thins every cell by ~s, so recall at
+  //    fixed candidate depth needs proportionally more cells — the
+  //    classic filtered-search compensation), prune candidates by the
+  //    predicate BEFORE any scoring, then the normal ADC → exact
+  //    re-rank tail. Cost per query ≈ (n/cells)·nprobe·boost·s code
+  //    scores.
+  //  - BruteForceSubset (narrow filters): scan the filtered rows with
+  //    EXACT cosine — no index, no approximation. Cost per query ≈
+  //    s·n full-vector scores.
+  //
+  // The crossover is a FRACTION comparison (n cancels): brute wins
+  // when s·c_vec < (nprobe·boost/cells)·c_code, i.e. s ≲
+  // nprobe·boost/(cells·(c_vec/c_code)). With the house constants
+  // (nprobe 2, boost 2, cells 16) and c_vec/c_code ≈ 5 (64 doubles
+  // exactly-scored vs m=16 codes ADC-scored) that is s ≈ 0.05 — the
+  // default `bruteFrac`. Dispatching on selectivity (not absolute
+  // count) keeps the chosen regime stable across scale factors, so
+  // each oracle replays exactly one branch.
+  //
+  // 100 TB shape: the attribute is a STORED COLUMN of the coded
+  // inverted file ([[codedInvertedFileAttrs]] — exactly what
+  // buildIndex would write with a wider schema), so the predicate
+  // prunes at the index scan (parquet predicate pushdown + the codes
+  // payload never read for non-matching rows); the brute arm reads
+  // only the filtered rows (same pushdown on the corpus scan); the
+  // exact re-rank broadcasts survivors against the FILTERED corpus.
+  // Nothing in either arm shuffles the corpus.
+  sealed trait FilterRegime
+  case object PreFilteredProbe extends FilterRegime
+  case object BruteForceSubset extends FilterRegime
+
+  /** Structural dispatch: brute-force below `bruteFrac` selectivity
+    * (see the cost model above), pre-filtered probe otherwise.
+    */
+  def filterRegimeFor(n: Long, filteredN: Long,
+      bruteFrac: Double): FilterRegime =
+    if (n <= 0 || filteredN.toDouble / n.toDouble <= bruteFrac)
+      BruteForceSubset
+    else PreFilteredProbe
+
+  /** [[codedInvertedFile]] carrying metadata attribute columns — the
+    * wider schema a deployment stores when it serves filtered
+    * queries: (cell, id, codes, attrs…). Still projection-only
+    * passes; the attrs ride the assignment (invertedFile /
+    * invertedFileTwoLevel preserve input columns).
+    */
+  def codedInvertedFileAttrs(index: Index, corpus: DataFrame,
+      books: Array[Array[Array[Double]]], dsub: Int,
+      attrs: Seq[String]): DataFrame =
+    AnnPq.encodeCodes(assign(index, corpus), books, dsub)
+      .select((Seq(col("cell"), col("id"), col("codes")) ++
+        attrs.map(col)): _*)
+
+  /** Metadata-filtered top-k over a built index. `pred` must be
+    * expressible over `attrs` columns of `corpus` (id, v, attrs…);
+    * `n`/`filteredN` are the caller's sizing counts (the filtered
+    * count is one `corpus.filter(pred).count()` — at scale, a catalog
+    * statistic). Output: (query_id, rank, neighbor_id, cos_sim,
+    * adc_cos, adc_rank, regime) — the ADC columns are NULL in the
+    * brute regime (no approximation ran), and `regime` pins the
+    * dispatch in every result row (oracle-hashed, so the wrong branch
+    * cannot pass).
+    */
+  def filteredTopKWith(index: Index, books: Array[Array[Array[Double]]],
+      dsub: Int, corpus: DataFrame, attrs: Seq[String], pred: Column,
+      queries: DataFrame, k: Int, nprobe: Int, rerank: Int,
+      n: Long, filteredN: Long, probeBoost: Int = 2,
+      bruteFrac: Double = 0.05): DataFrame = {
+    val fullF = corpus.filter(pred)
+      .select(col("id").as("neighbor_id"), col("v").as("cv"))
+    filterRegimeFor(n, filteredN, bruteFrac) match {
+      case BruteForceSubset =>
+        // exact cosine over the filtered rows only: the subset is the
+        // distributed side, the query table broadcasts
+        fullF.crossJoin(broadcast(queries))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos_sim",
+            GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("cos_sim"), 4).as("cos_sim"),
+            lit(null).cast(DoubleType).as("adc_cos"),
+            lit(null).cast(IntegerType).as("adc_rank"),
+            lit("brute_force_subset").as("regime"))
+      case PreFilteredProbe =>
+        // candidates pruned by the predicate BEFORE any scoring: the
+        // attr is a stored column of the coded file, so the filter
+        // sits at the index scan, and the boosted probe compensates
+        // the per-cell thinning
+        val codedF = codedInvertedFileAttrs(index, corpus, books, dsub, attrs)
+          .filter(pred)
+          .select(col("cell"), col("id").as("neighbor_id"), col("codes"))
+        val surv = probe(index, queries, "qv", nprobe * probeBoost)
+          .join(codedF, Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            GraftFunctions.adcCosineFromQuery(col("qv"), col("codes"),
+              books, dsub).as("adc_cos"))
+          .withColumn("adc_rank", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("adc_cos").desc, col("neighbor_id"))))
+          .filter(col("adc_rank") <= rerank)
+          .join(broadcast(queries), Seq("query_id"))
+        fullF.join(broadcast(surv), Seq("neighbor_id"))
+          .withColumn("cos_sim",
+            GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("cos_sim"), 4).as("cos_sim"),
+            round(col("adc_cos"), 4).as("adc_cos"), col("adc_rank"),
+            lit("pre_filtered_probe").as("regime"))
+    }
+  }
+
+  /** End-to-end filtered search: train (regime-dispatched index + PQ
+    * codebooks, same as [[topK]]) and run [[filteredTopKWith]].
+    */
+  def filteredTopK(corpus: DataFrame, n: Long, dim: Int, attrs: Seq[String],
+      pred: Column, queries: DataFrame, k: Int, nprobe: Int, rerank: Int,
+      m: Int, dsub: Int, kCodes: Int, probeBoost: Int = 2,
+      bruteFrac: Double = 0.05, wProbe: Int = 2,
+      oneLevelMax: Long = AnnIvf.OneLevelMaxVectors): DataFrame = {
+    val vecsOnly = corpus.select(col("id"), col("v"))
+    val index = indexAuto(vecsOnly, n, dim, wProbe, oneLevelMax)
+    val books = AnnPq.collectCodebooks(
+      AnnPq.refinedCodebooks(vecsOnly, m, dsub, kCodes), m)
+    val filteredN = corpus.filter(pred).count()
+    filteredTopKWith(index, books, dsub, corpus, attrs, pred, queries,
+      k, nprobe, rerank, n, filteredN, probeBoost, bruteFrac)
+  }
+
   // ------------------------------------------------ persisted index
   // A production retrieval system builds the coded inverted file ONCE
   // and serves from the stored artifact — it does not re-run Lloyd and

@@ -489,8 +489,11 @@ object Vectors {
 
   /** The exact-re-rank tail shared by the composed-search oracles:
     * survivors at `rerank` depth, full-vector cosine, top-`k` rows.
+    * `extraSelect` appends literal columns to the terminal projection
+    * (the filtered search pins its dispatched regime there).
     */
-  private[queries] def ivfpqRerankTailSql(rerank: Int, k: Int, dim: Int): String = s"""
+  private[queries] def ivfpqRerankTailSql(rerank: Int, k: Int, dim: Int,
+      extraSelect: String = ""): String = s"""
     surv AS (SELECT * FROM adcr WHERE adc_rank <= $rerank),
     ex AS (
       SELECT s.query_id, s.neighbor_id, s.adc_raw, s.adc_rank,
@@ -504,7 +507,7 @@ object Vectors {
           ORDER BY cos_raw DESC, neighbor_id) AS rank
       FROM ex)
     SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 4) AS cos_sim,
-      ROUND(adc_raw, 4) AS adc_cos, adc_rank
+      ROUND(adc_raw, 4) AS adc_cos, adc_rank$extraSelect
     FROM ranked
     WHERE rank <= $k
     ORDER BY query_id, rank"""
@@ -567,6 +570,226 @@ object Vectors {
       WHERE rn <= $ivfpqNprobe),
     ${adcCtes("qprobes", "inverted2", dim)},
     ${ivfpqRerankTailSql(ivfpqRerank, ivfpqK, dim)}"""
+  }
+
+  // ----------------------------------------------- emb_filtered_topk
+  // Metadata-FILTERED ANN (IvfPq.filteredTopK): top-k among only the
+  // vectors satisfying a predicate — the most common production
+  // constraint on a retrieval index (tenant / language / license
+  // filters). Selectivity-dispatched (IvfPq.filterRegimeFor, the
+  // regimeFor discipline): broad filters run the PRE-FILTERED PROBE —
+  // nprobe boosted ×2 to compensate the per-cell thinning, candidates
+  // pruned by the predicate BEFORE any ADC scoring (the attribute is
+  // a stored column of the coded file, so at 100 TB the filter is
+  // parquet pushdown at the index scan), then the normal true-ADC →
+  // exact re-rank tail; narrow filters fall to BruteForceSubset
+  // (below). The dispatched regime rides every output row, so the
+  // oracle hash pins which branch ran. This query's label IN (2,5)
+  // filter sits at ~0.2 selectivity at every sf — the probe regime at
+  // all oracle scales; the crossover math lives in the IvfPq
+  // scaladoc (bruteFrac = 0.05 falls out of the code-vs-vector cost
+  // ratio, not a guess).
+  //
+  // 100 TB shape: identical to emb_ivfpq_topk plus one scan-level
+  // predicate on the coded file; the exact re-rank broadcasts
+  // survivors against the FILTERED corpus (pushdown on that scan
+  // too). Nothing shuffles the corpus.
+  private[queries] val filteredLabels = Seq(2, 5)
+  private[queries] val filteredProbeBoost = 2
+  private[queries] val filteredBruteFrac = 0.05
+  private[queries] val selLabel = 7
+  private[queries] val selMod = 7
+  private[queries] val selRem = 3
+  private def labeledCorpus(s: SparkSession, d: String): DataFrame =
+    vecs(s, d).select(col("vec_id").as("id"), col("v"), col("label"))
+  private val embFilteredTopk: Q = (s, d) => {
+    val corpus = labeledCorpus(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = corpus.count()
+    val queries = corpus.filter(col("id") < 5)
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    IvfPq.filteredTopK(corpus, n, dim = 64, attrs = Seq("label"),
+        pred = col("label").isin(filteredLabels: _*), queries,
+        k = ivfpqK, nprobe = ivfpqNprobe, rerank = ivfpqRerank,
+        m = pqM, dsub = pqDsub, kCodes = pqK,
+        probeBoost = filteredProbeBoost, bruteFrac = filteredBruteFrac)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private lazy val embFilteredTopkSql: String = {
+    val dim = 64
+    s"""
+    WITH ${ScaleOps.ivfCtes(16, dim)},
+    $pqCtesComposable,
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c1.cell,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ${ScaleOps.ivfSqDist("e.v", "c1.c", dim)}, c1.cell) AS rn
+        FROM e CROSS JOIN centf c1
+        WHERE e.vec_id < 5)
+      WHERE rn <= ${ivfpqNprobe * filteredProbeBoost}),
+    inv_f AS (
+      SELECT iv.vec_id, iv.cell FROM inverted iv
+      JOIN embeddings em ON em.vec_id = iv.vec_id
+      WHERE em.label IN (${filteredLabels.mkString(", ")})),
+    ${adcCtes("probes", "inv_f", dim)},
+    ${ivfpqRerankTailSql(ivfpqRerank, ivfpqK, dim,
+        extraSelect = ", 'pre_filtered_probe' AS regime")}"""
+  }
+
+  // ------------------------------------- emb_filtered_topk_selective
+  // The filtered search's OTHER regime: a ~1.4%-selectivity predicate
+  // (label = 7 AND vec_id % 7 = 3) dispatches to BruteForceSubset —
+  // EXACT cosine over only the filtered rows, no index, no
+  // approximation (ADC columns NULL, regime pinned in every row). The
+  // structural point this query hash-proves: below the crossover the
+  // engine refuses to pay index overhead for a subset cheaper to scan
+  // exactly — s·n full scores beat (n/cells)·nprobe·boost code scores
+  // precisely when s is small, and the answer returned is EXACT.
+  //
+  // 100 TB shape: predicate pushdown at the corpus scan reads only
+  // the filtered rows; the query table broadcasts; per-query work is
+  // s·n cosines — bounded by the dispatch rule itself.
+  private val embFilteredTopkSelective: Q = (s, d) => {
+    val corpus = labeledCorpus(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = corpus.count()
+    val queries = corpus.filter(col("id") < 5)
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    IvfPq.filteredTopK(corpus, n, dim = 64, attrs = Seq("label"),
+        pred = col("label") === selLabel && col("id") % selMod === selRem,
+        queries, k = ivfpqK, nprobe = ivfpqNprobe, rerank = ivfpqRerank,
+        m = pqM, dsub = pqDsub, kCodes = pqK,
+        probeBoost = filteredProbeBoost, bruteFrac = filteredBruteFrac)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private lazy val embFilteredTopkSelectiveSql: String = s"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+      FROM embeddings),
+    sub AS (
+      SELECT vec_id, v FROM e
+      WHERE label = $selLabel AND vec_id % $selMod = $selRem),
+    p AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ${cosFold("q.v", "c.v", 64)} AS cos_raw
+      FROM e q JOIN sub c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+    rk AS (
+      SELECT query_id, neighbor_id, cos_raw,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM p)
+    SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 4) AS cos_sim,
+      CAST(NULL AS DOUBLE) AS adc_cos, CAST(NULL AS INTEGER) AS adc_rank,
+      'brute_force_subset' AS regime
+    FROM rk
+    WHERE rank <= $ivfpqK
+    ORDER BY query_id, rank"""
+
+  // ---------------------------------------------- emb_filtered_recall
+  // The filtered search's on-corpus audit (the house rule: every
+  // approximation ships its own measured recall) — the probe-regime
+  // filtered top-k measured against the EXACT filtered ground truth,
+  // per query. This is the number that certifies the ×2 probe boost
+  // actually compensates the filter's per-cell thinning on THIS
+  // corpus; FilteredAnnSpec additionally pins boosted ≥ unboosted
+  // recall. Same report shape as emb_ann_recall — and the same
+  // honesty: on this near-uniform control corpus (top-10 cosine
+  // ≈ 0.25–0.37 vs median ≈ 0, the hardest ANN regime) measured
+  // recall@10 is 0.7–1.0 at sf0.001/sf0.01 and 0.4–0.5 at sf0.1
+  // (4 of 16 cells probed); a clustered real-world corpus sits far
+  // higher at the same probe budget, and the knob to buy more is the
+  // same nprobe/boost pair the curve queries already price.
+  private val embFilteredRecall: Q = (s, d) => {
+    val corpus = labeledCorpus(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = corpus.count()
+    val queries = corpus.filter(col("id") < 5)
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    val pred = col("label").isin(filteredLabels: _*)
+    val ann = IvfPq.filteredTopK(corpus, n, dim = 64, attrs = Seq("label"),
+        pred = pred, queries = queries, k = ivfpqK, nprobe = ivfpqNprobe,
+        rerank = ivfpqRerank, m = pqM, dsub = pqDsub, kCodes = pqK,
+        probeBoost = filteredProbeBoost, bruteFrac = filteredBruteFrac)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val exact = corpus.filter(pred)
+      .select(col("id").as("neighbor_id"), col("v").as("cv"))
+      .crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim",
+        GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= ivfpqK)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .withColumn("recall",
+        round(col("n_found").cast(DoubleType) / col("n_exact").cast(DoubleType), 4))
+      .orderBy(col("query_id"))
+  }
+
+  private lazy val embFilteredRecallSql: String = {
+    val dim = 64
+    s"""
+    WITH ${ScaleOps.ivfCtes(16, dim)},
+    $pqCtesComposable,
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c1.cell,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ${ScaleOps.ivfSqDist("e.v", "c1.c", dim)}, c1.cell) AS rn
+        FROM e CROSS JOIN centf c1
+        WHERE e.vec_id < 5)
+      WHERE rn <= ${ivfpqNprobe * filteredProbeBoost}),
+    inv_f AS (
+      SELECT iv.vec_id, iv.cell FROM inverted iv
+      JOIN embeddings em ON em.vec_id = iv.vec_id
+      WHERE em.label IN (${filteredLabels.mkString(", ")})),
+    ${adcCtes("probes", "inv_f", dim)},
+    surv AS (SELECT * FROM adcr WHERE adc_rank <= $ivfpqRerank),
+    exs AS (
+      SELECT s.query_id, s.neighbor_id,
+        ${cosFold("qe.v", "c.v", dim)} AS cos_raw
+      FROM surv s
+      JOIN e c ON c.vec_id = s.neighbor_id
+      JOIN e qe ON qe.vec_id = s.query_id),
+    annr AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_raw DESC, neighbor_id) AS rank
+        FROM exs)
+      WHERE rank <= $ivfpqK),
+    sub AS (
+      SELECT e.vec_id, e.v FROM e
+      JOIN embeddings em ON em.vec_id = e.vec_id
+      WHERE em.label IN (${filteredLabels.mkString(", ")})),
+    exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ${cosFold("q.v", "c.v", dim)} AS cos_raw
+      FROM e q JOIN sub c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+    exr AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_raw DESC, neighbor_id) AS rank
+        FROM exact)
+      WHERE rank <= $ivfpqK)
+    SELECT x.query_id,
+      COUNT(*) AS n_exact,
+      CAST(COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_found,
+      ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS recall
+    FROM exr x
+    LEFT JOIN annr a
+      ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+    ORDER BY x.query_id"""
   }
 
   // --------------------------------------------- emb_ivfpq_rerank_curve
@@ -1395,6 +1618,9 @@ object Vectors {
     "emb_pq_topk" -> embPqTopk,
     "emb_ivfpq_topk" -> embIvfpqTopk,
     "emb_ivfpq_topk_two_level" -> embIvfpqTopkTwoLevel,
+    "emb_filtered_topk" -> embFilteredTopk,
+    "emb_filtered_topk_selective" -> embFilteredTopkSelective,
+    "emb_filtered_recall" -> embFilteredRecall,
     "emb_ivfpq_rerank_curve" -> embIvfpqRerankCurve,
     "emb_index_build" -> embIndexBuild,
     "emb_index_append" -> embIndexAppend,
@@ -1415,6 +1641,9 @@ object Vectors {
     "emb_pq_topk" -> embPqTopkSql,
     "emb_ivfpq_topk" -> embIvfpqTopkSql,
     "emb_ivfpq_topk_two_level" -> embIvfpqTopkTwoLevelSql,
+    "emb_filtered_topk" -> embFilteredTopkSql,
+    "emb_filtered_topk_selective" -> embFilteredTopkSelectiveSql,
+    "emb_filtered_recall" -> embFilteredRecallSql,
     "emb_ivfpq_rerank_curve" -> embIvfpqRerankCurveSql,
     "emb_index_build" -> embIndexBuildSql,
     "emb_index_append" -> embIndexAppendSql,
