@@ -373,7 +373,19 @@ object IvfPq {
     val index = indexAuto(corpus, n, dim, wProbe, oneLevelMax)
     val books = AnnPq.collectCodebooks(
       AnnPq.refinedCodebooks(corpus, m, dsub, kCodes), m)
-    codedInvertedFile(index, corpus, books, dsub)
+    writeStore(spark, index, books, m, dsub, wProbe, corpus, dir)
+    (index, books)
+  }
+
+  /** Write a complete self-contained store under `dir`: the coded
+    * inverted file of `slice` plus the trained tables — the shared
+    * body of [[buildIndex]] (full corpus) and [[encodeShard]] (one
+    * shard's slice under frozen halves).
+    */
+  private def writeStore(spark: SparkSession, index: Index,
+      books: Array[Array[Array[Double]]], m: Int, dsub: Int, wProbe: Int,
+      slice: DataFrame, dir: String): Unit = {
+    codedInvertedFile(index, slice, books, dsub)
       .select(col("id"), col("codes"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/inverted")
     def toDf(rows: Seq[org.apache.spark.sql.Row], schema: StructType): DataFrame =
@@ -400,7 +412,105 @@ object IvfPq {
     }
     toDf(Seq(org.apache.spark.sql.Row(regime, m, dsub, wProbe)), metaSchema)
       .write.mode("overwrite").parquet(s"$dir/meta")
-    (index, books)
+  }
+
+  // ---------------------------------------------- distributed build
+  // How a 100 TB index is ACTUALLY built: no single job encodes the
+  // whole corpus. TRAIN ONCE (centrally — training reads a sample, not
+  // the corpus), fan the ENCODE out over shards (each job encodes its
+  // slice under the FROZEN halves and writes a self-contained shard
+  // store), then MERGE the shard stores file-level into the serving
+  // artifact. Because assignment + encoding are deterministic per-row
+  // projections under frozen halves, merge(shards) == build(corpus)
+  // BIT FOR BIT — MergeSpec pins it in both regimes and the
+  // emb_index_shard_merge oracle hash-proves it end to end.
+
+  /** Encode one shard's slice under frozen trained halves and write a
+    * SELF-CONTAINED shard store (coded file + the trained tables):
+    * a shard is independently loadable/auditable, and the merge
+    * VERIFIES half-equality across shards instead of trusting the
+    * caller.
+    */
+  def encodeShard(index: Index, books: Array[Array[Array[Double]]],
+      dsub: Int, slice: DataFrame, dir: String, wProbe: Int = 2): Unit = {
+    val spark = slice.sparkSession
+    val tfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("tombstones", "_ingest_commits", "_staging").foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      if (tfs.exists(p)) tfs.delete(p, true): Unit
+    }
+    writeStore(spark, index, books, books.length, dsub, wProbe, slice, dir)
+  }
+
+  /** Merge self-contained shard stores into one serving artifact.
+    * The trained tables are VERIFIED identical across shards
+    * (sorted-row comparison — tiny driver-local tables) and refused
+    * otherwise; the coded files then union FILE-LEVEL: every shard
+    * parquet file lands under the output's matching `cell=` partition
+    * with a shard-tagged name — no decode, no shuffle, no row ever
+    * read. At 100 TB this is a metadata operation per file (rename on
+    * a rename-capable fs; here a copy, the sandbox stand-in) — merge
+    * cost ∝ file count, not data size. Pending shard tombstones union
+    * the same way, so deletes landed against a shard survive the
+    * merge.
+    */
+  def mergeIndexes(spark: SparkSession, shardDirs: Seq[String],
+      outDir: String): Unit = {
+    require(shardDirs.nonEmpty, "mergeIndexes: no shards")
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(outDir).getFileSystem(conf)
+    val trained = Seq(("meta", metaSchema), ("centroids", centroidSchema),
+      ("coarse", centroidSchema), ("groups", groupSchema),
+      ("codebooks", codebookSchema))
+    def rowsOf(d: String, sub: String, schema: StructType): Seq[String] =
+      if (!fs.exists(new Path(s"$d/$sub"))) Seq.empty
+      else spark.read.schema(schema).parquet(s"$d/$sub").collect()
+        .map(_.toString).sorted.toSeq
+    val head = shardDirs.head
+    for (d <- shardDirs.tail; (sub, sch) <- trained)
+      require(rowsOf(d, sub, sch) == rowsOf(head, sub, sch),
+        s"mergeIndexes: shard $d trained table '$sub' differs from $head " +
+          "- shards must be encoded under identical frozen halves")
+    val out = new Path(outDir)
+    if (fs.exists(out)) fs.delete(out, true): Unit
+    trained.foreach { case (sub, _) =>
+      val p = new Path(s"$head/$sub")
+      if (fs.exists(p))
+        FileUtil.copy(fs, p, fs, new Path(s"$outDir/$sub"), false, conf): Unit
+    }
+    // totality over empty corpora: zero-row shards contribute no cell
+    // files, but the merged store must still load (explicit-schema
+    // reads of an existing empty dir yield empty relations)
+    fs.mkdirs(new Path(s"$outDir/inverted")): Unit
+    shardDirs.zipWithIndex.foreach { case (d, i) =>
+      val inv = new Path(s"$d/inverted")
+      if (fs.exists(inv))
+        fs.listStatus(inv)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+          .foreach { cellDir =>
+            val target = new Path(s"$outDir/inverted/${cellDir.getPath.getName}")
+            if (!fs.exists(target)) fs.mkdirs(target): Unit
+            fs.listStatus(cellDir.getPath).map(_.getPath)
+              .filter(_.getName.endsWith(".parquet"))
+              .foreach { f =>
+                FileUtil.copy(fs, f, fs,
+                  new Path(target, s"shard$i-${f.getName}"), false, conf): Unit
+              }
+          }
+      val tomb = new Path(s"$d/tombstones")
+      if (fs.exists(tomb)) {
+        val target = new Path(s"$outDir/tombstones")
+        if (!fs.exists(target)) fs.mkdirs(target): Unit
+        fs.listStatus(tomb).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach { f =>
+            FileUtil.copy(fs, f, fs,
+              new Path(target, s"shard$i-${f.getName}"), false, conf): Unit
+          }
+      }
+    }
   }
 
   /** Incremental index maintenance: assign + encode `delta` (id, v)

@@ -1020,6 +1020,116 @@ object Vectors {
     */
   private[queries] def indexDir(sfDir: String): String = IvfPq.indexDir(sfDir)
 
+  // --------------------------------------------- emb_index_shard_merge
+  // DISTRIBUTED index build — how a 100 TB index is actually built (no
+  // single job encodes the corpus): train ONCE, fan the encode out
+  // over shards (IvfPq.encodeShard — each shard a self-contained
+  // store encoded under the FROZEN halves), then MERGE the shard
+  // stores file-level into the serving artifact (IvfPq.mergeIndexes —
+  // trained-half equality VERIFIED across shards, coded files unioned
+  // as file moves under their cell= partitions: no decode, no
+  // shuffle, no row ever read; merge cost ∝ file count). Because
+  // encoding is a deterministic per-row projection under frozen
+  // halves, merge(shard_even, shard_odd) == build(corpus) bit for
+  // bit. The manifest pins exactly that from the RELOADED merged
+  // store: `merged` matches emb_index_build's `inverted` row (the
+  // monolithic build's checksums — same oracle arithmetic), the
+  // per-parity rows prove both shards' content present exactly once,
+  // and `centroids` pins the trained half carried through the merge.
+  // MergeSpec additionally pins store bit-equality vs the monolithic
+  // build in BOTH regimes and the mismatched-halves refusal.
+  private val embIndexShardMerge: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val corpus = vecs(s, d).select(col("vec_id").as("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = corpus.count()
+    // train once — same regime dispatch and constants as buildIndex
+    val index = IvfPq.indexAuto(corpus, n, dim = 64)
+    val books = AnnPq.collectCodebooks(
+      AnnPq.refinedCodebooks(corpus, pqM, pqDsub, pqK), pqM)
+    val base = indexDir(d)
+    val (dirA, dirB, dirM) =
+      (base + "_shard_even", base + "_shard_odd", base + "_merged")
+    IvfPq.encodeShard(index, books, pqDsub, corpus.filter(col("id") % 2 === 0), dirA)
+    IvfPq.encodeShard(index, books, pqDsub, corpus.filter(col("id") % 2 === 1), dirB)
+    IvfPq.mergeIndexes(s, Seq(dirA, dirB), dirM)
+    val loaded = IvfPq.loadIndex(s, dirM)
+    import s.implicits._
+    def decSum(c: Column): Column =
+      coalesce(sum(c.cast(DecimalType(18, 6))),
+        lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 6))).cast(DoubleType)
+    val (cids, ccents) = loaded.index match {
+      case IvfPq.OneLevelIndex(ids, cents) => (ids, cents)
+      case IvfPq.TwoLevelIndexW(idx, _) => (idx.coarseIds, idx.coarseCents)
+    }
+    val centEl = cids.zip(ccents).toSeq
+      .flatMap { case (cell, cent) => cent.map(x => (cell, x)) }
+      .toDF("cell", "x")
+    val centRow = centEl.agg(
+      lit("centroids").as("artifact"),
+      lit(cids.length.toLong).as("n_rows"),
+      lit(cids.map(_.toLong).sum).as("sum_a"),
+      decSum(col("x")).as("sum_b"))
+    val codesSum = expr(
+      "aggregate(codes, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT))")
+    def invRow(label: String, df: DataFrame): DataFrame = df.agg(
+      lit(label).as("artifact"),
+      count(lit(1)).as("n_rows"),
+      (coalesce(sum(col("id")), lit(0L))
+        + coalesce(sum(col("cell").cast("long")), lit(0L))
+        + coalesce(sum(codesSum), lit(0L))).as("sum_a"),
+      countDistinct(col("cell")).cast(DoubleType).as("sum_b"))
+    centRow
+      .unionAll(invRow("merged", loaded.inverted))
+      .unionAll(invRow("shard_even", loaded.inverted.filter(col("id") % 2 === 0)))
+      .unionAll(invRow("shard_odd", loaded.inverted.filter(col("id") % 2 === 1)))
+      .orderBy(col("artifact"))
+  }
+
+  private lazy val embIndexShardMergeSql: String = s"""
+    WITH ${ScaleOps.ivfCtes(16, 64)},
+    $pqCtesComposable,
+    cent_el AS (SELECT cell, unnest(c) AS x FROM centf),
+    row_cent AS (
+      SELECT 'centroids' AS artifact,
+        (SELECT COUNT(*) FROM centf) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(cell), 0) AS BIGINT) FROM centf) AS sum_a,
+        CAST(COALESCE(SUM(CAST(x AS DECIMAL(18,6))), 0) AS DOUBLE) AS sum_b
+      FROM cent_el),
+    inv_part AS (
+      SELECT i.vec_id, i.cell, c.code
+      FROM inverted i JOIN pq_coded c ON c.vec_id = i.vec_id),
+    row_merged AS (
+      SELECT 'merged' AS artifact,
+        (SELECT COUNT(*) FROM inverted) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(vec_id), 0) + COALESCE(SUM(cell), 0) AS BIGINT)
+           FROM inverted)
+          + (SELECT CAST(COALESCE(SUM(code), 0) AS BIGINT) FROM pq_coded) AS sum_a,
+        (SELECT CAST(COUNT(DISTINCT cell) AS DOUBLE) FROM inverted) AS sum_b),
+    row_even AS (
+      SELECT 'shard_even' AS artifact,
+        (SELECT COUNT(*) FROM inverted WHERE vec_id % 2 = 0) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(vec_id), 0) + COALESCE(SUM(cell), 0) AS BIGINT)
+           FROM inverted WHERE vec_id % 2 = 0)
+          + (SELECT CAST(COALESCE(SUM(code), 0) AS BIGINT) FROM inv_part
+             WHERE vec_id % 2 = 0) AS sum_a,
+        (SELECT CAST(COUNT(DISTINCT cell) AS DOUBLE) FROM inverted
+         WHERE vec_id % 2 = 0) AS sum_b),
+    row_odd AS (
+      SELECT 'shard_odd' AS artifact,
+        (SELECT COUNT(*) FROM inverted WHERE vec_id % 2 = 1) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(vec_id), 0) + COALESCE(SUM(cell), 0) AS BIGINT)
+           FROM inverted WHERE vec_id % 2 = 1)
+          + (SELECT CAST(COALESCE(SUM(code), 0) AS BIGINT) FROM inv_part
+             WHERE vec_id % 2 = 1) AS sum_a,
+        (SELECT CAST(COUNT(DISTINCT cell) AS DOUBLE) FROM inverted
+         WHERE vec_id % 2 = 1) AS sum_b)
+    SELECT * FROM row_cent
+    UNION ALL SELECT * FROM row_even
+    UNION ALL SELECT * FROM row_merged
+    UNION ALL SELECT * FROM row_odd
+    ORDER BY artifact"""
+
   // -------------------------------------------------- emb_index_append
   // Incremental maintenance of the persisted index — the ingest half a
   // production retrieval system runs continuously: new vectors (the
@@ -1626,6 +1736,7 @@ object Vectors {
     "emb_index_append" -> embIndexAppend,
     "emb_index_delete" -> embIndexDelete,
     "emb_index_lifecycle_two_level" -> embIndexLifecycleTwoLevel,
+    "emb_index_shard_merge" -> embIndexShardMerge,
     "emb_cosine_topk" -> embCosineTopk,
     "emb_near_dup_pairs" -> embNearDupPairs,
     "emb_int8_quantize" -> embInt8Quantize,
@@ -1649,6 +1760,7 @@ object Vectors {
     "emb_index_append" -> embIndexAppendSql,
     "emb_index_delete" -> embIndexDeleteSql,
     "emb_index_lifecycle_two_level" -> embIndexLifecycleTwoLevelSql,
+    "emb_index_shard_merge" -> embIndexShardMergeSql,
     "emb_cosine_topk" -> embCosineTopkSql,
     "emb_near_dup_pairs" -> embNearDupPairsSql,
     "emb_int8_quantize" -> embInt8QuantizeSql,
