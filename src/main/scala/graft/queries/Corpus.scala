@@ -784,7 +784,213 @@ object Corpus {
     FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
     ORDER BY d.doc_id"""
 
+  // ------------------------------------------------------ doc_bm25_topk
+  // BM25 lexical retrieval (Robertson/Spärck Jones; k1 = 1.2,
+  // b = 0.75) — the missing retriever next to doc_tfidf_topk's
+  // diagnostics: query-by-example (doc_id < 5, the vec_id < 5
+  // convention), each query's terms scored against the posting lists.
+  // Float discipline: the tf saturation term is computed as an EXACT
+  // INTEGER rational before one double division — with k1 = 6/5 and
+  // b = 3/4, tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) reduces to
+  // 44·T·tf / (20·T·tf + 6·T + 18·dl·N) over the integer token total
+  // T and corpus size N — and the idf argument likewise reduces to
+  // (2N+2)/(2·df+1), so both engines feed ln() bit-identical doubles
+  // (the unigram-logprob rule); per-term contributions sum through
+  // DECIMAL(28,15) (order-independent) and the ranking orders by the
+  // ROUNDED score, so a last-ulp ln() disagreement cannot flip ranks.
+  // The query-term cap keeps per-query work bounded: the TOP
+  // `bm25QTerms` terms by idf (= LOWEST df — an integer rule, the
+  // WAND-style rare-terms-first discipline), so candidate volume is
+  // Σ_t df(t) over 20 rare terms, never the whole posting file.
+  //
+  // 100 TB shape: explode → (doc, token) hash-aggregate with df via
+  // the count window over the SAME aggregate (the tfidf trick — no
+  // tf⟗df self-join), doc lengths from one more hash-aggregate,
+  // corpus totals broadcast as single rows; candidates are an
+  // equi-join of 5×20 query terms against the posting aggregate.
+  private val bm25QTerms = 20
+  private val bm25K = 10
+  private[queries] def bm25Ranked(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+    val post = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val totals = documents(s, d).agg(count(lit(1)).as("n_corpus"))
+      .crossJoin(toks.agg(count(lit(1)).as("t_total")))
+    val qterms = post.filter(col("doc_id") < 5)
+      .withColumn("qrn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("token"))))
+      .filter(col("qrn") <= bm25QTerms)
+      .select(col("doc_id").as("query_id"), col("token"))
+    val cand = qterms.join(post, Seq("token"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+    val contrib =
+      log((lit(2.0) * col("n_corpus") + lit(2.0)).cast(DoubleType) /
+          (lit(2.0) * col("df") + lit(1.0)).cast(DoubleType)) *
+        ((lit(44L) * col("t_total") * col("tf")).cast(DoubleType) /
+          (lit(20L) * col("t_total") * col("tf") + lit(6L) * col("t_total")
+            + lit(18L) * col("dl") * col("n_corpus")).cast(DoubleType))
+    cand.withColumn("c", contrib)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("c").cast(DecimalType(28, 15))).cast(DoubleType), 6)
+          .as("bm25"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("bm25").desc, col("doc_id"))))
+  }
+  private val docBm25Topk: Q = (s, d) =>
+    bm25Ranked(s, d)
+      .filter(col("rank") <= bm25K)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("bm25"),
+        col("n_terms"))
+      .orderBy(col("query_id"), col("rank"))
+
+  /** Shared DuckDB replay of the BM25 ranked set; terminal CTE
+    * `bm25r(query_id, doc_id, bm25, n_terms, brank)`.
+    */
+  private[queries] lazy val bm25Ctes: String = s"""
+    btok AS (
+      SELECT doc_id,
+        unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents),
+    bpost AS (
+      SELECT doc_id, token, COUNT(*) AS tf,
+        COUNT(*) OVER (PARTITION BY token) AS df
+      FROM (SELECT doc_id, token FROM btok)
+      GROUP BY doc_id, token),
+    bdl AS (SELECT doc_id, COUNT(*) AS dl FROM btok GROUP BY doc_id),
+    btot AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_corpus,
+        (SELECT COUNT(*) FROM btok) AS t_total),
+    bq AS (
+      SELECT doc_id AS query_id, token FROM (
+        SELECT doc_id, token,
+          ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY df, token) AS qrn
+        FROM bpost WHERE doc_id < 5)
+      WHERE qrn <= $bm25QTerms),
+    bcand AS (
+      SELECT q.query_id, p.doc_id, p.tf, p.df, l.dl, t.n_corpus, t.t_total
+      FROM bq q
+      JOIN bpost p ON p.token = q.token AND p.doc_id <> q.query_id
+      JOIN bdl l ON l.doc_id = p.doc_id
+      CROSS JOIN btot t),
+    bscore AS (
+      SELECT query_id, doc_id, COUNT(*) AS n_terms,
+        ROUND(CAST(SUM(CAST(
+          ln((2.0 * n_corpus + 2.0) / (2.0 * df + 1.0)) *
+          (CAST(44 * t_total * tf AS DOUBLE) /
+           CAST(20 * t_total * tf + 6 * t_total + 18 * dl * n_corpus AS DOUBLE))
+          AS DECIMAL(28,15))) AS DOUBLE), 6) AS bm25
+      FROM bcand
+      GROUP BY query_id, doc_id),
+    bm25r AS (
+      SELECT query_id, doc_id, bm25, n_terms,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY bm25 DESC, doc_id) AS brank
+      FROM bscore)"""
+
+  private lazy val docBm25TopkSql: String = s"""
+    WITH $bm25Ctes
+    SELECT query_id, brank AS rank, doc_id, bm25, n_terms
+    FROM bm25r
+    WHERE brank <= $bm25K
+    ORDER BY query_id, rank"""
+
+  // ---------------------------------------------------- doc_hybrid_rrf
+  // TRUE hybrid retrieval — the production RAG shape emb_rrf_fusion's
+  // scaladoc points at: a LEXICAL retriever (the BM25 ranking above)
+  // fused with a VECTOR retriever (cosine over the aligned embeddings
+  // table — doc_id ≡ vec_id in this corpus) by reciprocal-rank fusion
+  // over the UNION of both candidate sets (a doc found by only one
+  // retriever scores that side's 1/(60+rank) alone — the standard
+  // Cormack/Clarke/Buettcher form, no score calibration across
+  // modalities). Each retriever contributes its top-`hybridDepth`;
+  // the fused top-10 is what a RAG pipeline would hand the reranker.
+  //
+  // 100 TB shape: the lexical side is the bounded BM25 chain; the
+  // vector side is exact here (the oracle needs a replayable ranking)
+  // but rank-space fusion is retriever-agnostic — the served IVF+PQ
+  // top-k (st_ivfpq_serve_topk) slots in unchanged, which is the
+  // point of fusing RANKS. The fusion itself joins two ≤ depth·|Q|
+  // relations — driver-free, broadcast-sized.
+  private val hybridDepth = 20
+  private val docHybridRrf: Q = (s, d) => {
+    import org.apache.spark.sql.types.ArrayType
+    val lex = bm25Ranked(s, d)
+      .filter(col("rank") <= hybridDepth)
+      .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val vq = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val vec = e.select(col("vec_id").as("doc_id"), col("v").as("cv"))
+      .crossJoin(broadcast(vq))
+      .filter(col("query_id") =!= col("doc_id"))
+      .withColumn("rank_vec", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(GraftFunctions.cosineSimilarity(col("qv"), col("cv")).desc,
+            col("doc_id"))))
+      .filter(col("rank_vec") <= hybridDepth)
+      .select(col("query_id"), col("doc_id"), col("rank_vec"))
+    lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(60.0) + col("rank_lex")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60.0) + col("rank_vec")), lit(0.0)), 6))
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_score").desc, col("doc_id"))))
+      .filter(col("fused_rank") <= 10)
+      .select(col("query_id"), col("fused_rank"), col("doc_id"),
+        col("rrf_score"), col("rank_lex"), col("rank_vec"))
+      .orderBy(col("query_id"), col("fused_rank"))
+  }
+
+  private lazy val docHybridRrfSql: String = s"""
+    WITH $bm25Ctes,
+    lex AS (
+      SELECT query_id, doc_id, brank AS rank_lex
+      FROM bm25r WHERE brank <= $hybridDepth),
+    ve AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    vranked AS (
+      SELECT query_id, doc_id,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cos_raw DESC, doc_id) AS rank_vec
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+          ${Vectors.cosFold("q.v", "c.v", 64)} AS cos_raw
+        FROM ve q JOIN ve c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)),
+    vec AS (SELECT * FROM vranked WHERE rank_vec <= $hybridDepth),
+    fused AS (
+      SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+        COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        ROUND(COALESCE(1.0 / (60.0 + l.rank_lex), 0.0)
+          + COALESCE(1.0 / (60.0 + v.rank_vec), 0.0), 6) AS rrf_score,
+        l.rank_lex, v.rank_vec
+      FROM lex l
+      FULL OUTER JOIN vec v
+        ON v.query_id = l.query_id AND v.doc_id = l.doc_id),
+    franked AS (
+      SELECT query_id, doc_id, rrf_score, rank_lex, rank_vec,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY rrf_score DESC, doc_id) AS fused_rank
+      FROM fused)
+    SELECT query_id, fused_rank, doc_id, rrf_score, rank_lex, rank_vec
+    FROM franked
+    WHERE fused_rank <= 10
+    ORDER BY query_id, fused_rank"""
+
   val entries: Map[String, Q] = Map(
+    "doc_bm25_topk" -> docBm25Topk,
+    "doc_hybrid_rrf" -> docHybridRrf,
     "doc_winnowing" -> docWinnowing,
     "doc_mixture_apply" -> docMixtureApply,
     "doc_bpe_pairs" -> docBpePairs,
@@ -798,6 +1004,8 @@ object Corpus {
     "doc_dup_spans" -> docDupSpans)
 
   val oracles: Map[String, String] = Map(
+    "doc_bm25_topk" -> docBm25TopkSql,
+    "doc_hybrid_rrf" -> docHybridRrfSql,
     "doc_winnowing" -> docWinnowingSql,
     "doc_mixture_apply" -> docMixtureApplySql,
     "doc_bpe_pairs" -> docBpePairsSql,

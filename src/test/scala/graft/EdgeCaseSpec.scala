@@ -20,6 +20,11 @@ class EdgeCaseSpec extends SparkSpec {
       base.schema)
     base.unionByName(extra).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the unchanged embeddings table rides along: cross-table doc
+    // queries (doc_hybrid_rrf) must be total too — and the degenerate
+    // docs have NO embedding row, exercising the lexical-only fusion
+    Tables.embeddings(spark, sf).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     dir
   }
 

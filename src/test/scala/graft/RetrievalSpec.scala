@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Lexical + hybrid retrieval (doc_bm25_topk / doc_hybrid_rrf):
+  * BM25's idf direction pinned on a hand-built corpus, structural
+  * properties on the real tables, and the RRF arithmetic recomputed.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  test("BM25 ranks the rare-term match above the common-term match") {
+    import spark.implicits._
+    // query doc 0 contains both terms; "rare" occurs in ONE other doc,
+    // "common" in every other doc -> idf(rare) >> idf(common), so the
+    // rare-term doc must outrank the common-term docs at equal tf/dl
+    val docs = Seq(
+      (0L, "rare common", "en", "s", 11L),
+      (1L, "rare filler1 filler2", "en", "s", 20L),
+      (2L, "common fillerA fillerB", "en", "s", 22L),
+      (3L, "common fillerC fillerD", "en", "s", 22L),
+      (4L, "common fillerE fillerF", "en", "s", 22L),
+      (5L, "common fillerG fillerH", "en", "s", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_bm25_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("doc_bm25_topk")(spark, dir)
+      .filter(col("query_id") === 0).orderBy(col("rank")).collect()
+    assert(got.nonEmpty)
+    assert(got.head.getLong(2) == 1L,
+      s"doc 1 (the rare-term match) must rank first, got doc ${got.head.getLong(2)}")
+    assert(!got.map(_.getLong(2)).contains(0L), "self-retrieval must be excluded")
+  }
+
+  test("BM25 on the corpus: self excluded, scores descend, terms shared") {
+    val got = SparkEntry.queries("doc_bm25_topk")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_.getInt(1))
+      assert(!byRank.exists(_.getLong(2) == q), s"query $q retrieved itself")
+      val scores = byRank.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q scores not descending: ${scores.toSeq}")
+      assert(rows.forall(_.getLong(4) >= 1L), "every hit shares >= 1 query term")
+    }
+  }
+
+  test("hybrid RRF: score is exactly the recomputed rank fusion") {
+    val got = SparkEntry.queries("doc_hybrid_rrf")(spark, sf).collect()
+    assert(got.nonEmpty)
+    var sawDual = false
+    got.foreach { r =>
+      val lex = if (r.isNullAt(4)) None else Some(r.getInt(4))
+      val vec = if (r.isNullAt(5)) None else Some(r.getInt(5))
+      assert(lex.isDefined || vec.isDefined)
+      if (lex.isDefined && vec.isDefined) sawDual = true
+      val expect = BigDecimal(
+        lex.map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
+          + vec.map(x => 1.0 / (60.0 + x)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - expect) < 1e-9,
+        s"rrf_score ${r.getDouble(3)} != recomputed $expect for row $r")
+    }
+    // fused ordering descends within each query
+    got.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val scores = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q fused scores not descending")
+    }
+    assert(sawDual || got.length < 10,
+      "expected at least one doc found by both retrievers at this depth")
+  }
+}
