@@ -96,13 +96,16 @@ object Corpus {
   // drop-in at the marked line.
   //
   // 100 TB shape: explode → hash-aggregate tf on (doc, token)
-  // (map-side partials), df derived from the SAME aggregate via a
-  // count window over token (one row per (doc, token) ⇒ per-token row
-  // count = distinct-doc count) — NOT a tf⟗df self-join, which would
-  // recompute the whole explode+aggregate on both sides (measured 2×
-  // at sf0.1). Top-k per doc then goes through the bounded-heap
-  // TopKPerGroup rewrite — never a per-doc sort. N arrives via a
-  // broadcast single-row count.
+  // (map-side partials, persisted — one explode pass), df from a
+  // map-side-combined groupBy(token) over that aggregate (one row per
+  // (doc, token) ⇒ per-token row count = distinct-doc count) JOINED
+  // back — never a count window over the posting relation: a window
+  // partitioned by token serializes df("the") ≈ |docs| rows into ONE
+  // task at web scale, while the join's hot partitions are
+  // AQE-skew-splittable (PlanSpec pins the no-token-window shape).
+  // Top-k per doc then goes through the bounded-heap TopKPerGroup
+  // rewrite — never a per-doc sort. N arrives via a broadcast
+  // single-row count.
   private val docTfidfTopk: Q = (s, d) => {
     val k = 5
     val tf = documents(s, d)
@@ -110,8 +113,10 @@ object Corpus {
         explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = documents(s, d).select(count(lit(1)).as("n_corpus"))
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+    tf.join(dfT, Seq("token"))
       .crossJoin(broadcast(n))
       // integer tf-idf: exact in both engines; `div` truncates like //
       .withColumn("score", expr("tf * (1000000L * n_corpus div df)"))
@@ -803,11 +808,19 @@ object Corpus {
   // WAND-style rare-terms-first discipline), so candidate volume is
   // Σ_t df(t) over 20 rare terms, never the whole posting file.
   //
-  // 100 TB shape: explode → (doc, token) hash-aggregate with df via
-  // the count window over the SAME aggregate (the tfidf trick — no
-  // tf⟗df self-join), doc lengths from one more hash-aggregate,
-  // corpus totals broadcast as single rows; candidates are an
-  // equi-join of 5×20 query terms against the posting aggregate.
+  // 100 TB shape: explode → (doc, token) hash-aggregate (map-side
+  // partials, persisted — one explode pass); df from a
+  // map-side-combined groupBy(token) over that aggregate, joined only
+  // against the QUERY docs' postings (5 docs' rows — never the
+  // corpus posting file: a df window partitioned by token would
+  // serialize df("the") ≈ |docs| rows into one task, and even a
+  // corpus-wide join-back shuffles the whole posting file by token;
+  // here df rides the ≤ 5×|terms| query relation instead, and
+  // PlanSpec pins the no-token-window shape). Doc lengths from one
+  // more hash-aggregate, corpus totals broadcast as single rows;
+  // candidates are a BROADCAST equi-join of 5×20 rare query terms
+  // (df attached) against the posting aggregate — the posting file
+  // never shuffles.
   private val bm25QTerms = 20
   private val bm25K = 10
   private[queries] def bm25Ranked(s: SparkSession, d: String): DataFrame = {
@@ -816,17 +829,19 @@ object Corpus {
         explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
     val post = toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfT = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val totals = documents(s, d).agg(count(lit(1)).as("n_corpus"))
       .crossJoin(toks.agg(count(lit(1)).as("t_total")))
     val qterms = post.filter(col("doc_id") < 5)
+      .join(dfT, Seq("token"))
       .withColumn("qrn", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("df"), col("token"))))
       .filter(col("qrn") <= bm25QTerms)
-      .select(col("doc_id").as("query_id"), col("token"))
-    val cand = qterms.join(post, Seq("token"))
+      .select(col("doc_id").as("query_id"), col("token"), col("df"))
+    val cand = broadcast(qterms).join(post, Seq("token"))
       .filter(col("doc_id") =!= col("query_id"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(totals))
@@ -861,23 +876,24 @@ object Corpus {
         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
       FROM documents),
     bpost AS (
-      SELECT doc_id, token, COUNT(*) AS tf,
-        COUNT(*) OVER (PARTITION BY token) AS df
-      FROM (SELECT doc_id, token FROM btok)
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM btok
       GROUP BY doc_id, token),
+    bdf AS (SELECT token, COUNT(*) AS df FROM bpost GROUP BY token),
     bdl AS (SELECT doc_id, COUNT(*) AS dl FROM btok GROUP BY doc_id),
     btot AS (
       SELECT (SELECT COUNT(*) FROM documents) AS n_corpus,
         (SELECT COUNT(*) FROM btok) AS t_total),
     bq AS (
-      SELECT doc_id AS query_id, token FROM (
-        SELECT doc_id, token,
-          ROW_NUMBER() OVER (PARTITION BY doc_id
-            ORDER BY df, token) AS qrn
-        FROM bpost WHERE doc_id < 5)
+      SELECT query_id, token, df FROM (
+        SELECT p.doc_id AS query_id, p.token, f.df,
+          ROW_NUMBER() OVER (PARTITION BY p.doc_id
+            ORDER BY f.df, p.token) AS qrn
+        FROM bpost p JOIN bdf f ON f.token = p.token
+        WHERE p.doc_id < 5)
       WHERE qrn <= $bm25QTerms),
     bcand AS (
-      SELECT q.query_id, p.doc_id, p.tf, p.df, l.dl, t.n_corpus, t.t_total
+      SELECT q.query_id, p.doc_id, p.tf, q.df, l.dl, t.n_corpus, t.t_total
       FROM bq q
       JOIN bpost p ON p.token = q.token AND p.doc_id <> q.query_id
       JOIN bdl l ON l.doc_id = p.doc_id

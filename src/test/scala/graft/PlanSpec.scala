@@ -558,4 +558,23 @@ class PlanSpec extends SparkSpec {
     assert(!qz.contains("aggregate(") && !qz.contains("transform("),
       s"interpreted HOF left in quantize plan:\n$qz")
   }
+
+  test("df stages never window over the posting relation") {
+    // a Window partitioned by token serializes every posting row of a
+    // token into ONE task — df("the") ≈ |docs| rows on one core at
+    // web scale. df must come from a map-side-combined groupBy(token)
+    // (joined back for tf-idf; riding the bounded query-term relation
+    // for BM25) — hot join partitions are AQE-skew-splittable, window
+    // partitions are not.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (name <- Seq("doc_tfidf_topk", "doc_bm25_topk", "doc_hybrid_rrf")) {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      val tokenWindows = plan.collect {
+        case w: LWindow if w.partitionSpec.exists(
+          _.references.exists(_.name == "token")) => w
+      }
+      assert(tokenWindows.isEmpty,
+        s"$name windows over the posting relation:\n${tokenWindows.mkString("\n")}")
+    }
+  }
 }
