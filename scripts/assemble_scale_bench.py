@@ -33,7 +33,7 @@ def main():
         "emb_cell_recall", "emb_cell_recall_two_level",
         "emb_ivfpq_topk", "emb_ivfpq_topk_two_level", "emb_ivfpq_rerank_curve",
         "emb_index_build", "emb_index_append", "emb_index_delete",
-        "emb_index_lifecycle_two_level",
+        "emb_index_lifecycle_two_level", "emb_index_shard_merge",
         "emb_filtered_topk", "emb_filtered_topk_selective",
         "emb_filtered_recall",
         "st_ivfpq_serve", "st_ivfpq_serve_topk", "st_index_append",

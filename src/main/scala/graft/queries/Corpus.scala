@@ -823,7 +823,7 @@ object Corpus {
   // never shuffles.
   private val bm25QTerms = 20
   private val bm25K = 10
-  private[queries] def bm25Ranked(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bm25Ranked(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d)
       .select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
@@ -938,11 +938,37 @@ object Corpus {
   // point of fusing RANKS. The fusion itself joins two ≤ depth·|Q|
   // relations — driver-free, broadcast-sized.
   private val hybridDepth = 20
-  private val docHybridRrf: Q = (s, d) => {
-    import org.apache.spark.sql.types.ArrayType
-    val lex = bm25Ranked(s, d)
+
+  /** Rank-space reciprocal-rank fusion over the UNION of two
+    * candidate sets — `lex(query_id, doc_id, rank_lex)` ⟗
+    * `vec(query_id, doc_id, rank_vec)`, 1/(60+rank) per present side
+    * (Cormack/Clarke/Büttcher). ONE function fuses every hybrid
+    * variant and RetrievalSpec's invariance pin calls it directly:
+    * the fused output is a pure function of the two rank relations,
+    * which is WHY any vector retriever — exact or the served
+    * IVF+PQ — slots in without touching the fusion.
+    */
+  private[graft] def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame =
+    lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(60.0) + col("rank_lex")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60.0) + col("rank_vec")), lit(0.0)), 6))
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_score").desc, col("doc_id"))))
+      .filter(col("fused_rank") <= 10)
+      .select(col("query_id"), col("fused_rank"), col("doc_id"),
+        col("rrf_score"), col("rank_lex"), col("rank_vec"))
+      .orderBy(col("query_id"), col("fused_rank"))
+
+  /** The lexical top-`hybridDepth` — shared by both hybrid variants. */
+  private def hybridLex(s: SparkSession, d: String): DataFrame =
+    bm25Ranked(s, d)
       .filter(col("rank") <= hybridDepth)
       .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
+
+  private val docHybridRrf: Q = (s, d) => {
+    import org.apache.spark.sql.types.ArrayType
     val e = embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
     val vq = e.filter(col("vec_id") < 5)
@@ -956,35 +982,16 @@ object Corpus {
             col("doc_id"))))
       .filter(col("rank_vec") <= hybridDepth)
       .select(col("query_id"), col("doc_id"), col("rank_vec"))
-    lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
-      .withColumn("rrf_score", round(
-        coalesce(lit(1.0) / (lit(60.0) + col("rank_lex")), lit(0.0))
-          + coalesce(lit(1.0) / (lit(60.0) + col("rank_vec")), lit(0.0)), 6))
-      .withColumn("fused_rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("rrf_score").desc, col("doc_id"))))
-      .filter(col("fused_rank") <= 10)
-      .select(col("query_id"), col("fused_rank"), col("doc_id"),
-        col("rrf_score"), col("rank_lex"), col("rank_vec"))
-      .orderBy(col("query_id"), col("fused_rank"))
+    rrfFuse(hybridLex(s, d), vec)
   }
 
-  private lazy val docHybridRrfSql: String = s"""
-    WITH $bm25Ctes,
-    lex AS (
-      SELECT query_id, doc_id, brank AS rank_lex
-      FROM bm25r WHERE brank <= $hybridDepth),
-    ve AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    vranked AS (
-      SELECT query_id, doc_id,
-        ROW_NUMBER() OVER (PARTITION BY query_id
-          ORDER BY cos_raw DESC, doc_id) AS rank_vec
-      FROM (
-        SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
-          ${Vectors.cosFold("q.v", "c.v", 64)} AS cos_raw
-        FROM ve q JOIN ve c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)),
-    vec AS (SELECT * FROM vranked WHERE rank_vec <= $hybridDepth),
+  /** The RRF fusion + terminal projection — the SQL mirror of
+    * [[rrfFuse]]. Requires `lex(query_id, doc_id, rank_lex)` and
+    * `vec(query_id, doc_id, rank_vec)` CTEs; both hybrid oracles end
+    * with exactly this text, so the fusion arithmetic cannot drift
+    * between the exact-vector and ANN-vector variants.
+    */
+  private lazy val rrfFusionTailSql: String = s"""
     fused AS (
       SELECT COALESCE(l.query_id, v.query_id) AS query_id,
         COALESCE(l.doc_id, v.doc_id) AS doc_id,
@@ -1004,9 +1011,80 @@ object Corpus {
     WHERE fused_rank <= 10
     ORDER BY query_id, fused_rank"""
 
+  private lazy val docHybridRrfSql: String = s"""
+    WITH $bm25Ctes,
+    lex AS (
+      SELECT query_id, doc_id, brank AS rank_lex
+      FROM bm25r WHERE brank <= $hybridDepth),
+    ve AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    vranked AS (
+      SELECT query_id, doc_id,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cos_raw DESC, doc_id) AS rank_vec
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+          ${Vectors.cosFold("q.v", "c.v", 64)} AS cos_raw
+        FROM ve q JOIN ve c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)),
+    vec AS (SELECT * FROM vranked WHERE rank_vec <= $hybridDepth),
+    $rrfFusionTailSql"""
+
+  // ------------------------------------------------ doc_hybrid_rrf_ann
+  // Hybrid retrieval over the PRODUCTION vector retriever: the same
+  // BM25 lexical side fused — by the SAME rank-space RRF ([[rrfFuse]])
+  // — with the COMPOSED IVF+PQ search (IvfPq.topK: probe → true ADC
+  // over the coded inverted file → exact re-rank), not the exact
+  // brute-force ranking doc_hybrid_rrf keeps as its replayable
+  // baseline. This is the shape a RAG deployment actually runs at
+  // 10⁸+ docs: the vector side touches |cell|·nprobe codes per query
+  // instead of rescanning the corpus, and because fusion consumes
+  // RANKS, swapping the retriever changed nothing else —
+  // RetrievalSpec pins that invariance (fused rows = rrfFuse of the
+  // two rankings, lexical side bit-identical across retrievers).
+  //
+  // 100 TB shape: lexical = the bounded rare-term BM25 chain (posting
+  // file never shuffles); vector = emb_ivfpq_topk's index path
+  // (cell-bucketed coded file, broadcast survivor re-rank); fusion =
+  // a full-outer join of two ≤ depth·|Q| relations — broadcast-sized.
+  // The oracle replays BOTH chains (bm25Ctes + the full IVF/PQ/ADC
+  // training replay) and the identical fusion tail.
+  private val docHybridRrfAnn: Q = (s, d) => {
+    import org.apache.spark.sql.types.ArrayType
+    import graft.operators.IvfPq
+    val corpus = embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = corpus.count()
+    val queries = corpus.filter(col("id") < 5)
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    val vec = IvfPq.topK(corpus, n, dim = 64, queries, k = hybridDepth,
+        nprobe = Vectors.ivfpqNprobe, rerank = Vectors.ivfpqRerank,
+        m = Vectors.pqM, dsub = Vectors.pqDsub, kCodes = Vectors.pqK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rank_vec"))
+    rrfFuse(hybridLex(s, d), vec)
+  }
+
+  private lazy val docHybridRrfAnnSql: String = s"""
+    WITH $bm25Ctes,
+    lex AS (
+      SELECT query_id, doc_id, brank AS rank_lex
+      FROM bm25r WHERE brank <= $hybridDepth),
+    ${ScaleOps.ivfCtes(16, 64)},
+    ${Vectors.pqCtesComposable},
+    ${Vectors.ivfpqQueryProbesCte(64)},
+    ${Vectors.adcCtes("probes", "inverted", 64)},
+    ${Vectors.ivfpqRerankCtes(Vectors.ivfpqRerank, 64)},
+    vec AS (
+      SELECT query_id, neighbor_id AS doc_id, rank AS rank_vec
+      FROM ranked WHERE rank <= $hybridDepth),
+    $rrfFusionTailSql"""
+
   val entries: Map[String, Q] = Map(
     "doc_bm25_topk" -> docBm25Topk,
     "doc_hybrid_rrf" -> docHybridRrf,
+    "doc_hybrid_rrf_ann" -> docHybridRrfAnn,
     "doc_winnowing" -> docWinnowing,
     "doc_mixture_apply" -> docMixtureApply,
     "doc_bpe_pairs" -> docBpePairs,
@@ -1022,6 +1100,7 @@ object Corpus {
   val oracles: Map[String, String] = Map(
     "doc_bm25_topk" -> docBm25TopkSql,
     "doc_hybrid_rrf" -> docHybridRrfSql,
+    "doc_hybrid_rrf_ann" -> docHybridRrfAnnSql,
     "doc_winnowing" -> docWinnowingSql,
     "doc_mixture_apply" -> docMixtureApplySql,
     "doc_bpe_pairs" -> docBpePairsSql,

@@ -246,9 +246,9 @@ object Vectors {
   // lookup — no joins, no shuffle, the 100 TB shape. The oracle
   // replays seeding, assignment, refinement, positional re-coding,
   // reconstruction and the index-order error folds bit-exactly.
-  private[queries] val pqM = 16
-  private[queries] val pqDsub = 4
-  private[queries] val pqK = 64
+  private[graft] val pqM = 16
+  private[graft] val pqDsub = 4
+  private[graft] val pqK = 64
 
   private def pqEncoded(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d).select(col("vec_id").as("id"), col("v"))
@@ -423,8 +423,8 @@ object Vectors {
   // oracle replays the ENTIRE composition — IVF Lloyd, PQ codebooks,
   // positional re-coding, the blocked ADC folds, exact re-rank —
   // bit-exactly via the shared ivfCtes + pq_ chain + adcCtes.
-  private[queries] val ivfpqNprobe = 2
-  private[queries] val ivfpqRerank = 30
+  private[graft] val ivfpqNprobe = 2
+  private[graft] val ivfpqRerank = 30
   private[queries] val ivfpqK = 10
   // streaming-serve thresholds (shared with the Streaming twins so the
   // Spark plans and the SQL oracles can never drift apart)
@@ -487,13 +487,13 @@ object Vectors {
       FROM adcs a JOIN qn q ON q.query_id = a.query_id)"""
   }
 
-  /** The exact-re-rank tail shared by the composed-search oracles:
-    * survivors at `rerank` depth, full-vector cosine, top-`k` rows.
-    * `extraSelect` appends literal columns to the terminal projection
-    * (the filtered search pins its dispatched regime there).
+  /** CTE-only form of the exact-re-rank tail: survivors at `rerank`
+    * depth, full-vector cosine, ranked. Terminal CTE
+    * `ranked(query_id, neighbor_id, adc_raw, adc_rank, cos_raw, rank)`
+    * — composable where the composed-search ranking feeds a LARGER
+    * chain (the hybrid fusion) instead of terminating the query.
     */
-  private[queries] def ivfpqRerankTailSql(rerank: Int, k: Int, dim: Int,
-      extraSelect: String = ""): String = s"""
+  private[queries] def ivfpqRerankCtes(rerank: Int, dim: Int): String = s"""
     surv AS (SELECT * FROM adcr WHERE adc_rank <= $rerank),
     ex AS (
       SELECT s.query_id, s.neighbor_id, s.adc_raw, s.adc_rank,
@@ -505,18 +505,27 @@ object Vectors {
       SELECT query_id, neighbor_id, adc_raw, adc_rank, cos_raw,
         ROW_NUMBER() OVER (PARTITION BY query_id
           ORDER BY cos_raw DESC, neighbor_id) AS rank
-      FROM ex)
+      FROM ex)"""
+
+  /** The exact-re-rank tail shared by the composed-search oracles:
+    * [[ivfpqRerankCtes]] plus the terminal top-`k` projection.
+    * `extraSelect` appends literal columns to the terminal projection
+    * (the filtered search pins its dispatched regime there).
+    */
+  private[queries] def ivfpqRerankTailSql(rerank: Int, k: Int, dim: Int,
+      extraSelect: String = ""): String = s"""
+    ${ivfpqRerankCtes(rerank, dim)}
     SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 4) AS cos_sim,
       ROUND(adc_raw, 4) AS adc_cos, adc_rank$extraSelect
     FROM ranked
     WHERE rank <= $k
     ORDER BY query_id, rank"""
 
-  private lazy val embIvfpqTopkSql: String = {
-    val dim = 64
-    s"""
-    WITH ${ScaleOps.ivfCtes(16, dim)},
-    $pqCtesComposable,
+  /** One-level query-probe CTE (vec_id < 5 convention): nearest
+    * `ivfpqNprobe` final cells per query — shared by the composed
+    * search oracle and the hybrid-fusion oracle's vector side.
+    */
+  private[queries] def ivfpqQueryProbesCte(dim: Int): String = s"""
     probes AS (
       SELECT query_id, qv, cell FROM (
         SELECT e.vec_id AS query_id, e.v AS qv, c1.cell,
@@ -524,7 +533,14 @@ object Vectors {
             ORDER BY ${ScaleOps.ivfSqDist("e.v", "c1.c", dim)}, c1.cell) AS rn
         FROM e CROSS JOIN centf c1
         WHERE e.vec_id < 5)
-      WHERE rn <= $ivfpqNprobe),
+      WHERE rn <= $ivfpqNprobe)"""
+
+  private lazy val embIvfpqTopkSql: String = {
+    val dim = 64
+    s"""
+    WITH ${ScaleOps.ivfCtes(16, dim)},
+    $pqCtesComposable,
+    ${ivfpqQueryProbesCte(dim)},
     ${adcCtes("probes", "inverted", dim)},
     ${ivfpqRerankTailSql(ivfpqRerank, ivfpqK, dim)}"""
   }

@@ -70,4 +70,55 @@ class RetrievalSpec extends SparkSpec {
     assert(sawDual || got.length < 10,
       "expected at least one doc found by both retrievers at this depth")
   }
+
+  test("rank-space fusion invariance: swapping the vector retriever changes only vector-side ranks") {
+    import org.apache.spark.sql.DataFrame
+    // The production claim doc_hybrid_rrf_ann exists to EXERCISE:
+    // because RRF consumes ranks, the fused output is a pure function
+    // of the two (query_id, doc_id, rank) relations — so the exact
+    // brute-force retriever and the composed IVF+PQ retriever plug
+    // into the SAME fusion and the lexical contribution is
+    // bit-identical across the swap.
+    def fusedOf(name: String): Array[org.apache.spark.sql.Row] =
+      SparkEntry.queries(name)(spark, sf).collect()
+    val exact = fusedOf("doc_hybrid_rrf")
+    val ann = fusedOf("doc_hybrid_rrf_ann")
+    // (1) lexical side rides unchanged: for every (query, doc) fused
+    // in BOTH variants, rank_lex agrees (including null = not found)
+    def lexSide(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(2)) ->
+        (if (r.isNullAt(4)) -1 else r.getInt(4))).toMap
+    val exactLex = lexSide(exact); val annLex = lexSide(ann)
+    val shared = exactLex.keySet.intersect(annLex.keySet)
+    assert(shared.nonEmpty, "variants share no fused (query, doc) pairs")
+    shared.foreach { k =>
+      assert(exactLex(k) == annLex(k),
+        s"lexical rank for $k moved across retriever swap: " +
+          s"${exactLex(k)} vs ${annLex(k)}")
+    }
+    // (2) each variant IS rrfFuse(lex, its own vector ranking):
+    // recompute the ANN variant's fusion from the two rankings and
+    // require row-identical output — the fusion is retriever-blind
+    val lex = graft.queries.Corpus.bm25Ranked(spark, sf)
+      .filter(col("rank") <= 20)
+      .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+    val n = corpus.count()
+    val queries = corpus.filter(col("id") < 5)
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    val annVec: DataFrame = graft.operators.IvfPq.topK(
+        corpus, n, dim = 64, queries, k = 20,
+        nprobe = graft.queries.Vectors.ivfpqNprobe,
+        rerank = graft.queries.Vectors.ivfpqRerank,
+        m = graft.queries.Vectors.pqM, dsub = graft.queries.Vectors.pqDsub,
+        kCodes = graft.queries.Vectors.pqK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rank_vec"))
+    val refused = graft.queries.Corpus.rrfFuse(lex, annVec)
+      .collect().map(_.toString).sorted.toSeq
+    assert(refused == ann.map(_.toString).sorted.toSeq,
+      "doc_hybrid_rrf_ann is not exactly rrfFuse(bm25 lex, IvfPq.topK ranks)")
+  }
 }
