@@ -434,23 +434,30 @@ object IvfPq {
   def encodeShard(index: Index, books: Array[Array[Array[Double]]],
       dsub: Int, slice: DataFrame, dir: String, wProbe: Int = 2): Unit = {
     val spark = slice.sparkSession
-    val tfs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("tombstones", "_ingest_commits", "_staging").foreach { sub =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
-      if (tfs.exists(p)) tfs.delete(p, true): Unit
-    }
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val tfs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a shard encode REPLACES the target wholesale — delete the whole
+    // dir rather than scrubbing individual subdirs, so pointing this
+    // at a live serving store can never half-destroy it (keep the
+    // inverted file, lose the delete history): the destructive intent
+    // is total and explicit
+    if (tfs.exists(path)) tfs.delete(path, true): Unit
     writeStore(spark, index, books, books.length, dsub, wProbe, slice, dir)
   }
 
   /** Merge self-contained shard stores into one serving artifact.
-    * The trained tables are VERIFIED identical across shards
-    * (sorted-row comparison — tiny driver-local tables) and refused
-    * otherwise; the coded files then union FILE-LEVEL: every shard
-    * parquet file lands under the output's matching `cell=` partition
-    * with a shard-tagged name — no decode, no shuffle, no row ever
-    * read. At 100 TB this is a metadata operation per file (rename on
-    * a rename-capable fs; here a copy, the sandbox stand-in) — merge
+    * The trained tables are VERIFIED identical across shards via
+    * DISTRIBUTED order-insensitive checksums — (row count, Σ
+    * xxhash64(row)) computed in Spark per table, ≤ 2 values collected
+    * per table per shard; the rows themselves never reach the driver
+    * (at the 10⁷–10⁸-vector two-level regime `groups` is an O(cells)
+    * ≈ 50–400 MB table, and this verification sits on the critical
+    * path of every distributed build) — and refused on mismatch; the
+    * coded files then union FILE-LEVEL: every shard parquet file
+    * lands under the output's matching `cell=` partition with a
+    * shard-tagged name — no decode, no shuffle, no row ever read. At
+    * 100 TB this is a metadata operation per file (rename on a
+    * rename-capable fs; here a copy, the sandbox stand-in) — merge
     * cost ∝ file count, not data size. Pending shard tombstones union
     * the same way, so deletes landed against a shard survive the
     * merge.
@@ -464,13 +471,35 @@ object IvfPq {
     val trained = Seq(("meta", metaSchema), ("centroids", centroidSchema),
       ("coarse", centroidSchema), ("groups", groupSchema),
       ("codebooks", codebookSchema))
-    def rowsOf(d: String, sub: String, schema: StructType): Seq[String] =
-      if (!fs.exists(new Path(s"$d/$sub"))) Seq.empty
-      else spark.read.schema(schema).parquet(s"$d/$sub").collect()
-        .map(_.toString).sorted.toSeq
+    def checksumOf(d: String, sub: String, schema: StructType): (Long, String) =
+      if (!fs.exists(new Path(s"$d/$sub"))) (0L, "0")
+      else {
+        val df = spark.read.schema(schema).parquet(s"$d/$sub")
+        // hash sum through DECIMAL(38,0): exact and overflow-free
+        // under ANSI (a BIGINT sum of 64-bit hashes overflows)
+        val r = df.agg(count(lit(1)),
+          coalesce(sum(xxhash64(df.columns.map(col): _*)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+            lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head
+        (r.getLong(0), r.getDecimal(1).toPlainString)
+      }
+    // shards are BUILD artifacts (encodeShard slices); a dir carrying
+    // streaming-ingest receipts is a serving store whose batch commit
+    // markers cannot merge meaningfully (batchIds are per-stream) —
+    // refuse rather than silently drop them, which would let a
+    // replayed batch re-apply against the merged store
+    shardDirs.foreach { d =>
+      require(!fs.exists(new Path(s"$d/_ingest_commits")),
+        s"mergeIndexes: shard $d carries _ingest_commits receipts - " +
+          "it is a serving store, not a build shard; compact its ingest " +
+          "into a fresh encode before merging")
+    }
     val head = shardDirs.head
+    val headSums = trained.map { case (sub, sch) =>
+      sub -> checksumOf(head, sub, sch)
+    }.toMap
     for (d <- shardDirs.tail; (sub, sch) <- trained)
-      require(rowsOf(d, sub, sch) == rowsOf(head, sub, sch),
+      require(checksumOf(d, sub, sch) == headSums(sub),
         s"mergeIndexes: shard $d trained table '$sub' differs from $head " +
           "- shards must be encoded under identical frozen halves")
     val out = new Path(outDir)

@@ -1413,14 +1413,19 @@ object Vectors {
       lit(idx.coarseIds.length.toLong).as("n_rows"),
       lit(idx.coarseIds.map(_.toLong).sum).as("sum_a"),
       decSum(col("x")).as("sum_b"))
-    val g = idx.groups.collect()
-    val gEl = g.flatMap(r => r.getSeq[scala.collection.Seq[Double]](1).flatMap(_.toSeq))
-      .toSeq.toDF("x")
-    val groupsRow = gEl.agg(
-      lit("groups").as("artifact"),
-      lit(g.length.toLong).as("n_rows"),
-      lit(g.flatMap(_.getSeq[Int](2)).map(_.toLong).sum).as("sum_a"),
-      decSum(col("x")).as("sum_b"))
+    // groups is the trained half the two-level design keeps as DATA
+    // (~cells rows × dim doubles — O(cells) ≈ 50-400 MB at the regime
+    // these arms exist for): checksum it DISTRIBUTED, never collected
+    val groupsRow = idx.groups.agg(
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(expr(
+          "aggregate(gids, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT))")),
+          lit(0L)).as("sum_a"))
+      .crossJoin(idx.groups
+        .select(explode(flatten(col("gcents"))).as("x"))
+        .agg(decSum(col("x")).as("sum_b")))
+      .select(lit("groups").as("artifact"), col("n_rows"), col("sum_a"),
+        col("sum_b"))
     val codesSum = expr(
       "aggregate(codes, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT))")
     def checksumRow(label: String, df: DataFrame): DataFrame = df.agg(

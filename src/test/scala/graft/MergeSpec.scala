@@ -101,4 +101,91 @@ class MergeSpec extends SparkSpec {
       "the shard's pending tombstone must gate the merged live view")
     c.unpersist()
   }
+
+  test("merge is shard-count invariant: merge(4) == merge(2) == monolithic") {
+    val c = corpus().persist()
+    val n = c.count()
+    val index = IvfPq.indexAuto(c, n, dim = 64)
+    val books = AnnPq.collectCodebooks(
+      AnnPq.refinedCodebooks(c, 16, 4, 64), 16)
+    val dirs4 = (0 until 4).map { i =>
+      val d = tmp(s"n4_$i")
+      IvfPq.encodeShard(index, books, 4, c.filter(col("id") % 4 === i), d)
+      d
+    }
+    val dirs2 = (0 until 2).map { i =>
+      val d = tmp(s"n2_$i")
+      IvfPq.encodeShard(index, books, 4, c.filter(col("id") % 2 === i), d)
+      d
+    }
+    val (m4, m2, mono) = (tmp("n4_m"), tmp("n2_m"), tmp("n_mono"))
+    IvfPq.mergeIndexes(spark, dirs4, m4)
+    IvfPq.mergeIndexes(spark, dirs2, m2)
+    IvfPq.buildIndex(c, n, dim = 64, m = 16, dsub = 4, kCodes = 64, dir = mono)
+    val expect = storeRows(mono)
+    assert(expect.nonEmpty)
+    assert(storeRows(m4) == expect, "4-shard merge diverges from monolithic")
+    assert(storeRows(m2) == expect, "2-shard merge diverges from monolithic")
+    c.unpersist()
+  }
+
+  test("merged store supports the full lifecycle: append + delete + compact") {
+    val c = corpus().persist()
+    val n = c.count()
+    // train on the FULL corpus (the distributed-build contract), hold
+    // out id%10==9 as the post-merge ingest delta
+    val base = c.filter(col("id") % 10 =!= 9)
+    val delta = c.filter(col("id") % 10 === 9)
+    val index = IvfPq.indexAuto(c, n, dim = 64)
+    val books = AnnPq.collectCodebooks(
+      AnnPq.refinedCodebooks(c, 16, 4, 64), 16)
+    val (dirA, dirB, dirM, dirMono) =
+      (tmp("lc_a"), tmp("lc_b"), tmp("lc_m"), tmp("lc_mono"))
+    IvfPq.encodeShard(index, books, 4, base.filter(col("id") % 2 === 0), dirA)
+    IvfPq.encodeShard(index, books, 4, base.filter(col("id") % 2 === 1), dirB)
+    IvfPq.mergeIndexes(spark, Seq(dirA, dirB), dirM)
+    // append the delta, then delete id%7==3 — both against the MERGED
+    // store (until now only built stores got lifecycle ops)
+    IvfPq.appendToIndex(IvfPq.loadIndex(spark, dirM), delta, dirM)
+    IvfPq.deleteFromIndex(c.filter(col("id") % 7 === 3).select(col("id")), dirM)
+    // reference: monolithic encode of the full corpus under the same
+    // frozen halves, minus the deleted ids
+    IvfPq.buildIndex(c, n, dim = 64, m = 16, dsub = 4, kCodes = 64,
+      dir = dirMono)
+    val expect = storeRows(dirMono).filterNot { case (id, _, _) => id % 7 == 3 }
+    def liveRows(dir: String): Set[(Long, Seq[Int], Int)] =
+      IvfPq.loadIndex(spark, dir).live.select(col("cell"), col("id"), col("codes"))
+        .collect()
+        .map(r => (r.getLong(1), r.getSeq[Int](2).toList: Seq[Int], r.getInt(0)))
+        .toSet
+    assert(liveRows(dirM) == expect,
+      "merged+appended live view diverges from monolithic-minus-deleted")
+    // compaction physically removes the tombstoned rows, bit-preserving
+    // the rest — the raw store equals the live view afterwards
+    IvfPq.compactIndex(spark, dirM)
+    assert(storeRows(dirM) == expect,
+      "post-compaction merged store diverges from monolithic-minus-deleted")
+    c.unpersist()
+  }
+
+  test("a shard carrying streaming-ingest receipts is refused by merge") {
+    val c = corpus().persist()
+    val n = c.count()
+    val index = IvfPq.indexAuto(c, n, dim = 64)
+    val books = AnnPq.collectCodebooks(
+      AnnPq.refinedCodebooks(c, 16, 4, 64), 16)
+    val (dirA, dirB) = (tmp("rc_a"), tmp("rc_b"))
+    IvfPq.encodeShard(index, books, 4, c.filter(col("id") % 2 === 0), dirA)
+    IvfPq.encodeShard(index, books, 4, c.filter(col("id") % 2 === 1), dirB)
+    // a streaming batch lands against shard A: its commit marker makes
+    // it a serving store — batchIds are per-stream, so merging the
+    // marker is meaningless and dropping it breaks exactly-once
+    IvfPq.appendBatchToIndex(IvfPq.loadIndex(spark, dirA),
+      c.filter(col("id") % 2 === 0).limit(3), dirA, batchId = 0L)
+    val e = intercept[IllegalArgumentException] {
+      IvfPq.mergeIndexes(spark, Seq(dirA, dirB), tmp("rc_m"))
+    }
+    assert(e.getMessage.contains("_ingest_commits"))
+    c.unpersist()
+  }
 }
