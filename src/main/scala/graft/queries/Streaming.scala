@@ -348,6 +348,63 @@ object Streaming {
   // are per-row facts, so per-batch evaluation equals global under any
   // batching, and the batch oracle replays the entire composition
   // including the blocked ADC folds.
+  /** The exact-verify finish stage of st_ivfpq_serve's foreachBatch —
+    * ONE function the live query executes per micro-batch AND
+    * StreamingSpec pins the plan of, so the body and the pin cannot
+    * silently diverge (r12's pin tested a hand-built twin). `batch`
+    * is the self-source union: slim ADC-survivor rows (neighbor_id
+    * set, qv null) + one qv row per arriving query (neighbor_id
+    * null). The corpus is the DISTRIBUTED side; only the
+    * batch-bounded survivor/query rows broadcast — at 100 TB the
+    * corpus-sized broadcast this replaces is ~500 GB.
+    */
+  private[graft] def serveVerifyStage(full: DataFrame, batch: DataFrame): DataFrame = {
+    import graft.functions.expressions.GraftFunctions
+    val qs = batch.filter(col("neighbor_id").isNull)
+      .select(col("query_id"), col("qv"))
+    val surv = batch.filter(col("neighbor_id").isNotNull).drop("qv")
+    full.join(broadcast(surv), Seq("neighbor_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .withColumn("cos_sim",
+        GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
+      .filter(col("cos_sim") >= Vectors.ivfpqExactVerify)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adc_cos"), 4).as("adc_cos"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  /** st_ivfpq_serve_topk's per-micro-batch finish stage: bounded ADC
+    * pool (`rerank`), exact re-rank to rank ≤ k. Same single-source
+    * discipline as [[serveVerifyStage]] — the query body and the spec
+    * pin call exactly this function. Join order keeps every broadcast
+    * and shuffle SLIM: full-vector fetch against the ≤ rerank·|Q|
+    * survivor ids, qv joined back once per survivor, cosine computed
+    * and both vectors DROPPED before the ranking shuffle.
+    */
+  private[graft] def serveTopkStage(full: DataFrame, batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.expressions.GraftFunctions
+    val qs = batch.filter(col("neighbor_id").isNull)
+      .select(col("query_id"), col("qv"))
+    val surv = batch.filter(col("neighbor_id").isNotNull).drop("qv")
+      .withColumn("adc_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_cos").desc, col("neighbor_id"))))
+      .filter(col("adc_rank") <= Vectors.ivfpqRerank)
+    full.join(broadcast(surv), Seq("neighbor_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("adc_cos"),
+        col("adc_rank"),
+        GraftFunctions.cosineSimilarity(col("qv"), col("cv")).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= Vectors.ivfpqK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos_sim"), 4).as("cos_sim"),
+        round(col("adc_cos"), 4).as("adc_cos"), col("adc_rank"))
+  }
+
   private val stIvfpqServe: Q = (s, d) => {
     import graft.operators.IvfPq
     import org.apache.spark.sql.types.{ArrayType, LongType}
@@ -388,21 +445,9 @@ object Streaming {
     val queryRows = arriving.select(col("query_id"),
       lit(null).cast(DoubleType).as("adc_cos"),
       lit(null).cast(LongType).as("neighbor_id"), col("qv"))
-    QanStream.runForeachBatch(candSlim.unionByName(queryRows), batch => {
-      val qs = batch.filter(col("neighbor_id").isNull)
-        .select(col("query_id"), col("qv"))
-      val surv = batch.filter(col("neighbor_id").isNotNull).drop("qv")
-      // survivors-only full-vector fetch: the SMALL side is broadcast,
-      // the corpus stays distributed (at scale: a point-lookup fetch)
-      full.join(broadcast(surv), Seq("neighbor_id"))
-        .join(broadcast(qs), Seq("query_id"))
-        .withColumn("cos_sim",
-          GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
-        .filter(col("cos_sim") >= Vectors.ivfpqExactVerify)
-        .select(col("query_id"), col("neighbor_id"),
-          round(col("adc_cos"), 4).as("adc_cos"),
-          round(col("cos_sim"), 4).as("cos_sim"))
-    }).orderBy(col("query_id"), col("neighbor_id"))
+    QanStream.runForeachBatch(candSlim.unionByName(queryRows),
+        batch => serveVerifyStage(full, batch))
+      .orderBy(col("query_id"), col("neighbor_id"))
   }
 
   private lazy val stIvfpqServeSql: String = s"""
@@ -486,31 +531,9 @@ object Streaming {
     val queryRows = arriving.select(col("query_id"),
       lit(null).cast(DoubleType).as("adc_cos"),
       lit(null).cast(LongType).as("neighbor_id"), col("qv"))
-    QanStream.runForeachBatch(candSlim.unionByName(queryRows), batch => {
-      val qs = batch.filter(col("neighbor_id").isNull)
-        .select(col("query_id"), col("qv"))
-      val surv = batch.filter(col("neighbor_id").isNotNull).drop("qv")
-        .withColumn("adc_rank", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("adc_cos").desc, col("neighbor_id"))))
-        .filter(col("adc_rank") <= Vectors.ivfpqRerank)
-      // join order keeps every broadcast and shuffle SLIM: full-vector
-      // fetch against the ≤ rerank·|Q| survivor ids, qv joined back
-      // once per survivor, cosine computed and both vectors DROPPED
-      // before the ranking shuffle
-      full.join(broadcast(surv), Seq("neighbor_id"))
-        .join(broadcast(qs), Seq("query_id"))
-        .select(col("query_id"), col("neighbor_id"), col("adc_cos"),
-          col("adc_rank"),
-          GraftFunctions.cosineSimilarity(col("qv"), col("cv")).as("cos_sim"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("cos_sim").desc, col("neighbor_id"))))
-        .filter(col("rank") <= Vectors.ivfpqK)
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          round(col("cos_sim"), 4).as("cos_sim"),
-          round(col("adc_cos"), 4).as("adc_cos"), col("adc_rank"))
-    }).orderBy(col("query_id"), col("rank"))
+    QanStream.runForeachBatch(candSlim.unionByName(queryRows),
+        batch => serveTopkStage(full, batch))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   private lazy val stIvfpqServeTopkSql: String = s"""

@@ -498,29 +498,30 @@ class StreamingSpec extends SparkSpec {
     // .join(broadcast(full)) — the FULL corpus on the build side, ~500
     // GB at 100 TB. The verify stage must broadcast only the
     // batch-bounded survivor/query rows against the DISTRIBUTED corpus.
-    // Build the foreachBatch finish stage's batch twin (local survivor
-    // rows standing in for a micro-batch) and pin the broadcast sides.
+    // Pin the LIVE foreachBatch body: build a micro-batch twin (the
+    // self-source union of slim survivor rows + qv rows) and run it
+    // through the SAME serveVerifyStage function the query executes —
+    // editing the query body cannot silently diverge from this pin.
     SparkEntry.queries("st_ivfpq_serve")(spark, sf).collect() // builds + uses the store
     val corpus = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("id"),
         col("embedding").cast(ArrayType(DoubleType)).as("v"))
     val full = corpus.select(col("id").as("neighbor_id"), col("v").as("cv"))
     import spark.implicits._
-    val surv = Seq((0L, 0.51, 7L), (1L, 0.42, 9L))
+    val survRows = Seq((0L, 0.51, 7L), (1L, 0.42, 9L))
       .toDF("query_id", "adc_cos", "neighbor_id")
-    val qsLocal = corpus.filter(col("id") < 2).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toList)).toSeq
-      .toDF("query_id", "qv").select(col("query_id"),
-        col("qv").cast(ArrayType(DoubleType)).as("qv"))
+      .withColumn("qv", lit(null).cast(ArrayType(DoubleType)))
+    val queryRows = corpus.filter(col("id") < 2)
+      .select(col("id").as("query_id"),
+        lit(null).cast(DoubleType).as("adc_cos"),
+        lit(null).cast("long").as("neighbor_id"),
+        col("v").cast(ArrayType(DoubleType)).as("qv"))
+    val batch = survRows.unionByName(queryRows).localCheckpoint(true)
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val out = full.join(broadcast(surv), Seq("neighbor_id"))
-        .join(broadcast(qsLocal), Seq("query_id"))
-        .withColumn("cos_sim", graft.functions.expressions.GraftFunctions
-          .cosineSimilarity(col("qv"), col("cv")))
-        .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
-      assert(out.collect().length == 2)
+      val out = graft.queries.Streaming.serveVerifyStage(full, batch)
+      out.collect()
       val plan = out.queryExecution.executedPlan
       // a corpus scan is a parquet file scan OR the cached form of one
       // (the serve query persists the corpus projection)
@@ -536,6 +537,17 @@ class StreamingSpec extends SparkSpec {
       }
       // the corpus scan exists, on the streamed (distributed) side
       assert(corpusScans(plan).nonEmpty, plan.toString)
+      // same pin for the topk twin's LIVE finish stage
+      val outK = graft.queries.Streaming.serveTopkStage(full, batch)
+      outK.collect()
+      val planK = outK.queryExecution.executedPlan
+      val bcastsK = planK.collect { case b: BroadcastExchangeExec => b }
+      assert(bcastsK.size == 2, s"expected two small-side broadcasts:\n$planK")
+      bcastsK.foreach { b =>
+        assert(corpusScans(b.child).isEmpty,
+          s"a corpus scan sits under a broadcast — the 100 TB killer:\n$planK")
+      }
+      assert(corpusScans(planK).nonEmpty, planK.toString)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
