@@ -215,6 +215,25 @@ object IvfPq {
       BruteForceSubset
     else PreFilteredProbe
 
+  /** Selectivity-adaptive probe boost: a predicate of selectivity s
+    * thins every probed cell to ~s·|cell| candidates, so holding the
+    * candidate volume (and with it recall on a near-uniform corpus)
+    * at its unfiltered level wants ~⌈1/s⌉ times more probes — capped
+    * at probing every cell, floored at 1. A FIXED ×2 undercompensates
+    * broad-but-not-that-broad filters (s = 0.2 wants ×5);
+    * emb_filtered_boost_curve prices the whole knob (recall +
+    * candidate volume per boost in one pass) and FilteredAnnSpec pins
+    * curve monotonicity. Callers opt in by passing probeBoost ≤ 0 to
+    * [[filteredTopKWith]]/[[filteredTopK]].
+    */
+  def adaptiveProbeBoost(n: Long, filteredN: Long, cells: Int,
+      nprobe: Int): Int = {
+    val s = if (n <= 0 || filteredN <= 0) 1.0
+      else filteredN.toDouble / n.toDouble
+    math.max(1, math.min(cells / math.max(1, nprobe),
+      math.ceil(1.0 / s).toInt))
+  }
+
   /** [[codedInvertedFile]] carrying metadata attribute columns — the
     * wider schema a deployment stores when it serves filtered
     * queries: (cell, id, codes, attrs…). Still projection-only
@@ -266,11 +285,24 @@ object IvfPq {
         // candidates pruned by the predicate BEFORE any scoring: the
         // attr is a stored column of the coded file, so the filter
         // sits at the index scan, and the boosted probe compensates
-        // the per-cell thinning
+        // the per-cell thinning. probeBoost ≤ 0 = selectivity-adaptive
+        // ([[adaptiveProbeBoost]]: ~⌈1/s⌉, capped at every cell).
+        val boost =
+          if (probeBoost > 0) probeBoost
+          else adaptiveProbeBoost(n, filteredN, AnnIvf.adaptiveCells(n), nprobe)
         val codedF = codedInvertedFileAttrs(index, corpus, books, dsub, attrs)
           .filter(pred)
           .select(col("cell"), col("id").as("neighbor_id"), col("codes"))
-        val surv = probe(index, queries, "qv", nprobe * probeBoost)
+        // two-level: the boosted fine probes are capped by the coarse
+        // neighborhoods they can see — widen wProbe alongside nprobe,
+        // or in the large-corpus regime the boost silently does not
+        // materialize (FilteredAnnSpec pins the forced-two-level leg)
+        val probeIndex = index match {
+          case TwoLevelIndexW(idx, w) =>
+            TwoLevelIndexW(idx, math.min(w * boost, idx.coarseIds.length))
+          case one => one
+        }
+        val surv = probe(probeIndex, queries, "qv", nprobe * boost)
           .join(codedF, Seq("cell"))
           .filter(col("query_id") =!= col("neighbor_id"))
           .select(col("query_id"), col("neighbor_id"),

@@ -808,6 +808,184 @@ object Vectors {
     ORDER BY x.query_id"""
   }
 
+  // ----------------------------------------- emb_filtered_boost_curve
+  // The probe-boost tuning curve for FILTERED search — closes the
+  // knob discipline gap: nprobe, wProbe and rerank each ship a
+  // measured curve; the filter-compensation boost now does too. One
+  // pass (the rerank-curve trick): probes are ranked ONCE at the
+  // maximum width (boost = cells/nprobe — every cell), each
+  // (query, candidate) pair carries the probe rank of its one cell,
+  // and the pair participates in every boost b with
+  // cell_rank ≤ nprobe·b; ADC and the exact cosine are computed ONCE
+  // per pair (both are boost-independent — only the CANDIDATE SET
+  // varies), the per-boost rankings are windows over the tagged pool.
+  // Output per boost: candidate volume (the cost) and recall@k vs the
+  // exact filtered ground truth (the win) — integer counts, so the
+  // curve replays exactly. IvfPq.adaptiveProbeBoost's ~⌈1/s⌉ rule
+  // reads straight off this curve (s ≈ 0.2 here → boost 5).
+  //
+  // 100 TB shape: an audit op — the max-width probe deliberately
+  // spans every cell (that is what a tuning curve prices); production
+  // queries run filteredTopK at one chosen boost. Pair work is
+  // bounded by s·n·|Q| — the same bound as the exact ground truth it
+  // audits against (the brute arm's own cost).
+  private val embFilteredBoostCurve: Q = (s, d) => {
+    import graft.operators.{AnnIvf, AnnPq, IvfPq}
+    val corpus = labeledCorpus(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = corpus.count()
+    val pred = col("label").isin(filteredLabels: _*)
+    val queries = corpus.filter(col("id") < 5)
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    val vecsOnly = corpus.select(col("id"), col("v"))
+    val cells = AnnIvf.adaptiveCells(n)
+    val boostMax = math.max(1, cells / ivfpqNprobe)
+    val (ids, cents) = AnnIvf.collectCentroids(
+      AnnIvf.refinedCentroids(vecsOnly, cells, 64))
+    val index = IvfPq.OneLevelIndex(ids, cents)
+    val books = AnnPq.collectCodebooks(
+      AnnPq.refinedCodebooks(vecsOnly, pqM, pqDsub, pqK), pqM)
+    val codedF = IvfPq.codedInvertedFileAttrs(index, corpus, books, pqDsub,
+        Seq("label"))
+      .filter(pred)
+      .select(col("cell"), col("id").as("neighbor_id"), col("codes"))
+    // probes at max width, tagged with each cell's probe rank
+    val probesMax = queries.select(col("query_id"), col("qv"),
+        posexplode(GraftFunctions.nearestCells(col("qv"), cents, ids,
+          ivfpqNprobe * boostMax)))
+      .select(col("query_id"), col("qv"),
+        (col("pos") + 1).as("cell_rank"), col("col").as("cell"))
+    val fullF = corpus.filter(pred)
+      .select(col("id").as("neighbor_id"), col("v").as("cv"))
+    val pairs = probesMax.join(codedF, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_cos", GraftFunctions.adcCosineFromQuery(
+        col("qv"), col("codes"), books, pqDsub))
+      .join(fullF, Seq("neighbor_id"))
+      .withColumn("cos_sim",
+        GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("cell_rank"),
+        col("adc_cos"), col("cos_sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import s.implicits._
+    val boosts = broadcast((1 to boostMax).toDF("boost"))
+    val tagged = pairs.join(boosts,
+      col("cell_rank") <= col("boost") * lit(ivfpqNprobe))
+    val topk = tagged
+      .withColumn("adc_rank", row_number().over(
+        Window.partitionBy(col("boost"), col("query_id"))
+          .orderBy(col("adc_cos").desc, col("neighbor_id"))))
+      .filter(col("adc_rank") <= ivfpqRerank)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("boost"), col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= ivfpqK)
+      .select(col("boost"), col("query_id"), col("neighbor_id"))
+    val exact = fullF.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim",
+        GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= ivfpqK)
+      .select(col("query_id"), col("neighbor_id"))
+    val nCand = tagged.groupBy(col("boost")).agg(count(lit(1)).as("n_cand"))
+    val nFound = topk.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("boost")).agg(count(lit(1)).as("n_found"))
+    val nExact = broadcast(exact.agg(count(lit(1)).as("n_exact")))
+    boosts.join(nCand, Seq("boost"), "left")
+      .join(nFound, Seq("boost"), "left")
+      .crossJoin(nExact)
+      .select(col("boost"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("n_exact"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        round(coalesce(col("n_found"), lit(0L)).cast(DoubleType)
+          / col("n_exact").cast(DoubleType), 4).as("recall"))
+      .orderBy(col("boost"))
+  }
+
+  private lazy val embFilteredBoostCurveSql: String = {
+    val dim = 64
+    val boostMax = 16 / ivfpqNprobe // adaptiveCells = 16 at oracle scale
+    s"""
+    WITH ${ScaleOps.ivfCtes(16, dim)},
+    $pqCtesComposable,
+    pmax AS (
+      SELECT query_id, qv, cell, rn AS cell_rank FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c1.cell,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ${ScaleOps.ivfSqDist("e.v", "c1.c", dim)}, c1.cell) AS rn
+        FROM e CROSS JOIN centf c1
+        WHERE e.vec_id < 5)),
+    probes AS (SELECT query_id, qv, cell FROM pmax),
+    inv_f AS (
+      SELECT iv.vec_id, iv.cell FROM inverted iv
+      JOIN embeddings em ON em.vec_id = iv.vec_id
+      WHERE em.label IN (${filteredLabels.mkString(", ")})),
+    ${adcCtes("probes", "inv_f", dim)},
+    prank AS (
+      SELECT p.query_id, iv.vec_id AS neighbor_id, MIN(p.cell_rank) AS cell_rank
+      FROM pmax p JOIN inv_f iv ON iv.cell = p.cell AND iv.vec_id <> p.query_id
+      GROUP BY 1, 2),
+    pcos AS (
+      SELECT a.query_id, a.neighbor_id, a.adc_raw, r.cell_rank,
+        ${cosFold("qe.v", "c.v", dim)} AS cos_raw
+      FROM adcr a
+      JOIN prank r ON r.query_id = a.query_id AND r.neighbor_id = a.neighbor_id
+      JOIN e c ON c.vec_id = a.neighbor_id
+      JOIN e qe ON qe.vec_id = a.query_id),
+    boosts AS (
+      SELECT CAST(unnest(range(1, ${boostMax + 1})) AS INT) AS boost),
+    tagged AS (
+      SELECT b.boost, p.query_id, p.neighbor_id, p.adc_raw, p.cos_raw
+      FROM boosts b JOIN pcos p ON p.cell_rank <= b.boost * $ivfpqNprobe),
+    surv_b AS (
+      SELECT * FROM (
+        SELECT boost, query_id, neighbor_id, cos_raw,
+          ROW_NUMBER() OVER (PARTITION BY boost, query_id
+            ORDER BY adc_raw DESC, neighbor_id) AS adc_rank
+        FROM tagged)
+      WHERE adc_rank <= $ivfpqRerank),
+    topk_b AS (
+      SELECT boost, query_id, neighbor_id FROM (
+        SELECT boost, query_id, neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY boost, query_id
+            ORDER BY cos_raw DESC, neighbor_id) AS rank
+        FROM surv_b)
+      WHERE rank <= $ivfpqK),
+    sub AS (
+      SELECT e.vec_id, e.v FROM e
+      JOIN embeddings em ON em.vec_id = e.vec_id
+      WHERE em.label IN (${filteredLabels.mkString(", ")})),
+    exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ${cosFold("q.v", "c.v", dim)} AS cos_raw
+      FROM e q JOIN sub c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+    exr AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_raw DESC, neighbor_id) AS rank
+        FROM exact)
+      WHERE rank <= $ivfpqK),
+    ncand AS (SELECT boost, COUNT(*) AS n_cand FROM tagged GROUP BY 1),
+    nfound AS (
+      SELECT t.boost, COUNT(*) AS n_found FROM topk_b t
+      JOIN exr x ON x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id
+      GROUP BY 1),
+    nex AS (SELECT COUNT(*) AS n_exact FROM exr)
+    SELECT b.boost, CAST(COALESCE(c.n_cand, 0) AS BIGINT) AS n_cand,
+      nex.n_exact, CAST(COALESCE(f.n_found, 0) AS BIGINT) AS n_found,
+      ROUND(CAST(COALESCE(f.n_found, 0) AS DOUBLE) / nex.n_exact, 4) AS recall
+    FROM boosts b
+    LEFT JOIN ncand c ON c.boost = b.boost
+    LEFT JOIN nfound f ON f.boost = b.boost
+    CROSS JOIN nex
+    ORDER BY b.boost"""
+  }
+
   // --------------------------------------------- emb_ivfpq_rerank_curve
   // The rerank-depth tuning curve for the composed IVF+PQ search —
   // emb_recall_curve's role for the rerank knob (and the probe-curve
@@ -1752,6 +1930,7 @@ object Vectors {
     "emb_filtered_topk" -> embFilteredTopk,
     "emb_filtered_topk_selective" -> embFilteredTopkSelective,
     "emb_filtered_recall" -> embFilteredRecall,
+    "emb_filtered_boost_curve" -> embFilteredBoostCurve,
     "emb_ivfpq_rerank_curve" -> embIvfpqRerankCurve,
     "emb_index_build" -> embIndexBuild,
     "emb_index_append" -> embIndexAppend,
@@ -1776,6 +1955,7 @@ object Vectors {
     "emb_filtered_topk" -> embFilteredTopkSql,
     "emb_filtered_topk_selective" -> embFilteredTopkSelectiveSql,
     "emb_filtered_recall" -> embFilteredRecallSql,
+    "emb_filtered_boost_curve" -> embFilteredBoostCurveSql,
     "emb_ivfpq_rerank_curve" -> embIvfpqRerankCurveSql,
     "emb_index_build" -> embIndexBuildSql,
     "emb_index_append" -> embIndexAppendSql,

@@ -112,6 +112,85 @@ class FilteredAnnSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("adaptiveProbeBoost: ~1/s, capped at every cell, floored at 1") {
+    // s = 0.2 wants x5 (the fixed x2 undercompensates); the cap is
+    // cells/nprobe (probing every cell); degenerate inputs fall to 1
+    assert(IvfPq.adaptiveProbeBoost(1000, 200, 16, 2) == 5)
+    assert(IvfPq.adaptiveProbeBoost(1000, 50, 16, 2) == 8, "capped at cells/nprobe")
+    assert(IvfPq.adaptiveProbeBoost(1000, 900, 16, 2) == 2, "ceil(1/0.9)")
+    assert(IvfPq.adaptiveProbeBoost(1000, 1000, 16, 2) == 1, "s=1: no boost needed")
+    assert(IvfPq.adaptiveProbeBoost(0, 0, 16, 2) == 1)
+    assert(IvfPq.adaptiveProbeBoost(1000, 0, 16, 2) == 1)
+  }
+
+  test("boost curve: candidate volume monotone; boost=2 row reproduces emb_filtered_recall") {
+    // the curve's cost column must grow (or saturate) with the boost —
+    // recall itself is honestly NON-monotone (widening the probe can
+    // push true neighbors out of the fixed-size ADC pool: the measured
+    // boost-2 dip at sf0.1), so the spec pins the structural claims:
+    // candidate volume, and that the curve's boost=2 leg is EXACTLY
+    // the shipped filteredTopK configuration emb_filtered_recall
+    // audits (same probe width, same pool, same rerank)
+    val curve = SparkEntry.queries("emb_filtered_boost_curve")(spark, sf)
+      .orderBy(col("boost")).collect()
+    assert(curve.length >= 4)
+    val cands = curve.map(_.getLong(1))
+    assert(cands.zip(cands.tail).forall { case (a, b) => b >= a },
+      s"candidate volume must be non-decreasing in boost: ${cands.toSeq}")
+    assert(cands.last > cands.head, "the boost knob must actually widen the pool")
+    val rec = SparkEntry.queries("emb_filtered_recall")(spark, sf).collect()
+    val micro = rec.map(_.getLong(2)).sum.toDouble / rec.map(_.getLong(1)).sum
+    val b2 = curve.find(_.getInt(0) == 2).get
+    val curveRecall = b2.getLong(3).toDouble / b2.getLong(2)
+    assert(math.abs(curveRecall - micro) < 1e-9,
+      s"curve boost=2 recall $curveRecall != emb_filtered_recall micro-avg $micro")
+  }
+
+  test("two-level probe arm: the boost widens the coarse neighborhood too") {
+    // ADVICE r12: boosting only the fine probe count leaves the
+    // boosted probes capped by the FIXED wProbe coarse neighborhoods —
+    // in the two-level regime (the large-corpus case filtered search
+    // exists for) the recall compensation could silently not
+    // materialize. filteredTopKWith now widens wProbe alongside
+    // nprobe; this is the forced-two-level boosted-recall leg.
+    val corpus = labeled(sf).persist()
+    val n = corpus.count()
+    val queries = corpus.filter(col("id") < 5)
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    val pred = col("label").isin(2, 5)
+    val vecsOnly = corpus.select(col("id"), col("v"))
+    val index = IvfPq.indexAuto(vecsOnly, n, dim = 64, oneLevelMax = -1L)
+    index match {
+      case IvfPq.TwoLevelIndexW(_, _) => ()
+      case other => fail(s"forced two-level build returned $other")
+    }
+    val books = AnnPq.collectCodebooks(
+      AnnPq.refinedCodebooks(vecsOnly, 16, 4, 64), 16)
+    val filteredN = corpus.filter(pred).count()
+    val exact = corpus.filter(pred)
+      .select(col("id").as("neighbor_id"), col("v").as("cv"))
+      .crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(GraftFunctions.cosineSimilarity(col("qv"), col("cv")).desc,
+          col("neighbor_id"))))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist()
+    def hits(boost: Int): Long = {
+      val ann = IvfPq.filteredTopKWith(index, books, 4, corpus, Seq("label"),
+          pred, queries, k = 10, nprobe = 2, rerank = 30,
+          n = n, filteredN = filteredN, probeBoost = boost)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(ann, Seq("query_id", "neighbor_id"), "left_semi").count()
+    }
+    val (unboosted, boosted) = (hits(1), hits(4))
+    assert(boosted >= unboosted,
+      s"two-level boost=4 found $boosted of the exact set vs $unboosted at boost=1")
+    assert(boosted > 0)
+    exact.unpersist(); corpus.unpersist()
+  }
+
   test("attribute-carrying coded file: the predicate pushes down to the stored scan") {
     val corpus = labeled(sf)
     val n = corpus.count()
