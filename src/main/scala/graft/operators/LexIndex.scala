@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, StructField, StructType}
+
+/** Persisted LEXICAL retrieval index — the BM25 counterpart of the
+  * [[IvfPq]] store. A production retrieval system tokenizes and
+  * aggregates the corpus ONCE and serves query-by-example from the
+  * stored artifact; it does not re-run the corpus-wide explode +
+  * aggregate per process start (at 100 TB the posting build is a full
+  * corpus scan — the single most expensive lexical pass there is).
+  *
+  * Layout under `dir/`:
+  *   - `postings/` (doc_id, token, tf) — the big table, one row per
+  *     distinct (doc, token); everything else derives from it.
+  *   - `df/` (token, df) — map-side-combined document frequencies.
+  *   - `dl/` (doc_id, dl) — document lengths (Σ tf per doc).
+  *   - `totals/` (n_corpus, t_total) — one row.
+  *
+  * Every write is deterministic (pure aggregates of the corpus), so a
+  * loaded index reproduces the inline frames bit for bit — the oracle
+  * replay of an index-served query is the SAME SQL chain as the
+  * inline one (doc_bm25_served shares doc_bm25_topk's oracle; that
+  * hash equality IS the store round-trip proof, the emb_index_build
+  * discipline).
+  *
+  * Scoring contract (shared verbatim with the inline doc_bm25_topk —
+  * ONE implementation, [[queryTerms]] + [[scoreCandidates]], so the
+  * stored and inline paths cannot drift): BM25 k1 = 1.2, b = 0.75;
+  * the tf-saturation term as the exact integer rational
+  * 44·T·tf / (20·T·tf + 6·T + 18·dl·N); idf argument (2N+2)/(2df+1);
+  * per-term contributions summed through DECIMAL(28,15); ranking by
+  * the ROUNDED score. Query terms are capped to the `qTerms` LOWEST-df
+  * terms (the WAND-style rare-terms-first cap) so candidate volume is
+  * Σ df over rare terms — and because df rides the bounded query-term
+  * relation (broadcast into the candidate join), the posting file
+  * never shuffles by token (the r13 no-token-window discipline).
+  *
+  * 100 TB shape: the posting store is scan-pruned by the broadcast
+  * rare-term join; df/dl/totals are small side tables (df is
+  * vocab-sized — joined only against query-doc tokens, never the
+  * posting file). Serving work per query batch is bounded by
+  * |Q|·qTerms·df(rare) candidate rows.
+  *
+  * Reference behavior: the retrieval pillar of the brief (lexical
+  * retrieval next to the vector index); arithmetic shared with
+  * queries/Corpus.scala's doc_bm25_topk.
+  */
+object LexIndex {
+
+  /** The shared whitespace tokenization (doc_top_tokens rule) folded
+    * to the posting aggregate: (doc_id, token, tf) with map-side
+    * partials — ONE explode pass over the corpus.
+    */
+  def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Document frequencies from the posting aggregate (one row per
+    * (doc, token) ⇒ per-token row count = distinct-doc count) —
+    * map-side-combined, never a token window.
+    */
+  def dfOf(post: DataFrame): DataFrame =
+    post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+
+  /** Document lengths: Σ tf per doc (≡ the raw token count). */
+  def dlOf(post: DataFrame): DataFrame =
+    post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+
+  /** One-row corpus totals: document count and total token count. */
+  def totalsOf(docs: DataFrame, post: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("n_corpus"))
+      .crossJoin(post.agg(coalesce(sum(col("tf")), lit(0L)).as("t_total")))
+
+  /** Rare-terms-first query-term selection: the `qTerms` LOWEST-df
+    * tokens of each query doc, df attached. `queryPost` holds ONLY
+    * the query docs' posting rows (doc_id, token[, …]) — the df join
+    * touches that bounded relation, never the corpus posting file.
+    */
+  def queryTerms(queryPost: DataFrame, dfT: DataFrame,
+      qTerms: Int): DataFrame =
+    capQueryTerms(
+      queryPost.select(col("doc_id"), col("token")).join(dfT, Seq("token")),
+      qTerms)
+
+  /** The rank-and-cap half of [[queryTerms]] for callers whose df
+    * join already happened upstream (st_bm25_serve attaches df with a
+    * stateless stream-static join; the cap is a ranking, so it runs
+    * per micro-batch): input (doc_id, token, df).
+    */
+  def capQueryTerms(withDf: DataFrame, qTerms: Int): DataFrame =
+    withDf.withColumn("qrn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("token"))))
+      .filter(col("qrn") <= qTerms)
+      .select(col("doc_id").as("query_id"), col("token"), col("df"))
+
+  /** BM25 scoring of `qterms` (query_id, token, df — broadcast)
+    * against the posting table: candidates, exact-rational saturation
+    * term, DECIMAL(28,15) contribution sums, ranking by the rounded
+    * score. Output: (query_id, doc_id, n_terms, bm25, rank).
+    */
+  def scoreCandidates(qterms: DataFrame, post: DataFrame, dl: DataFrame,
+      totals: DataFrame): DataFrame = {
+    val cand = broadcast(qterms).join(post, Seq("token"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+    val contrib =
+      log((lit(2.0) * col("n_corpus") + lit(2.0)).cast(DoubleType) /
+          (lit(2.0) * col("df") + lit(1.0)).cast(DoubleType)) *
+        ((lit(44L) * col("t_total") * col("tf")).cast(DoubleType) /
+          (lit(20L) * col("t_total") * col("tf") + lit(6L) * col("t_total")
+            + lit(18L) * col("dl") * col("n_corpus")).cast(DoubleType))
+    cand.withColumn("c", contrib)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("c").cast(DecimalType(28, 15))).cast(DoubleType), 6)
+          .as("bm25"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("bm25").desc, col("doc_id"))))
+  }
+
+  /** End-to-end ranked retrieval over index FRAMES (inline or
+    * loaded): query docs selected by `queryPred` over the posting
+    * table.
+    */
+  def bm25Ranked(post: DataFrame, dfT: DataFrame, dl: DataFrame,
+      totals: DataFrame, queryPred: Column, qTerms: Int): DataFrame =
+    scoreCandidates(queryTerms(post.filter(queryPred), dfT, qTerms),
+      post, dl, totals)
+
+  private val postingSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("token", StringType),
+    StructField("tf", LongType)))
+  private val dfSchema = StructType(Seq(
+    StructField("token", StringType),
+    StructField("df", LongType)))
+  private val dlSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("dl", LongType)))
+  private val totalsSchema = StructType(Seq(
+    StructField("n_corpus", LongType),
+    StructField("t_total", LongType)))
+
+  /** Build and persist the lexical index: ONE corpus tokenization
+    * pass, the three derived aggregates, four parquet tables. The
+    * target dir is replaced wholesale (the encodeShard discipline —
+    * destructive intent is total and explicit).
+    */
+  def buildIndex(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true): Unit
+    val post = postings(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      post.write.parquet(s"$dir/postings")
+      dfOf(post).write.parquet(s"$dir/df")
+      dlOf(post).write.parquet(s"$dir/dl")
+      totalsOf(docs, post).write.parquet(s"$dir/totals")
+    } finally post.unpersist(): Unit
+  }
+
+  /** The loaded artifact: the four frames, explicit schemas. */
+  final case class Loaded(postings: DataFrame, df: DataFrame,
+      dl: DataFrame, totals: DataFrame)
+
+  def loadIndex(spark: SparkSession, dir: String): Loaded = Loaded(
+    postings = spark.read.schema(postingSchema).parquet(s"$dir/postings"),
+    df = spark.read.schema(dfSchema).parquet(s"$dir/df"),
+    dl = spark.read.schema(dlSchema).parquet(s"$dir/dl"),
+    totals = spark.read.schema(totalsSchema).parquet(s"$dir/totals"))
+
+  /** Ranked retrieval from the STORED artifact. */
+  def bm25FromIndex(loaded: Loaded, queryPred: Column,
+      qTerms: Int): DataFrame =
+    bm25Ranked(loaded.postings, loaded.df, loaded.dl, loaded.totals,
+      queryPred, qTerms)
+}

@@ -381,7 +381,8 @@ object Streaming {
     * survivor ids, qv joined back once per survivor, cosine computed
     * and both vectors DROPPED before the ranking shuffle.
     */
-  private[graft] def serveTopkStage(full: DataFrame, batch: DataFrame): DataFrame = {
+  private[graft] def serveTopkStage(full: DataFrame, batch: DataFrame,
+      k: Int = Vectors.ivfpqK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.expressions.GraftFunctions
     val qs = batch.filter(col("neighbor_id").isNull)
@@ -399,7 +400,7 @@ object Streaming {
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cos_sim").desc, col("neighbor_id"))))
-      .filter(col("rank") <= Vectors.ivfpqK)
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos_sim"), 4).as("cos_sim"),
         round(col("adc_cos"), 4).as("adc_cos"), col("adc_rank"))
@@ -548,6 +549,160 @@ object Streaming {
       WHERE rn <= ${Vectors.ivfpqNprobe}),
     ${Vectors.adcCtes("probes", "inverted", 64)},
     ${Vectors.ivfpqRerankTailSql(Vectors.ivfpqRerank, Vectors.ivfpqK, 64)}"""
+
+  // ------------------------------------------------------ st_bm25_serve
+  // Online LEXICAL retrieval from the stored index — st_ivfpq_serve's
+  // counterpart on the text side, completing the serving triangle for
+  // BOTH retriever modalities: LexIndex.buildIndex persists the
+  // posting artifact once; arriving query docs are answered from the
+  // STORE, never by rescanning the corpus. Streaming plan (stateless,
+  // pure projections + one stream-static equi-join): each arriving
+  // doc's tokens come from per-row expressions (split →
+  // array_distinct → explode — query-by-example scoring uses term
+  // PRESENCE + rarity, never query-side tf, so no stream-side
+  // aggregation and no state store), then the stored df table joins
+  // on token. The rankings (rare-term cap, final top-k) are illegal
+  // on an unbounded stream and run per micro-batch — exact under ANY
+  // batching because a query's tokens explode from its ONE arriving
+  // row (never split across batches) and its candidates derive only
+  // from its own terms. Scoring is LexIndex's single implementation
+  // (capQueryTerms + scoreCandidates — the same code the inline and
+  // batch-served paths run), and the oracle is doc_bm25_topk's chain
+  // verbatim: inline == stored == streamed, hash-pinned three ways.
+  //
+  // 100 TB shape: per-batch work is |arrivals|·qTerms rare-term
+  // candidates against the posting store (broadcast query terms, scan
+  // pruning on the big table); the df join is the only stream-static
+  // exchange and carries one row per distinct arriving token.
+  private val stBm25Serve: Q = (s, d) => {
+    import graft.operators.LexIndex
+    val dir = Corpus.lexDir(d)
+    LexIndex.buildIndex(graft.Tables.documents(s, d), dir)
+    val loaded = LexIndex.loadIndex(s, dir)
+    val arriving = QanStream.documentsStream(s, d)
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(trim(col("text"))), "\\s+")))
+          .as("token"))
+      .join(loaded.df, Seq("token"))
+    QanStream.runForeachBatch(arriving, batch =>
+      LexIndex.scoreCandidates(
+          LexIndex.capQueryTerms(batch, Corpus.bm25QTerms),
+          loaded.postings, loaded.dl, loaded.totals)
+        .filter(col("rank") <= Corpus.bm25K)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("bm25"),
+          col("n_terms")))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------- st_hybrid_serve
+  // The full production RAG serving path, ONLINE: every arriving
+  // query is answered by reciprocal-rank fusion of the two PERSISTED
+  // retrievers — BM25 from the stored lexical index (LexIndex) and
+  // the composed IVF+PQ search from the stored vector index (IvfPq) —
+  // with no corpus text rescan, no corpus-sized broadcast, and zero
+  // state operators. This is the query doc_hybrid_rrf_ann's batch
+  // composition serves at runtime; because both stores are
+  // deterministic builds and the fusion consumes RANKS, the streamed
+  // answer equals the batch one and the ORACLE IS
+  // doc_hybrid_rrf_ann's chain verbatim — inline == stored ==
+  // streamed, for the fused pipeline end to end.
+  //
+  // Streaming plan (stateless): ONE arriving source (the query
+  // vectors), three self-source projection legs unioned so every
+  // query's rows share its micro-batch under any batching —
+  //   (a) slim ADC candidates (probe the loaded index, join the
+  //       broadcast coded file, score codes; the serve-twin shape),
+  //   (b) one qv row per query (the exact re-rank needs it once),
+  //   (c) lexical term rows: the arriving id's text joined from the
+  //       static corpus, tokenized by PER-ROW expressions (split →
+  //       array_distinct → explode; query-by-example scoring needs
+  //       term presence + rarity, never query tf ⇒ no stream-side
+  //       aggregation), df attached stream-static from the stored df
+  //       table.
+  // foreachBatch then runs the three RANKINGS streams cannot express:
+  // the shared serveTopkStage (ADC pool → exact re-rank, the SAME
+  // function st_ivfpq_serve_topk and StreamingSpec pin), LexIndex's
+  // capQueryTerms → scoreCandidates (the SAME functions the inline
+  // and stored-batch paths run), and Corpus.rrfFuse (the SAME fusion
+  // both batch hybrids run). Per-batch fusion is exact because every
+  // leg of a query derives from its one arriving row.
+  //
+  // 100 TB shape: per-batch work = arrivals × (nprobe·|cell| code
+  // lookups + qTerms rare-term posting candidates); the only
+  // stream-static exchanges carry one row per arriving token and the
+  // batch-bounded broadcasts the serve twins already pinned.
+  private val stHybridServe: Q = (s, d) => {
+    import graft.operators.{IvfPq, LexIndex}
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    import graft.functions.expressions.GraftFunctions
+    // offline halves: both artifacts built + loaded (emb_index_build /
+    // doc_bm25_served audit each store's round-trip hash-exactly)
+    val lexDirPath = Corpus.lexDir(d)
+    LexIndex.buildIndex(graft.Tables.documents(s, d), lexDirPath)
+    val lex = LexIndex.loadIndex(s, lexDirPath)
+    val corpus = graft.Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = corpus.count()
+    val vecDir = Vectors.indexDir(d)
+    IvfPq.buildIndex(corpus, n, dim = 64, m = Vectors.pqM,
+      dsub = Vectors.pqDsub, kCodes = Vectors.pqK, dir = vecDir)
+    val loaded = IvfPq.loadIndex(s, vecDir)
+    val codedInv = broadcast(loaded.live.withColumnRenamed("id", "neighbor_id"))
+    val full = corpus.select(col("id").as("neighbor_id"), col("v").as("cv"))
+    val arriving = QanStream.embeddingsStream(s, d)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("qv"))
+    val nullTok = Seq(lit(null).cast("string").as("token"),
+      lit(null).cast(LongType).as("df"))
+    val candSlim = IvfPq.probe(loaded.index,
+        arriving.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt),
+        "qv", Vectors.ivfpqNprobe)
+      .join(codedInv, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(Seq(col("query_id"),
+        GraftFunctions.adcCosineFromQuery(col("qv"), col("codes"),
+          loaded.books, Vectors.pqDsub).as("adc_cos"),
+        col("neighbor_id"),
+        lit(null).cast(ArrayType(DoubleType)).as("qv")) ++ nullTok: _*)
+    val queryRows = arriving.select(Seq(col("query_id"),
+      lit(null).cast(DoubleType).as("adc_cos"),
+      lit(null).cast(LongType).as("neighbor_id"), col("qv")) ++ nullTok: _*)
+    // the arriving id's stored text (static corpus side), tokenized by
+    // per-row expressions; df attached from the STORED table
+    val tokenRows = arriving.select(col("query_id"))
+      .join(graft.Tables.documents(s, d)
+        .select(col("doc_id").as("query_id"), col("text")), Seq("query_id"))
+      .select(col("query_id"),
+        explode(array_distinct(split(lower(trim(col("text"))), "\\s+")))
+          .as("token"))
+      .join(lex.df, Seq("token"))
+      .select(col("query_id"),
+        lit(null).cast(DoubleType).as("adc_cos"),
+        lit(null).cast(LongType).as("neighbor_id"),
+        lit(null).cast(ArrayType(DoubleType)).as("qv"),
+        col("token"), col("df"))
+    val feed = candSlim.unionByName(queryRows).unionByName(tokenRows)
+    QanStream.runForeachBatch(feed, batch => {
+      val vecRanked = serveTopkStage(full,
+          batch.filter(col("token").isNull).drop("token", "df"),
+          k = Corpus.hybridDepth)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("rank_vec"))
+      val lexRanked = LexIndex.scoreCandidates(
+          LexIndex.capQueryTerms(
+            batch.filter(col("token").isNotNull)
+              .select(col("query_id").as("doc_id"), col("token"), col("df")),
+            Corpus.bm25QTerms),
+          lex.postings, lex.dl, lex.totals)
+        .filter(col("rank") <= Corpus.hybridDepth)
+        .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
+      Corpus.rrfFuse(lexRanked, vecRanked)
+    }).orderBy(col("query_id"), col("fused_rank"))
+  }
 
   // Streaming index INGEST — the online half of emb_index_append, and
   // the third member of the production retrieval triangle (build once
@@ -911,6 +1066,8 @@ object Streaming {
     "st_ivfpq_serve" -> stIvfpqServe,
     "st_ivfpq_serve_topk" -> stIvfpqServeTopk,
     "st_index_append" -> stIndexAppend,
+    "st_bm25_serve" -> stBm25Serve,
+    "st_hybrid_serve" -> stHybridServe,
     "st_index_delete" -> stIndexDelete,
     "st_exact_dedup_stream" -> stExactDedup,
     "st_multi_counter_stream" -> stMultiCounter,
@@ -934,6 +1091,8 @@ object Streaming {
     "st_ivfpq_serve" -> stIvfpqServeSql,
     "st_ivfpq_serve_topk" -> stIvfpqServeTopkSql,
     "st_index_append" -> stIndexAppendSql,
+    "st_bm25_serve" -> Corpus.docBm25TopkSql,
+    "st_hybrid_serve" -> Corpus.docHybridRrfAnnSql,
     "st_index_delete" -> stIndexDeleteSql,
     "st_exact_dedup_stream" -> Text.oracles("doc_exact_dedup"),
     "st_multi_counter_stream" -> Qan.oracles("qan_multi_counter_delta"),

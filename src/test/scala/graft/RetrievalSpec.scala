@@ -121,4 +121,61 @@ class RetrievalSpec extends SparkSpec {
     assert(refused == ann.map(_.toString).sorted.toSeq,
       "doc_hybrid_rrf_ann is not exactly rrfFuse(bm25 lex, IvfPq.topK ranks)")
   }
+
+  test("lexical index store round-trip: loaded frames reproduce the inline ones") {
+    import graft.operators.LexIndex
+    val docs = Tables.documents(spark, sf)
+    val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_lexrt_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    LexIndex.buildIndex(docs, dir)
+    val loaded = LexIndex.loadIndex(spark, dir)
+    val post = LexIndex.postings(docs)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(loaded.postings) == rows(post))
+    assert(rows(loaded.df) == rows(LexIndex.dfOf(post)))
+    assert(rows(loaded.dl) == rows(LexIndex.dlOf(post)))
+    assert(rows(loaded.totals) == rows(LexIndex.totalsOf(docs, post)))
+    assert(rows(loaded.postings).nonEmpty)
+  }
+
+  test("served lexical + hybrid streams run stateless; online == batch fused") {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val progresses = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        progresses.synchronized { progresses += e.progress; () }
+      override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val servedLex = SparkEntry.queries("st_bm25_serve")(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      val batchLex = SparkEntry.queries("doc_bm25_served")(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(servedLex == batchLex,
+        "streamed BM25 serve diverges from the stored-batch ranking")
+      val servedHyb = SparkEntry.queries("st_hybrid_serve")(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      val batchHyb = SparkEntry.queries("doc_hybrid_rrf_ann")(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(servedHyb == batchHyb,
+        "online hybrid serve diverges from the batch fused composition")
+      // the LIVE streams' plans: listener delivery is async
+      val deadline = System.currentTimeMillis + 30000
+      while (progresses.synchronized(progresses.isEmpty)
+          && System.currentTimeMillis < deadline) Thread.sleep(200)
+      val ps = progresses.synchronized(progresses.toList)
+      assert(ps.nonEmpty, "no streaming progress captured")
+      ps.foreach { p =>
+        assert(p.stateOperators.isEmpty,
+          s"state operators in a serving stream: ${p.json}")
+      }
+    } finally spark.streams.removeListener(listener)
+  }
 }
