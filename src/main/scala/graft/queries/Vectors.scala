@@ -986,6 +986,69 @@ object Vectors {
     ORDER BY b.boost"""
   }
 
+  // -------------------------------------- emb_filtered_topk_adaptive
+  // The adaptive-boost dispatch exercised END TO END (the curve
+  // motivates the ⌈1/s⌉ rule; this query hash-proves the engine
+  // actually runs it): filteredTopK with probeBoost ≤ 0 resolves the
+  // boost from the measured selectivity (IvfPq.adaptiveProbeBoost —
+  // here s ≈ 0.2 → boost 5, vs the fixed ×2 the baseline query uses),
+  // and the CHOSEN boost rides every output row next to the regime,
+  // so the oracle hash pins both the dispatch AND the arithmetic that
+  // picked it (the oracle recomputes ⌈1/s⌉ from the same counts with
+  // the same double ops).
+  //
+  // 100 TB shape: identical to emb_filtered_topk — one more probed
+  // cell set per query; the boost input (filteredN/n) is a catalog
+  // statistic at scale, not a scan.
+  private val embFilteredTopkAdaptive: Q = (s, d) => {
+    import graft.operators.{AnnIvf, IvfPq}
+    val corpus = labeledCorpus(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = corpus.count()
+    val pred = col("label").isin(filteredLabels: _*)
+    val filteredN = corpus.filter(pred).count()
+    val boost = IvfPq.adaptiveProbeBoost(n, filteredN,
+      AnnIvf.adaptiveCells(n), ivfpqNprobe)
+    val queries = corpus.filter(col("id") < 5)
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    IvfPq.filteredTopK(corpus, n, dim = 64, attrs = Seq("label"),
+        pred = pred, queries = queries,
+        k = ivfpqK, nprobe = ivfpqNprobe, rerank = ivfpqRerank,
+        m = pqM, dsub = pqDsub, kCodes = pqK,
+        probeBoost = 0, bruteFrac = filteredBruteFrac) // ≤ 0 ⇒ adaptive
+      .withColumn("probe_boost", lit(boost))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private lazy val embFilteredTopkAdaptiveSql: String = {
+    val dim = 64
+    s"""
+    WITH ${ScaleOps.ivfCtes(16, dim)},
+    $pqCtesComposable,
+    bsel AS (
+      SELECT LEAST(${16 / ivfpqNprobe}, CAST(CEILING(1.0 /
+        (CAST((SELECT COUNT(*) FROM embeddings
+               WHERE label IN (${filteredLabels.mkString(", ")})) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE))) AS INT))
+        AS boost),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c1.cell,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ${ScaleOps.ivfSqDist("e.v", "c1.c", dim)}, c1.cell) AS rn
+        FROM e CROSS JOIN centf c1
+        WHERE e.vec_id < 5)
+      WHERE rn <= $ivfpqNprobe * (SELECT boost FROM bsel)),
+    inv_f AS (
+      SELECT iv.vec_id, iv.cell FROM inverted iv
+      JOIN embeddings em ON em.vec_id = iv.vec_id
+      WHERE em.label IN (${filteredLabels.mkString(", ")})),
+    ${adcCtes("probes", "inv_f", dim)},
+    ${ivfpqRerankTailSql(ivfpqRerank, ivfpqK, dim,
+        extraSelect = ", 'pre_filtered_probe' AS regime, " +
+          "(SELECT boost FROM bsel) AS probe_boost")}"""
+  }
+
   // --------------------------------------------- emb_ivfpq_rerank_curve
   // The rerank-depth tuning curve for the composed IVF+PQ search —
   // emb_recall_curve's role for the rerank knob (and the probe-curve
@@ -1931,6 +1994,7 @@ object Vectors {
     "emb_filtered_topk_selective" -> embFilteredTopkSelective,
     "emb_filtered_recall" -> embFilteredRecall,
     "emb_filtered_boost_curve" -> embFilteredBoostCurve,
+    "emb_filtered_topk_adaptive" -> embFilteredTopkAdaptive,
     "emb_ivfpq_rerank_curve" -> embIvfpqRerankCurve,
     "emb_index_build" -> embIndexBuild,
     "emb_index_append" -> embIndexAppend,
@@ -1956,6 +2020,7 @@ object Vectors {
     "emb_filtered_topk_selective" -> embFilteredTopkSelectiveSql,
     "emb_filtered_recall" -> embFilteredRecallSql,
     "emb_filtered_boost_curve" -> embFilteredBoostCurveSql,
+    "emb_filtered_topk_adaptive" -> embFilteredTopkAdaptiveSql,
     "emb_ivfpq_rerank_curve" -> embIvfpqRerankCurveSql,
     "emb_index_build" -> embIndexBuildSql,
     "emb_index_append" -> embIndexAppendSql,
