@@ -901,8 +901,11 @@ object Vectors {
         coalesce(col("n_cand"), lit(0L)).as("n_cand"),
         col("n_exact"),
         coalesce(col("n_found"), lit(0L)).as("n_found"),
-        round(coalesce(col("n_found"), lit(0L)).cast(DoubleType)
-          / col("n_exact").cast(DoubleType), 4).as("recall"))
+        // totality over zero-row inputs (EmptyInputSpec): an empty
+        // ground truth yields recall 0.0, not an ANSI divide-by-zero
+        when(col("n_exact") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("n_found"), lit(0L)).cast(DoubleType)
+            / col("n_exact").cast(DoubleType), 4)).as("recall"))
       .orderBy(col("boost"))
   }
 
