@@ -162,11 +162,43 @@ object LexIndex {
     val post = postings(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      post.write.parquet(s"$dir/postings")
-      dfOf(post).write.parquet(s"$dir/df")
+      // range-partitioned + sorted by token: each parquet file/row
+      // group covers a tight token range, so the serve path's
+      // token-IN pushdown ([[candidatePostings]]) prunes the posting
+      // store at the SCAN — a rare-term lookup reads a handful of row
+      // groups, never the corpus-sized table
+      post.repartitionByRange(col("token"))
+        .sortWithinPartitions(col("token"))
+        .write.parquet(s"$dir/postings")
+      // the vocab table gets the same token-sorted layout: the serve
+      // path's per-batch df attach prunes it with the same token-IN
+      dfOf(post).repartitionByRange(col("token"))
+        .sortWithinPartitions(col("token"))
+        .write.parquet(s"$dir/df")
       dlOf(post).write.parquet(s"$dir/dl")
       totalsOf(docs, post).write.parquet(s"$dir/totals")
     } finally post.unpersist(): Unit
+  }
+
+  /** The serve path's posting access: a broadcast join alone does NOT
+    * prune the posting SCAN (join keys don't push down), so a stored
+    * lookup would read the whole table per query batch at 100 TB.
+    * When the query-term set is small (the interactive case — it is
+    * ≤ |Q|·qTerms by the rare-term cap), collect it (bounded,
+    * driver-safe by the same argument as centroids/codebooks) and
+    * push `token IN (…)` into the parquet scan, where the
+    * token-range-sorted layout ([[buildIndex]]) turns it into
+    * row-group pruning. Above `maxPushdownTerms` (a bulk replay of a
+    * huge query batch) fall back to the full scan + broadcast join —
+    * the honest shape when the lookup set itself is corpus-sized.
+    */
+  def candidatePostings(post: DataFrame, qterms: DataFrame,
+      maxPushdownTerms: Int = 10000): DataFrame = {
+    val terms = qterms.select(col("token")).distinct()
+      .limit(maxPushdownTerms + 1).collect().map(_.getString(0)).toSeq
+    if (terms.size <= maxPushdownTerms && terms.nonEmpty)
+      post.filter(col("token").isin(terms: _*))
+    else post
   }
 
   /** The loaded artifact: the four frames, explicit schemas. */
@@ -179,9 +211,19 @@ object LexIndex {
     dl = spark.read.schema(dlSchema).parquet(s"$dir/dl"),
     totals = spark.read.schema(totalsSchema).parquet(s"$dir/totals"))
 
-  /** Ranked retrieval from the STORED artifact. */
+  /** Ranked retrieval from the STORED artifact: query terms selected
+    * against the store, then scored against the token-IN-pruned
+    * posting scan ([[candidatePostings]]) — the store is never read
+    * corpus-wide on the candidate side.
+    */
   def bm25FromIndex(loaded: Loaded, queryPred: Column,
-      qTerms: Int): DataFrame =
-    bm25Ranked(loaded.postings, loaded.df, loaded.dl, loaded.totals,
-      queryPred, qTerms)
+      qTerms: Int): DataFrame = {
+    // materialize the tiny term set once — it feeds both the pushdown
+    // collect and the scoring broadcast, and recomputing it would
+    // re-scan the store
+    val qterms = queryTerms(loaded.postings.filter(queryPred), loaded.df,
+      qTerms).localCheckpoint(true)
+    scoreCandidates(qterms, candidatePostings(loaded.postings, qterms),
+      loaded.dl, loaded.totals)
+  }
 }

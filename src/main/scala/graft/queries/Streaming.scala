@@ -556,24 +556,27 @@ object Streaming {
   // BOTH retriever modalities: LexIndex.buildIndex persists the
   // posting artifact once; arriving query docs are answered from the
   // STORE, never by rescanning the corpus. Streaming plan (stateless,
-  // pure projections + one stream-static equi-join): each arriving
-  // doc's tokens come from per-row expressions (split →
-  // array_distinct → explode — query-by-example scoring uses term
-  // PRESENCE + rarity, never query-side tf, so no stream-side
-  // aggregation and no state store), then the stored df table joins
-  // on token. The rankings (rare-term cap, final top-k) are illegal
-  // on an unbounded stream and run per micro-batch — exact under ANY
-  // batching because a query's tokens explode from its ONE arriving
-  // row (never split across batches) and its candidates derive only
-  // from its own terms. Scoring is LexIndex's single implementation
-  // (capQueryTerms + scoreCandidates — the same code the inline and
-  // batch-served paths run), and the oracle is doc_bm25_topk's chain
-  // verbatim: inline == stored == streamed, hash-pinned three ways.
+  // PURE per-row projections — no stream-side join at all): each
+  // arriving doc's tokens come from split → array_distinct → explode
+  // (query-by-example scoring uses term PRESENCE + rarity, never
+  // query-side tf, so no stream-side aggregation and no state store).
+  // Everything that touches a STORED table runs per micro-batch: the
+  // vocab (df) attach and the posting candidates both read their
+  // store through the token-IN-pruned scan (candidatePostings —
+  // row-group pruning on the range-sorted layouts, broadcast-join
+  // fallback above the pushdown cap), then the rare-term cap,
+  // scoring, and top-k — the rankings streams cannot express. Exact
+  // under ANY batching because a query's tokens explode from its ONE
+  // arriving row (never split across batches) and its candidates
+  // derive only from its own terms. Scoring is LexIndex's single
+  // implementation (capQueryTerms + scoreCandidates — the same code
+  // the inline and batch-served paths run), and the oracle is
+  // doc_bm25_topk's chain verbatim: inline == stored == streamed,
+  // hash-pinned three ways.
   //
   // 100 TB shape: per-batch work is |arrivals|·qTerms rare-term
-  // candidates against the posting store (broadcast query terms, scan
-  // pruning on the big table); the df join is the only stream-static
-  // exchange and carries one row per distinct arriving token.
+  // candidates against the posting store; nothing reads a store
+  // corpus-wide per batch.
   private val stBm25Serve: Q = (s, d) => {
     import graft.operators.LexIndex
     val dir = Corpus.lexDir(d)
@@ -584,15 +587,21 @@ object Streaming {
       .select(col("doc_id"),
         explode(array_distinct(split(lower(trim(col("text"))), "\\s+")))
           .as("token"))
-      .join(loaded.df, Seq("token"))
-    QanStream.runForeachBatch(arriving, batch =>
-      LexIndex.scoreCandidates(
-          LexIndex.capQueryTerms(batch, Corpus.bm25QTerms),
-          loaded.postings, loaded.dl, loaded.totals)
+    QanStream.runForeachBatch(arriving, batch => {
+      // BOTH stored scans token-IN pruned per batch: the vocab attach
+      // and the posting candidates (candidatePostings — row-group
+      // pruning on the range-sorted stores, never a corpus-wide read)
+      val withDf = batch
+        .join(broadcast(LexIndex.candidatePostings(loaded.df, batch)),
+          Seq("token"))
+      val qterms = LexIndex.capQueryTerms(withDf, Corpus.bm25QTerms)
+      LexIndex.scoreCandidates(qterms,
+          LexIndex.candidatePostings(loaded.postings, qterms),
+          loaded.dl, loaded.totals)
         .filter(col("rank") <= Corpus.bm25K)
         .select(col("query_id"), col("rank"), col("doc_id"), col("bm25"),
-          col("n_terms")))
-      .orderBy(col("query_id"), col("rank"))
+          col("n_terms"))
+    }).orderBy(col("query_id"), col("rank"))
   }
 
   // ---------------------------------------------------- st_hybrid_serve
@@ -618,20 +627,22 @@ object Streaming {
   //       static corpus, tokenized by PER-ROW expressions (split →
   //       array_distinct → explode; query-by-example scoring needs
   //       term presence + rarity, never query tf ⇒ no stream-side
-  //       aggregation), df attached stream-static from the stored df
-  //       table.
-  // foreachBatch then runs the three RANKINGS streams cannot express:
-  // the shared serveTopkStage (ADC pool → exact re-rank, the SAME
-  // function st_ivfpq_serve_topk and StreamingSpec pin), LexIndex's
-  // capQueryTerms → scoreCandidates (the SAME functions the inline
-  // and stored-batch paths run), and Corpus.rrfFuse (the SAME fusion
-  // both batch hybrids run). Per-batch fusion is exact because every
-  // leg of a query derives from its one arriving row.
+  //       aggregation).
+  // foreachBatch then attaches df from the token-IN-pruned vocab scan
+  // and runs the three RANKINGS streams cannot express: the shared
+  // serveTopkStage (ADC pool → exact re-rank, the SAME function
+  // st_ivfpq_serve_topk and StreamingSpec pin), LexIndex's
+  // capQueryTerms → scoreCandidates against the token-IN-pruned
+  // posting scan (the SAME functions the inline and stored-batch
+  // paths run), and Corpus.rrfFuse (the SAME fusion both batch
+  // hybrids run). Per-batch fusion is exact because every leg of a
+  // query derives from its one arriving row.
   //
   // 100 TB shape: per-batch work = arrivals × (nprobe·|cell| code
-  // lookups + qTerms rare-term posting candidates); the only
-  // stream-static exchanges carry one row per arriving token and the
-  // batch-bounded broadcasts the serve twins already pinned.
+  // lookups + qTerms rare-term posting candidates); no stored table
+  // is read corpus-wide per batch (token-IN row-group pruning on the
+  // vocab and posting stores), and the only broadcasts are the
+  // batch-bounded ones the serve twins already pinned.
   private val stHybridServe: Q = (s, d) => {
     import graft.operators.{IvfPq, LexIndex}
     import org.apache.spark.sql.types.{ArrayType, LongType}
@@ -656,8 +667,7 @@ object Streaming {
       .filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"),
         col("embedding").cast(ArrayType(DoubleType)).as("qv"))
-    val nullTok = Seq(lit(null).cast("string").as("token"),
-      lit(null).cast(LongType).as("df"))
+    val nullTok = Seq(lit(null).cast("string").as("token"))
     val candSlim = IvfPq.probe(loaded.index,
         arriving.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt),
         "qv", Vectors.ivfpqNprobe)
@@ -672,32 +682,36 @@ object Streaming {
       lit(null).cast(DoubleType).as("adc_cos"),
       lit(null).cast(LongType).as("neighbor_id"), col("qv")) ++ nullTok: _*)
     // the arriving id's stored text (static corpus side), tokenized by
-    // per-row expressions; df attached from the STORED table
+    // per-row expressions; the df attach happens per-batch against
+    // the token-IN-pruned vocab scan, so no stored table joins the
+    // stream corpus-wide
     val tokenRows = arriving.select(col("query_id"))
       .join(graft.Tables.documents(s, d)
         .select(col("doc_id").as("query_id"), col("text")), Seq("query_id"))
       .select(col("query_id"),
         explode(array_distinct(split(lower(trim(col("text"))), "\\s+")))
           .as("token"))
-      .join(lex.df, Seq("token"))
       .select(col("query_id"),
         lit(null).cast(DoubleType).as("adc_cos"),
         lit(null).cast(LongType).as("neighbor_id"),
         lit(null).cast(ArrayType(DoubleType)).as("qv"),
-        col("token"), col("df"))
+        col("token"))
     val feed = candSlim.unionByName(queryRows).unionByName(tokenRows)
     QanStream.runForeachBatch(feed, batch => {
       val vecRanked = serveTopkStage(full,
-          batch.filter(col("token").isNull).drop("token", "df"),
+          batch.filter(col("token").isNull).drop("token"),
           k = Corpus.hybridDepth)
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
           col("rank").as("rank_vec"))
-      val lexRanked = LexIndex.scoreCandidates(
-          LexIndex.capQueryTerms(
-            batch.filter(col("token").isNotNull)
-              .select(col("query_id").as("doc_id"), col("token"), col("df")),
-            Corpus.bm25QTerms),
-          lex.postings, lex.dl, lex.totals)
+      val lexToks = batch.filter(col("token").isNotNull)
+        .select(col("query_id").as("doc_id"), col("token"))
+      val withDf = lexToks
+        .join(broadcast(LexIndex.candidatePostings(lex.df, lexToks)),
+          Seq("token"))
+      val lexTerms = LexIndex.capQueryTerms(withDf, Corpus.bm25QTerms)
+      val lexRanked = LexIndex.scoreCandidates(lexTerms,
+          LexIndex.candidatePostings(lex.postings, lexTerms),
+          lex.dl, lex.totals)
         .filter(col("rank") <= Corpus.hybridDepth)
         .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
       Corpus.rrfFuse(lexRanked, vecRanked)

@@ -139,6 +139,31 @@ class RetrievalSpec extends SparkSpec {
     assert(rows(loaded.postings).nonEmpty)
   }
 
+  test("served candidate scan: rare terms push down into the posting store") {
+    import graft.operators.LexIndex
+    // a broadcast join alone never prunes the posting SCAN — at 100 TB
+    // a served lookup would read the whole store per batch. The serve
+    // path collects the (bounded, rare-term-capped) query-term set and
+    // pushes token IN (…) into the range-sorted parquet; pin the plan.
+    val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_lexpd_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    LexIndex.buildIndex(Tables.documents(spark, sf), dir)
+    val loaded = LexIndex.loadIndex(spark, dir)
+    val qterms = LexIndex.queryTerms(
+      loaded.postings.filter(col("doc_id") < 5), loaded.df, 20)
+    val cand = LexIndex.candidatePostings(loaded.postings, qterms)
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"token IN must reach the posting parquet scan:\n$plan")
+    assert(cand.count() > 0)
+    assert(cand.count() < loaded.postings.count(),
+      "the pruned scan must be a strict subset of the store")
+    // above the pushdown cap the path falls back to the full store
+    val fallback = LexIndex.candidatePostings(loaded.postings, qterms,
+      maxPushdownTerms = 1)
+    assert(fallback.count() == loaded.postings.count())
+  }
+
   test("served lexical + hybrid streams run stateless; online == batch fused") {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     val progresses = scala.collection.mutable.ArrayBuffer
