@@ -191,14 +191,54 @@ object LexIndex {
     * row-group pruning. Above `maxPushdownTerms` (a bulk replay of a
     * huge query batch) fall back to the full scan + broadcast join —
     * the honest shape when the lookup set itself is corpus-sized.
+    *
+    * NOTE: constructing this DataFrame runs a DRIVER-SIDE JOB (the
+    * bounded term-set collect) — callers on a serving path pay it per
+    * micro-batch, which is the intended trade (a small collect buys
+    * row-group pruning of the corpus-sized store). `isInCollection`
+    * keeps the pushed predicate a set (Catalyst folds large lists to
+    * InSet) rather than a 10k-literal In() expression tree.
     */
   def candidatePostings(post: DataFrame, qterms: DataFrame,
       maxPushdownTerms: Int = 10000): DataFrame = {
     val terms = qterms.select(col("token")).distinct()
       .limit(maxPushdownTerms + 1).collect().map(_.getString(0)).toSeq
     if (terms.size <= maxPushdownTerms && terms.nonEmpty)
-      post.filter(col("token").isin(terms: _*))
+      post.filter(col("token").isInCollection(terms))
     else post
+  }
+
+  /** Per-row tokenization of QUERY documents (doc_id, text) →
+    * distinct (doc_id, token) rows — the serve-side twin of
+    * [[postings]]: query-by-example scoring uses term PRESENCE +
+    * rarity, never query-side tf, so split → array_distinct →
+    * explode per row is the whole job (no aggregation ⇒ legal on a
+    * streaming source too, which is exactly how st_bm25_serve and
+    * st_hybrid_serve tokenize arriving requests).
+    */
+  def queryTokens(queryDocs: DataFrame): DataFrame =
+    queryDocs.select(col("doc_id"),
+      explode(array_distinct(split(lower(trim(col("text"))), "\\s+")))
+        .as("token"))
+
+  /** The ONE lexical serving stage — inline-built frames, the stored
+    * batch path ([[bm25FromIndex]]) and the streaming serves
+    * (st_bm25_serve / st_hybrid_serve's foreachBatch bodies) all run
+    * exactly this function, so the paths cannot drift. `qtoks` is the
+    * query token relation (doc_id, token); BOTH stored scans it
+    * touches are token-IN pruned ([[candidatePostings]] — row-group
+    * pruning on the range-sorted vocab and posting stores, full-scan
+    * fallback above the pushdown cap). The rare-term set is
+    * localCheckpoint-ed once — it feeds the pushdown collect AND the
+    * scoring broadcast, and recomputing it would re-run the vocab
+    * prune.
+    */
+  def serveStage(loaded: Loaded, qtoks: DataFrame, qTerms: Int): DataFrame = {
+    val withDf = qtoks
+      .join(broadcast(candidatePostings(loaded.df, qtoks)), Seq("token"))
+    val qterms = capQueryTerms(withDf, qTerms).localCheckpoint(true)
+    scoreCandidates(qterms, candidatePostings(loaded.postings, qterms),
+      loaded.dl, loaded.totals)
   }
 
   /** The loaded artifact: the four frames, explicit schemas. */
@@ -211,19 +251,15 @@ object LexIndex {
     dl = spark.read.schema(dlSchema).parquet(s"$dir/dl"),
     totals = spark.read.schema(totalsSchema).parquet(s"$dir/totals"))
 
-  /** Ranked retrieval from the STORED artifact: query terms selected
-    * against the store, then scored against the token-IN-pruned
-    * posting scan ([[candidatePostings]]) — the store is never read
-    * corpus-wide on the candidate side.
+  /** Ranked retrieval from the STORED artifact for a batch of QUERY
+    * DOCUMENTS (doc_id, text): tokenize the query text per row
+    * ([[queryTokens]] — the caller supplies the text, the interactive
+    * contract; the store is never scanned to recover a query's own
+    * terms, which on the token-sorted layout would be an unpruned
+    * full posting pass), then the shared [[serveStage]] against the
+    * token-IN-pruned vocab and posting scans.
     */
-  def bm25FromIndex(loaded: Loaded, queryPred: Column,
-      qTerms: Int): DataFrame = {
-    // materialize the tiny term set once — it feeds both the pushdown
-    // collect and the scoring broadcast, and recomputing it would
-    // re-scan the store
-    val qterms = queryTerms(loaded.postings.filter(queryPred), loaded.df,
-      qTerms).localCheckpoint(true)
-    scoreCandidates(qterms, candidatePostings(loaded.postings, qterms),
-      loaded.dl, loaded.totals)
-  }
+  def bm25FromIndex(loaded: Loaded, queryDocs: DataFrame,
+      qTerms: Int): DataFrame =
+    serveStage(loaded, queryTokens(queryDocs), qTerms)
 }

@@ -910,18 +910,54 @@ object Corpus {
   // the streaming serve, so the three paths cannot drift.
   //
   // 100 TB shape: the build is the one full corpus scan (amortized
-  // across every query thereafter); serving joins ≤ |Q|·qTerms
-  // broadcast rare terms against the posting store — the corpus text
-  // is never read again.
-  private[graft] def lexDir(sfDir: String): String =
-    s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_lex_index_" +
-      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+  // across every query thereafter); serving tokenizes the |Q| query
+  // docs' own text (a doc_id-pushdown read of exactly those rows —
+  // never a posting-store scan to recover a query's terms, which the
+  // token-sorted layout cannot prune) and joins ≤ |Q|·qTerms
+  // broadcast rare terms against the token-IN-pruned posting store.
+  // Store scratch is keyed by (dataset, applicationId): two JVMs
+  // sharing /tmp on the same dataset each get their own store, so one
+  // session's wholesale delete-and-rebuild can never race another's
+  // open parquet readers (within a session the queries run
+  // sequentially and every build is deterministic). A shutdown hook
+  // reclaims the per-app dirs on clean JVM exit — at sf10 the lexical
+  // store is GBs, and without the hook every bench/verify JVM would
+  // leave its own copy behind.
+  private val scratchCleanup =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def sessionScratch(prefix: String, s: SparkSession,
+      sfDir: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/${prefix}_" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "_" + s.sparkContext.applicationId
+    if (scratchCleanup.add(dir))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rec(f: java.io.File): Unit = {
+          val cs = f.listFiles(); if (cs != null) cs.foreach(rec)
+          f.delete(): Unit
+        }
+        rec(new java.io.File(dir))
+      }))
+    dir
+  }
+  private[graft] def lexDir(s: SparkSession, sfDir: String): String =
+    sessionScratch("graft_lex_index", s, sfDir)
+  /** Scratch dir for the hybrid serve's REQUEST FEED (the arrival
+    * queue stand-in) — same (dataset, applicationId) keying as
+    * [[lexDir]].
+    */
+  private[graft] def requestDir(s: SparkSession, sfDir: String): String =
+    sessionScratch("graft_rag_requests", s, sfDir)
   private val docBm25Served: Q = (s, d) => {
     import graft.operators.LexIndex
-    val dir = lexDir(d)
+    val dir = lexDir(s, d)
     LexIndex.buildIndex(documents(s, d), dir)
+    // the query DOCUMENTS are the caller's input (the interactive
+    // contract — at 100 TB this scan reads the |Q| query rows via
+    // doc_id pushdown, never the store corpus-wide to recover terms)
     LexIndex.bm25FromIndex(LexIndex.loadIndex(s, dir),
-        col("doc_id") < 5, bm25QTerms)
+        documents(s, d).filter(col("doc_id") < 5)
+          .select(col("doc_id"), col("text")), bm25QTerms)
       .filter(col("rank") <= bm25K)
       .select(col("query_id"), col("rank"), col("doc_id"), col("bm25"),
         col("n_terms"))

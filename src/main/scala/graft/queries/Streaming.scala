@@ -577,9 +577,24 @@ object Streaming {
   // 100 TB shape: per-batch work is |arrivals|·qTerms rare-term
   // candidates against the posting store; nothing reads a store
   // corpus-wide per batch.
+  /** st_bm25_serve's per-micro-batch finish stage — a thin rank/top-k
+    * shaping of [[graft.operators.LexIndex.serveStage]] (the ONE
+    * lexical scoring implementation): both stored scans it touches
+    * are token-IN pruned per batch (vocab attach + posting
+    * candidates — row-group pruning on the range-sorted stores, never
+    * a corpus-wide read). The live query body and the spec pin call
+    * exactly this function (the serveTopkStage discipline).
+    */
+  private[graft] def bm25ServeStage(lex: graft.operators.LexIndex.Loaded,
+      batch: DataFrame): DataFrame =
+    graft.operators.LexIndex.serveStage(lex, batch, Corpus.bm25QTerms)
+      .filter(col("rank") <= Corpus.bm25K)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("bm25"),
+        col("n_terms"))
+
   private val stBm25Serve: Q = (s, d) => {
     import graft.operators.LexIndex
-    val dir = Corpus.lexDir(d)
+    val dir = Corpus.lexDir(s, d)
     LexIndex.buildIndex(graft.Tables.documents(s, d), dir)
     val loaded = LexIndex.loadIndex(s, dir)
     val arriving = QanStream.documentsStream(s, d)
@@ -587,21 +602,8 @@ object Streaming {
       .select(col("doc_id"),
         explode(array_distinct(split(lower(trim(col("text"))), "\\s+")))
           .as("token"))
-    QanStream.runForeachBatch(arriving, batch => {
-      // BOTH stored scans token-IN pruned per batch: the vocab attach
-      // and the posting candidates (candidatePostings — row-group
-      // pruning on the range-sorted stores, never a corpus-wide read)
-      val withDf = batch
-        .join(broadcast(LexIndex.candidatePostings(loaded.df, batch)),
-          Seq("token"))
-      val qterms = LexIndex.capQueryTerms(withDf, Corpus.bm25QTerms)
-      LexIndex.scoreCandidates(qterms,
-          LexIndex.candidatePostings(loaded.postings, qterms),
-          loaded.dl, loaded.totals)
-        .filter(col("rank") <= Corpus.bm25K)
-        .select(col("query_id"), col("rank"), col("doc_id"), col("bm25"),
-          col("n_terms"))
-    }).orderBy(col("query_id"), col("rank"))
+    QanStream.runForeachBatch(arriving, batch => bm25ServeStage(loaded, batch))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   // ---------------------------------------------------- st_hybrid_serve
@@ -609,67 +611,96 @@ object Streaming {
   // query is answered by reciprocal-rank fusion of the two PERSISTED
   // retrievers — BM25 from the stored lexical index (LexIndex) and
   // the composed IVF+PQ search from the stored vector index (IvfPq) —
-  // with no corpus text rescan, no corpus-sized broadcast, and zero
-  // state operators. This is the query doc_hybrid_rrf_ann's batch
-  // composition serves at runtime; because both stores are
-  // deterministic builds and the fusion consumes RANKS, the streamed
-  // answer equals the batch one and the ORACLE IS
-  // doc_hybrid_rrf_ann's chain verbatim — inline == stored ==
-  // streamed, for the fused pipeline end to end.
+  // with NO scan of the corpus documents table anywhere in the
+  // serving path (RetrievalSpec pins the per-batch plans), no
+  // corpus-sized broadcast, and zero state operators. This is the
+  // query doc_hybrid_rrf_ann's batch composition serves at runtime;
+  // because both stores are deterministic builds and the fusion
+  // consumes RANKS, the streamed answer equals the batch one and the
+  // ORACLE IS doc_hybrid_rrf_ann's chain verbatim — inline == stored
+  // == streamed, for the fused pipeline end to end.
   //
-  // Streaming plan (stateless): ONE arriving source (the query
-  // vectors), three self-source projection legs unioned so every
-  // query's rows share its micro-batch under any batching —
+  // A RAG request arrives as (query_id, text, vector) ON the stream —
+  // the request feed IS the arrival queue (here materialized from the
+  // two testdata tables through doc_id-pushdown scans of exactly the
+  // request rows: sandbox scaffolding for the file source, not a
+  // serving-path cost). That is what kills the r13 defect: the old
+  // shape recovered the query TEXT by stream-static-joining arriving
+  // ids against the corpus documents table, whose join keys never
+  // push into the parquet scan — a full read of the lake's biggest
+  // column per micro-batch.
+  //
+  // Streaming plan (stateless): ONE arriving source, three
+  // self-source projection legs unioned so every query's rows share
+  // its micro-batch under any batching —
   //   (a) slim ADC candidates (probe the loaded index, join the
   //       broadcast coded file, score codes; the serve-twin shape),
   //   (b) one qv row per query (the exact re-rank needs it once),
-  //   (c) lexical term rows: the arriving id's text joined from the
-  //       static corpus, tokenized by PER-ROW expressions (split →
-  //       array_distinct → explode; query-by-example scoring needs
-  //       term presence + rarity, never query tf ⇒ no stream-side
-  //       aggregation).
-  // foreachBatch then attaches df from the token-IN-pruned vocab scan
-  // and runs the three RANKINGS streams cannot express: the shared
-  // serveTopkStage (ADC pool → exact re-rank, the SAME function
-  // st_ivfpq_serve_topk and StreamingSpec pin), LexIndex's
-  // capQueryTerms → scoreCandidates against the token-IN-pruned
-  // posting scan (the SAME functions the inline and stored-batch
-  // paths run), and Corpus.rrfFuse (the SAME fusion both batch
-  // hybrids run). Per-batch fusion is exact because every leg of a
-  // query derives from its one arriving row.
+  //   (c) lexical term rows: the ARRIVING text tokenized by PER-ROW
+  //       expressions (split → array_distinct → explode;
+  //       query-by-example scoring needs term presence + rarity,
+  //       never query tf ⇒ no stream-side aggregation) — which also
+  //       means a NOVEL query (text/vector not in any corpus) is
+  //       served identically (RetrievalSpec pins it).
+  // foreachBatch then runs the ONE shared [[hybridServeStage]]: the
+  // shared serveTopkStage (ADC pool → exact re-rank, the SAME
+  // function st_ivfpq_serve_topk and StreamingSpec pin), LexIndex's
+  // serveStage against the token-IN-pruned vocab + posting scans
+  // (the SAME function the inline and stored-batch paths run), and
+  // Corpus.rrfFuse (the SAME fusion both batch hybrids run).
+  // Per-batch fusion is exact because every leg of a query derives
+  // from its one arriving row.
   //
   // 100 TB shape: per-batch work = arrivals × (nprobe·|cell| code
   // lookups + qTerms rare-term posting candidates); no stored table
   // is read corpus-wide per batch (token-IN row-group pruning on the
-  // vocab and posting stores), and the only broadcasts are the
+  // vocab and posting stores; the documents table is not in the
+  // serving path at all), and the only broadcasts are the
   // batch-bounded ones the serve twins already pinned.
-  private val stHybridServe: Q = (s, d) => {
-    import graft.operators.{IvfPq, LexIndex}
-    import org.apache.spark.sql.types.{ArrayType, LongType}
+
+  /** st_hybrid_serve's per-micro-batch finish stage — the ONE
+    * function the live query executes AND RetrievalSpec pins/feeds
+    * (the serveTopkStage discipline). `batch` is the three-leg
+    * self-source union: slim ADC candidates (token null), one qv row
+    * per query (neighbor_id + token null), per-row query-token rows
+    * (token set). Composes ONLY the shared stages: serveTopkStage,
+    * LexIndex.serveStage (via [[bm25ServeStage]]'s underlying
+    * implementation), Corpus.rrfFuse.
+    */
+  private[graft] def hybridServeStage(lex: graft.operators.LexIndex.Loaded,
+      full: DataFrame, batch: DataFrame): DataFrame = {
+    val vecRanked = serveTopkStage(full,
+        batch.filter(col("token").isNull).drop("token"),
+        k = Corpus.hybridDepth)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rank_vec"))
+    val lexToks = batch.filter(col("token").isNotNull)
+      .select(col("query_id").as("doc_id"), col("token"))
+    val lexRanked = graft.operators.LexIndex
+      .serveStage(lex, lexToks, Corpus.bm25QTerms)
+      .filter(col("rank") <= Corpus.hybridDepth)
+      .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
+    Corpus.rrfFuse(lexRanked, vecRanked)
+  }
+
+  /** st_hybrid_serve's three-leg self-source feed over an arriving
+    * REQUEST relation (query_id, text, qv) — shared by the live
+    * stream and the spec twins (batch and novel-query), so the
+    * stream-side legs and the pins cannot drift. Pure projections +
+    * broadcast joins of the ONE input: legal on a streaming source,
+    * and every query's rows share its micro-batch under any batching.
+    */
+  private[graft] def hybridFeed(loaded: graft.operators.IvfPq.Loaded,
+      arriving: DataFrame): DataFrame = {
+    import graft.operators.IvfPq
+    import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
     import graft.functions.expressions.GraftFunctions
-    // offline halves: both artifacts built + loaded (emb_index_build /
-    // doc_bm25_served audit each store's round-trip hash-exactly)
-    val lexDirPath = Corpus.lexDir(d)
-    LexIndex.buildIndex(graft.Tables.documents(s, d), lexDirPath)
-    val lex = LexIndex.loadIndex(s, lexDirPath)
-    val corpus = graft.Tables.embeddings(s, d)
-      .select(col("vec_id").as("id"),
-        col("embedding").cast(ArrayType(DoubleType)).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = corpus.count()
-    val vecDir = Vectors.indexDir(d)
-    IvfPq.buildIndex(corpus, n, dim = 64, m = Vectors.pqM,
-      dsub = Vectors.pqDsub, kCodes = Vectors.pqK, dir = vecDir)
-    val loaded = IvfPq.loadIndex(s, vecDir)
+    val s = arriving.sparkSession
     val codedInv = broadcast(loaded.live.withColumnRenamed("id", "neighbor_id"))
-    val full = corpus.select(col("id").as("neighbor_id"), col("v").as("cv"))
-    val arriving = QanStream.embeddingsStream(s, d)
-      .filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"),
-        col("embedding").cast(ArrayType(DoubleType)).as("qv"))
-    val nullTok = Seq(lit(null).cast("string").as("token"))
+    val nullTok = Seq(lit(null).cast(StringType).as("token"))
     val candSlim = IvfPq.probe(loaded.index,
-        arriving.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt),
+        arriving.select(col("query_id"), col("qv"))
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt),
         "qv", Vectors.ivfpqNprobe)
       .join(codedInv, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -681,14 +712,9 @@ object Streaming {
     val queryRows = arriving.select(Seq(col("query_id"),
       lit(null).cast(DoubleType).as("adc_cos"),
       lit(null).cast(LongType).as("neighbor_id"), col("qv")) ++ nullTok: _*)
-    // the arriving id's stored text (static corpus side), tokenized by
-    // per-row expressions; the df attach happens per-batch against
-    // the token-IN-pruned vocab scan, so no stored table joins the
-    // stream corpus-wide
-    val tokenRows = arriving.select(col("query_id"))
-      .join(graft.Tables.documents(s, d)
-        .select(col("doc_id").as("query_id"), col("text")), Seq("query_id"))
-      .select(col("query_id"),
+    // the ARRIVING text tokenized per row — no static documents join
+    // exists anywhere in the serving path
+    val tokenRows = arriving.select(col("query_id"),
         explode(array_distinct(split(lower(trim(col("text"))), "\\s+")))
           .as("token"))
       .select(col("query_id"),
@@ -696,26 +722,46 @@ object Streaming {
         lit(null).cast(LongType).as("neighbor_id"),
         lit(null).cast(ArrayType(DoubleType)).as("qv"),
         col("token"))
-    val feed = candSlim.unionByName(queryRows).unionByName(tokenRows)
-    QanStream.runForeachBatch(feed, batch => {
-      val vecRanked = serveTopkStage(full,
-          batch.filter(col("token").isNull).drop("token"),
-          k = Corpus.hybridDepth)
-        .select(col("query_id"), col("neighbor_id").as("doc_id"),
-          col("rank").as("rank_vec"))
-      val lexToks = batch.filter(col("token").isNotNull)
-        .select(col("query_id").as("doc_id"), col("token"))
-      val withDf = lexToks
-        .join(broadcast(LexIndex.candidatePostings(lex.df, lexToks)),
-          Seq("token"))
-      val lexTerms = LexIndex.capQueryTerms(withDf, Corpus.bm25QTerms)
-      val lexRanked = LexIndex.scoreCandidates(lexTerms,
-          LexIndex.candidatePostings(lex.postings, lexTerms),
-          lex.dl, lex.totals)
-        .filter(col("rank") <= Corpus.hybridDepth)
-        .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
-      Corpus.rrfFuse(lexRanked, vecRanked)
-    }).orderBy(col("query_id"), col("fused_rank"))
+    candSlim.unionByName(queryRows).unionByName(tokenRows)
+  }
+
+  private val stHybridServe: Q = (s, d) => {
+    import graft.operators.{IvfPq, LexIndex}
+    import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
+    // offline halves: both artifacts built + loaded (emb_index_build /
+    // doc_bm25_served audit each store's round-trip hash-exactly)
+    val lexDirPath = Corpus.lexDir(s, d)
+    LexIndex.buildIndex(graft.Tables.documents(s, d), lexDirPath)
+    val lex = LexIndex.loadIndex(s, lexDirPath)
+    val corpus = graft.Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = corpus.count()
+    val vecDir = Vectors.indexDir(d)
+    IvfPq.buildIndex(corpus, n, dim = 64, m = Vectors.pqM,
+      dsub = Vectors.pqDsub, kCodes = Vectors.pqK, dir = vecDir)
+    val loaded = IvfPq.loadIndex(s, vecDir)
+    val full = corpus.select(col("id").as("neighbor_id"), col("v").as("cv"))
+    // the request feed: (query_id, text, qv) per request — both
+    // construction scans are doc_id/vec_id-pushdown-pruned to the
+    // request rows; in production this directory IS the arrival queue
+    val reqDir = Corpus.requestDir(s, d)
+    graft.Tables.documents(s, d).filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text"))
+      .join(graft.Tables.embeddings(s, d).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast(ArrayType(DoubleType)).as("qv")),
+        Seq("query_id"))
+      .write.mode("overwrite").parquet(reqDir)
+    val arriving = s.readStream.schema(StructType(Seq(
+        StructField("query_id", LongType),
+        StructField("text", StringType),
+        StructField("qv", ArrayType(DoubleType)))))
+      .parquet(reqDir)
+    QanStream.runForeachBatch(hybridFeed(loaded, arriving),
+        batch => hybridServeStage(lex, full, batch))
+      .orderBy(col("query_id"), col("fused_rank"))
   }
 
   // Streaming index INGEST — the online half of emb_index_append, and

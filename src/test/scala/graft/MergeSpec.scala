@@ -129,6 +129,32 @@ class MergeSpec extends SparkSpec {
     c.unpersist()
   }
 
+  test("SERVING from a merged store == the monolithic-store serve (shared serve stages)") {
+    // mergeIndexes output is proven bit-equal to the monolithic build,
+    // and lifecycle ops run against it — close the loop: the ONLINE
+    // serve (the same hybridFeed + serveTopkStage functions
+    // st_ivfpq_serve_topk / st_hybrid_serve execute per micro-batch)
+    // consumes a MERGED store and answers identically to the
+    // monolithic one.
+    val (m, mono) = buildMerged(graft.operators.AnnIvf.OneLevelMaxVectors, "serve")
+    val c = corpus()
+    val full = c.select(col("id").as("neighbor_id"), col("v").as("cv"))
+    val reqs = c.filter(col("id") < 5)
+      .select(col("id").as("query_id"), lit("").as("text"), col("v").as("qv"))
+    def served(dir: String): Seq[String] = {
+      val loaded = IvfPq.loadIndex(spark, dir)
+      val feed = graft.queries.Streaming.hybridFeed(loaded, reqs)
+        .filter(col("token").isNull).drop("token")
+        .localCheckpoint(true)
+      graft.queries.Streaming.serveTopkStage(full, feed)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val fromMerged = served(m)
+    assert(fromMerged.nonEmpty)
+    assert(fromMerged == served(mono),
+      "online serve from the merged store diverged from the monolithic store")
+  }
+
   test("merged store supports the full lifecycle: append + delete + compact") {
     val c = corpus().persist()
     val n = c.count()

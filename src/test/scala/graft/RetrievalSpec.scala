@@ -164,6 +164,124 @@ class RetrievalSpec extends SparkSpec {
     assert(fallback.count() == loaded.postings.count())
   }
 
+  test("hybrid serve: NO scan of the documents table anywhere in the serving path") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.operators.{IvfPq, LexIndex}
+    // r13's scale-killer: the text-fetch leg stream-static-joined
+    // arriving ids against the full (doc_id, text) corpus scan every
+    // micro-batch. The fix puts the query TEXT on the arriving request
+    // stream, so the corpus documents table must not appear in ANY
+    // serving-path plan — feed legs or foreachBatch stage. Run the
+    // LIVE query (builds both stores + the request feed), then pin the
+    // plans of the SAME shared functions it executes.
+    assert(SparkEntry.queries("st_hybrid_serve")(spark, sf).collect().nonEmpty)
+    val lex = LexIndex.loadIndex(spark, graft.queries.Corpus.lexDir(spark, sf))
+    val loaded = IvfPq.loadIndex(spark, IvfPq.indexDir(sf))
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+    val full = corpus.select(col("id").as("neighbor_id"), col("v").as("cv"))
+    val reqs = spark.read.parquet(graft.queries.Corpus.requestDir(spark, sf))
+    def docScans(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      df.collect(): Unit
+      df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.relation.location.rootPaths.mkString(",")
+      }.filter(_.contains("documents"))
+    }
+    val feed = graft.queries.Streaming.hybridFeed(loaded, reqs)
+    assert(docScans(feed).isEmpty,
+      "the feed legs must derive from the arriving request alone")
+    val staged = graft.queries.Streaming.hybridServeStage(lex, full,
+      feed.localCheckpoint(true))
+    assert(docScans(staged).isEmpty,
+      "the per-batch stage must touch only the stores, never the corpus text")
+    assert(staged.count() > 0)
+  }
+
+  test("out-of-corpus request: a NOVEL (text, vector) query is served correctly by every serve stage") {
+    import graft.operators.{IvfPq, LexIndex}
+    import spark.implicits._
+    // Every verified serving query is query-by-example with corpus
+    // members; BM25 presence-scoring and the probe→ADC→re-rank chain
+    // never read the query's own df/dl or stored codes, so a request
+    // that exists in NO store must be served identically — prove it
+    // with a twin of doc 3: same text (+ one out-of-vocabulary token,
+    // which the df attach must drop, not crash on) and vec 3's
+    // embedding under a fresh id.
+    // (collect the in-corpus reference FIRST — each serving query
+    // delete-and-rebuilds the session store, which would invalidate
+    // frames loaded before it)
+    val q3 = SparkEntry.queries("doc_bm25_served")(spark, sf)
+      .filter(col("query_id") === 3).collect().sortBy(_.getInt(1))
+    assert(SparkEntry.queries("st_hybrid_serve")(spark, sf).collect().nonEmpty)
+    val lex = LexIndex.loadIndex(spark, graft.queries.Corpus.lexDir(spark, sf))
+    val loaded = IvfPq.loadIndex(spark, IvfPq.indexDir(sf))
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+    val full = corpus.select(col("id").as("neighbor_id"), col("v").as("cv"))
+    val text3 = Tables.documents(spark, sf).filter(col("doc_id") === 3)
+      .select(col("text")).head.getString(0)
+    val vec3 = corpus.filter(col("id") === 3).select(col("v"))
+      .head.getSeq[Double](0)
+    val novel = Seq((900000L, text3 + " zzzunseentokenxq"))
+      .toDF("query_id", "text")
+      .withColumn("qv", typedLit(vec3))
+    // (1) lexical (st_bm25_serve's live body): the twin scores every
+    // candidate exactly as corpus query 3 does — same terms, same
+    // stats — except doc 3 itself is now a legal candidate (the twin
+    // is NOT doc 3, so self-exclusion keeps it). Dropping any doc-3
+    // row, the novel ranking must be corpus-query-3's ranking
+    // VERBATIM, scores bit-identical.
+    val novelLex = graft.queries.Streaming.bm25ServeStage(lex,
+        LexIndex.queryTokens(
+          novel.select(col("query_id").as("doc_id"), col("text"))))
+      .collect().sortBy(_.getInt(1))
+    assert(novelLex.nonEmpty && q3.nonEmpty)
+    assert(novelLex.forall(_.getLong(0) == 900000L))
+    assert(novelLex.map(_.getInt(1)).toSeq == (1 to novelLex.length),
+      "novel-query ranks must be dense from 1")
+    val novelNo3 = novelLex.filter(_.getLong(2) != 3L)
+      .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    val q3pairs = q3.map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    assert(novelNo3 == q3pairs.take(novelNo3.length),
+      s"novel-query scores must equal corpus-query-3's ranking: $novelNo3 vs $q3pairs")
+    // (2) vector (st_ivfpq_serve_topk's live stages over the shared
+    // feed): the embedding twin's top hit is vec 3 at exact cosine 1
+    val feedNovel = graft.queries.Streaming.hybridFeed(loaded, novel)
+      .localCheckpoint(true)
+    val vecOut = graft.queries.Streaming.serveTopkStage(full,
+        feedNovel.filter(col("token").isNull).drop("token"))
+      .collect().sortBy(_.getInt(1))
+    assert(vecOut.nonEmpty)
+    assert(vecOut.head.getLong(2) == 3L && vecOut.head.getDouble(3) == 1.0,
+      s"the vector twin must retrieve vec 3 at cosine 1.0, got ${vecOut.head}")
+    assert(vecOut.map(_.getInt(1)).toSeq == (1 to vecOut.length),
+      "ranks must be dense from 1")
+    // (3) fused (st_hybrid_serve's live body): the novel request flows
+    // through the full fused composition — vec 3 rides at rank_vec 1,
+    // every row's RRF score is exactly the rank arithmetic, ordering
+    // descends
+    val fused = graft.queries.Streaming.hybridServeStage(lex, full, feedNovel)
+      .collect().sortBy(_.getInt(1))
+    assert(fused.nonEmpty)
+    assert(fused.forall(_.getLong(0) == 900000L))
+    val doc3Row = fused.find(_.getLong(2) == 3L)
+    assert(doc3Row.exists(r => !r.isNullAt(5) && r.getInt(5) == 1),
+      s"the twin's source doc must fuse with rank_vec 1, got $doc3Row")
+    fused.foreach { r =>
+      val lexR = if (r.isNullAt(4)) None else Some(r.getInt(4))
+      val vecR = if (r.isNullAt(5)) None else Some(r.getInt(5))
+      val expectRrf = BigDecimal(
+        lexR.map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
+          + vecR.map(x => 1.0 / (60.0 + x)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - expectRrf) < 1e-9, s"bad fusion row $r")
+    }
+    val fusedScores = fused.map(_.getDouble(3))
+    assert(fusedScores.zip(fusedScores.tail).forall { case (a, b) => a >= b })
+  }
+
   test("served lexical + hybrid streams run stateless; online == batch fused") {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     val progresses = scala.collection.mutable.ArrayBuffer
