@@ -237,19 +237,50 @@ object LexIndex {
     val withDf = qtoks
       .join(broadcast(candidatePostings(loaded.df, qtoks)), Seq("token"))
     val qterms = capQueryTerms(withDf, qTerms).localCheckpoint(true)
-    scoreCandidates(qterms, candidatePostings(loaded.postings, qterms),
-      loaded.dl, loaded.totals)
+    // candidates come from the LIVE views: a tombstoned doc is
+    // unservable the moment its delete lands, before any compaction
+    scoreCandidates(qterms, candidatePostings(loaded.livePostings, qterms),
+      loaded.liveDl, loaded.totals)
   }
 
-  /** The loaded artifact: the four frames, explicit schemas. */
+  /** The loaded artifact. `postings`/`dl` are the RAW stores (what
+    * the lifecycle manifests audit); `livePostings`/`liveDl` are what
+    * serving consumes — the stores minus pending tombstoned docs.
+    * With no pending deletes the live views ARE the raw frames (no
+    * join node is added), so deletion costs nothing until a delete
+    * actually lands — the IvfPq.Loaded.live discipline. `df` and
+    * `totals` are the SEGMENT-SUMMED views (an append lands additive
+    * delta segments; summing per token / over segment rows
+    * reconstructs exactly the monolithic aggregates because delta doc
+    * sets are disjoint): corpus statistics, which — like the vector
+    * index's frozen trained halves — do NOT move on delete until
+    * compaction re-derives them (mass deletion drifting the stats is
+    * the same retrain/compact trigger a deployment watches).
+    */
   final case class Loaded(postings: DataFrame, df: DataFrame,
-      dl: DataFrame, totals: DataFrame)
+      dl: DataFrame, totals: DataFrame, livePostings: DataFrame,
+      liveDl: DataFrame)
 
-  def loadIndex(spark: SparkSession, dir: String): Loaded = Loaded(
-    postings = spark.read.schema(postingSchema).parquet(s"$dir/postings"),
-    df = spark.read.schema(dfSchema).parquet(s"$dir/df"),
-    dl = spark.read.schema(dlSchema).parquet(s"$dir/dl"),
-    totals = spark.read.schema(totalsSchema).parquet(s"$dir/totals"))
+  def loadIndex(spark: SparkSession, dir: String): Loaded = {
+    val postings = spark.read.schema(postingSchema).parquet(s"$dir/postings")
+    val df = spark.read.schema(dfSchema).parquet(s"$dir/df")
+      .groupBy(col("token")).agg(sum(col("df")).as("df"))
+    val dl = spark.read.schema(dlSchema).parquet(s"$dir/dl")
+    val totals = spark.read.schema(totalsSchema).parquet(s"$dir/totals")
+      .agg(coalesce(sum(col("n_corpus")), lit(0L)).as("n_corpus"),
+        coalesce(sum(col("t_total")), lit(0L)).as("t_total"))
+    val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (livePostings, liveDl) =
+      if (fs.exists(tombPath)) {
+        val tombs = broadcast(tombstonesOf(spark, dir))
+        (postings.join(tombs, Seq("doc_id"), "left_anti")
+           .select(col("doc_id"), col("token"), col("tf")),
+         dl.join(tombs, Seq("doc_id"), "left_anti")
+           .select(col("doc_id"), col("dl")))
+      } else (postings, dl)
+    Loaded(postings, df, dl, totals, livePostings, liveDl)
+  }
 
   /** Ranked retrieval from the STORED artifact for a batch of QUERY
     * DOCUMENTS (doc_id, text): tokenize the query text per row
@@ -262,4 +293,208 @@ object LexIndex {
   def bm25FromIndex(loaded: Loaded, queryDocs: DataFrame,
       qTerms: Int): DataFrame =
     serveStage(loaded, queryTokens(queryDocs), qTerms)
+
+  // -------------------------------------------------------- lifecycle
+  // A 100 TB corpus is never static, and a takedown cannot force a
+  // corpus re-tokenize. Same discipline as the vector store (IvfPq
+  // append/delete/compact), re-expressed for an inverted text index:
+  //
+  //  - APPEND (new documents): one delta-sized tokenization pass lands
+  //    ADDITIVE SEGMENTS — delta posting files (each itself
+  //    token-range sorted, so row-group pruning holds per segment),
+  //    delta df/dl rows, a delta totals row. Nothing existing is
+  //    rewritten; loadIndex's segment-summed df/totals views make
+  //    append ≡ build(base ∪ delta) exactly (delta doc ids are NEW by
+  //    contract — the IvfPq append contract).
+  //  - DELETE (takedown): append doc ids to a side tombstone table;
+  //    the store is untouched. Serving consumes the live views
+  //    (broadcast anti-join), so a deleted doc is unservable the
+  //    moment the delete lands. df/totals stay as-built until
+  //    compaction (the statistics-drift rule — scores drop the doc
+  //    as candidate immediately; its residual contribution to corpus
+  //    statistics dies at the next compaction, exactly like quantizer
+  //    drift on the vector side).
+  //  - COMPACT: the Lucene/LSM segment merge — rewrite the posting
+  //    store minus the tombstone SNAPSHOT, re-derive df/dl/totals
+  //    from the surviving postings (statistics exact again), clear
+  //    only the snapshot. Unlike the vector store's cell-local
+  //    rewrite, a doc's postings spread across the whole token range,
+  //    so compaction is a full segment merge by construction (work ∝
+  //    store size, run on the maintenance cadence, never on serve);
+  //    real deployments tier this into segment-local merges — the
+  //    sandbox runs the single-tier form.
+  //
+  // Durability (single concurrent compactor assumed): the staged
+  // store is COMPLETE (all four tables + a `_complete` marker) before
+  // the first publish rename; a crash mid-stage restarts fresh (no
+  // marker → staging discarded); a crash mid-publish resumes the
+  // rename sequence on the next compactIndex call (marker present →
+  // publish what remains staged). Tombstones are cleared strictly
+  // AFTER all publishes, and NEVER on a resumed publish (whether a
+  // late-landing tombstone made the snapshot is unknowable then);
+  // re-applying an already-removed doc's tombstone is a no-op
+  // anti-join, so deletes are never lost — at worst re-applied.
+
+  /** Append NEW documents to a stored index as additive segments —
+    * one tokenization pass over the delta, delta-sized writes only.
+    */
+  def appendToIndex(deltaDocs: DataFrame, dir: String): Unit = {
+    val post = postings(deltaDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      post.repartitionByRange(col("token"))
+        .sortWithinPartitions(col("token"))
+        .write.mode("append").parquet(s"$dir/postings")
+      dfOf(post).repartitionByRange(col("token"))
+        .sortWithinPartitions(col("token"))
+        .write.mode("append").parquet(s"$dir/df")
+      dlOf(post).write.mode("append").parquet(s"$dir/dl")
+      totalsOf(deltaDocs, post).write.mode("append").parquet(s"$dir/totals")
+    } finally post.unpersist(): Unit
+  }
+
+  /** Tombstone-delete documents from the stored index: appends the
+    * ids to the side tombstone table; the store itself is untouched
+    * (see the lifecycle header). Serving drops the docs immediately
+    * via the live views; physical removal is [[compactIndex]]'s job.
+    */
+  def deleteFromIndex(ids: DataFrame, dir: String): Unit =
+    ids.select(col("doc_id").cast(LongType).as("doc_id"))
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  private val tombstoneSchema = StructType(Seq(StructField("doc_id", LongType)))
+
+  /** The pending tombstone set — empty (not an error) when no delete
+    * has landed since the last compaction.
+    */
+  def tombstonesOf(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(tombstoneSchema).parquet(p.toString)
+    else spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), tombstoneSchema)
+  }
+
+  /** Segment-merge compaction (see the lifecycle header): fold append
+    * segments together, drop the tombstone snapshot's docs
+    * physically, re-derive df/dl/totals exactly from the survivors.
+    * `failAfterStage` is the crash-window test seam (AnnSpec's
+    * replay-at-every-crash-point discipline): stage + marker land,
+    * publish does not — the next call must resume it.
+    */
+  def compactIndex(spark: SparkSession, dir: String,
+      failAfterStage: Boolean = false): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new Path(s"$dir/_compact_staging")
+    val marker = new Path(s"$dir/_compact_staging/_complete")
+    val tables = Seq("postings", "df", "dl", "totals")
+    def publish(clearTombs: Seq[Path]): Unit = {
+      tables.foreach { t =>
+        val staged = new Path(s"$dir/_compact_staging/$t")
+        if (fs.exists(staged)) {
+          val target = new Path(s"$dir/$t")
+          if (fs.exists(target)) fs.delete(target, true): Unit
+          fs.rename(staged, target): Unit
+        }
+      }
+      // strictly after every publish rename
+      clearTombs.foreach(f => fs.delete(f, false): Unit)
+      val tombPath = new Path(s"$dir/tombstones")
+      if (fs.exists(tombPath) &&
+          !fs.listStatus(tombPath).exists(_.getPath.getName.endsWith(".parquet")))
+        fs.delete(tombPath, true): Unit
+      fs.delete(stage, true): Unit
+    }
+    if (fs.exists(marker)) {
+      // a previous compaction crashed mid-publish: finish its renames;
+      // do NOT clear tombstones (snapshot membership unknowable —
+      // re-application is a no-op, loss would not be)
+      publish(Seq.empty)
+      return
+    }
+    if (fs.exists(stage)) fs.delete(stage, true): Unit // crashed mid-stage
+    // snapshot the tombstone FILES now: only this set is applied and
+    // cleared; a delete landing during compaction stays pending
+    val tombPath = new Path(s"$dir/tombstones")
+    val tombFiles: Seq[Path] =
+      if (!fs.exists(tombPath)) Seq.empty
+      else fs.listStatus(tombPath).filter(_.isFile).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).toSeq
+    val tombs =
+      if (tombFiles.isEmpty)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), tombstoneSchema)
+      else spark.read.schema(tombstoneSchema)
+        .parquet(tombFiles.map(_.toString): _*)
+    spark.read.schema(postingSchema).parquet(s"$dir/postings")
+      .join(broadcast(tombs), Seq("doc_id"), "left_anti")
+      .repartitionByRange(col("token"))
+      .sortWithinPartitions(col("token"))
+      .write.parquet(s"$dir/_compact_staging/postings")
+    // derive the rest from the STAGED postings — one consistent source
+    val sp = spark.read.schema(postingSchema)
+      .parquet(s"$dir/_compact_staging/postings")
+    dfOf(sp).repartitionByRange(col("token"))
+      .sortWithinPartitions(col("token"))
+      .write.parquet(s"$dir/_compact_staging/df")
+    dlOf(sp).write.parquet(s"$dir/_compact_staging/dl")
+    // surviving corpus totals: every doc owns >= 1 posting row (the
+    // tokenizer emits one even for empty text), so dl covers all docs
+    sp.agg(countDistinct(col("doc_id")).as("n_corpus"),
+        coalesce(sum(col("tf")), lit(0L)).as("t_total"))
+      .write.parquet(s"$dir/_compact_staging/totals")
+    fs.create(marker).close()
+    if (failAfterStage) return
+    publish(tombFiles)
+  }
+
+  /** [[appendToIndex]] for STREAMING ingest — idempotent under
+    * micro-batch retry (IvfPq.appendBatchToIndex's exact protocol):
+    * a commit marker short-circuits replayed batches; the delta
+    * tables stage under a batchId-keyed scratch dir with overwrite;
+    * publish renames staged files to DETERMINISTIC batchId-keyed
+    * names inside the store tables, deleting any partial publish of
+    * this batch first; the marker lands last. Frozen tokenization is
+    * deterministic per row, so a full replay reproduces identical
+    * bytes. Work and writes stay delta-sized.
+    */
+  def appendBatchToIndex(batch: DataFrame, dir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$dir/_ingest_commits/$batchId")
+    if (fs.exists(marker)) return
+    val staging = s"$dir/_staging/batch=$batchId"
+    val post = postings(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      post.repartitionByRange(col("token"))
+        .sortWithinPartitions(col("token"))
+        .write.mode("overwrite").parquet(s"$staging/postings")
+      dfOf(post).repartitionByRange(col("token"))
+        .sortWithinPartitions(col("token"))
+        .write.mode("overwrite").parquet(s"$staging/df")
+      dlOf(post).write.mode("overwrite").parquet(s"$staging/dl")
+      totalsOf(batch, post).write.mode("overwrite").parquet(s"$staging/totals")
+    } finally post.unpersist(): Unit
+    Seq("postings", "df", "dl", "totals").foreach { t =>
+      val target = new Path(s"$dir/$t")
+      if (!fs.exists(target)) fs.mkdirs(target): Unit
+      // clear any partial publish of THIS batch before re-publishing
+      fs.listStatus(target).map(_.getPath)
+        .filter(_.getName.startsWith(s"ingest-$batchId-"))
+        .foreach(p => fs.delete(p, false): Unit)
+      val stagedDir = new Path(s"$staging/$t")
+      fs.listStatus(stagedDir).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex
+        .foreach { case (f, i) =>
+          fs.rename(f, new Path(target, s"ingest-$batchId-$i.parquet")): Unit
+        }
+    }
+    fs.delete(new Path(staging), true)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker).close()
+  }
 }

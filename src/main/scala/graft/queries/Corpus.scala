@@ -842,14 +842,18 @@ object Corpus {
         col("n_terms"))
       .orderBy(col("query_id"), col("rank"))
 
-  /** Shared DuckDB replay of the BM25 ranked set; terminal CTE
-    * `bm25r(query_id, doc_id, bm25, n_terms, brank)`.
+  /** DuckDB replay of the lexical index BUILD over (optionally
+    * filtered) documents — the four stored tables as CTEs
+    * (bpost/bdf/bdl/btot). Shared by the BM25 scoring chain and the
+    * lifecycle manifests (append replays the full-corpus build —
+    * append ≡ build(base ∪ delta); delete/compact replays the
+    * surviving-corpus build).
     */
-  private[queries] lazy val bm25Ctes: String = s"""
+  private[queries] def lexBuildCtes(where: String = ""): String = s"""
     btok AS (
       SELECT doc_id,
         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
-      FROM documents),
+      FROM documents $where),
     bpost AS (
       SELECT doc_id, token, COUNT(*) AS tf
       FROM btok
@@ -857,8 +861,14 @@ object Corpus {
     bdf AS (SELECT token, COUNT(*) AS df FROM bpost GROUP BY token),
     bdl AS (SELECT doc_id, COUNT(*) AS dl FROM btok GROUP BY doc_id),
     btot AS (
-      SELECT (SELECT COUNT(*) FROM documents) AS n_corpus,
-        (SELECT COUNT(*) FROM btok) AS t_total),
+      SELECT (SELECT COUNT(*) FROM documents $where) AS n_corpus,
+        (SELECT COUNT(*) FROM btok) AS t_total)"""
+
+  /** Shared DuckDB replay of the BM25 ranked set; terminal CTE
+    * `bm25r(query_id, doc_id, bm25, n_terms, brank)`.
+    */
+  private[queries] lazy val bm25Ctes: String = s"""
+    ${lexBuildCtes()},
     bq AS (
       SELECT query_id, token, df FROM (
         SELECT p.doc_id AS query_id, p.token, f.df,
@@ -963,6 +973,190 @@ object Corpus {
         col("n_terms"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  // ------------------------------------------------------ doc_lex_append
+  // Incremental maintenance of the persisted lexical index — the
+  // ingest half a 100 TB text deployment runs continuously (the
+  // emb_index_append discipline on the lexical side): NEW documents
+  // land as ADDITIVE SEGMENTS (delta posting files token-range-sorted
+  // per segment, delta df/dl rows, a delta totals row) from ONE
+  // delta-sized tokenization pass; nothing existing is rewritten, and
+  // loadIndex's segment-summed df/totals views reconstruct the
+  // monolithic aggregates exactly. The manifest is computed from the
+  // RELOADED post-append store — full-store checksums of all four
+  // tables plus the delta slice — and the oracle replays the
+  // FULL-CORPUS build: hash-green means append ≡ build(base ∪ delta),
+  // table for table (LexIndexSpec additionally pins serving equality
+  // and segment-level pruning).
+  //
+  // 100 TB shape: append work is one pass over the delta (map-side
+  // aggregates); manifest aggregates are one scan of each stored
+  // table with map-side partials; nothing shuffles the base store.
+  private[queries] val lexDeltaMod = 10
+  private[queries] val lexDeltaRem = 7
+  private def lexStatRow(label: String, post: DataFrame): DataFrame = post.agg(
+    lit(label).as("artifact"),
+    count(lit(1)).as("n_rows"),
+    (coalesce(sum(col("doc_id")), lit(0L))
+      + coalesce(sum(col("tf")), lit(0L))).as("sum_a"),
+    countDistinct(col("token")).cast(DoubleType).as("sum_b"))
+  private def lexDfRow(dfT: DataFrame): DataFrame = dfT.agg(
+    lit("df").as("artifact"),
+    count(lit(1)).as("n_rows"),
+    coalesce(sum(col("df")), lit(0L)).as("sum_a"),
+    coalesce(max(col("df")), lit(0L)).cast(DoubleType).as("sum_b"))
+  private def lexTotalsRow(totals: DataFrame): DataFrame = totals.select(
+    lit("totals").as("artifact"),
+    col("n_corpus").as("n_rows"),
+    col("t_total").as("sum_a"),
+    (col("n_corpus") + col("t_total")).cast(DoubleType).as("sum_b"))
+  private val docLexAppend: Q = (s, d) => {
+    import graft.operators.LexIndex
+    val docs = documents(s, d)
+    val isDelta = col("doc_id") % lexDeltaMod === lexDeltaRem
+    val dir = lexDir(s, d) + "_append"
+    LexIndex.buildIndex(docs.filter(!isDelta), dir)
+    LexIndex.appendToIndex(docs.filter(isDelta), dir)
+    // manifest from the RELOADED post-append artifact
+    val loaded = LexIndex.loadIndex(s, dir)
+    val dlRow = loaded.dl.agg(
+      lit("dl").as("artifact"),
+      count(lit(1)).as("n_rows"),
+      (coalesce(sum(col("doc_id")), lit(0L))
+        + coalesce(sum(col("dl")), lit(0L))).as("sum_a"),
+      coalesce(max(col("dl")), lit(0L)).cast(DoubleType).as("sum_b"))
+    lexStatRow("postings", loaded.postings)
+      .unionAll(lexStatRow("delta", loaded.postings.filter(isDelta)))
+      .unionAll(lexDfRow(loaded.df))
+      .unionAll(dlRow)
+      .unionAll(lexTotalsRow(loaded.totals))
+      .orderBy(col("artifact"))
+  }
+
+  private lazy val docLexAppendSql: String = s"""
+    WITH ${lexBuildCtes()},
+    row_postings AS (
+      SELECT 'postings' AS artifact,
+        (SELECT COUNT(*) FROM bpost) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(doc_id), 0) + COALESCE(SUM(tf), 0) AS BIGINT)
+           FROM bpost) AS sum_a,
+        (SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) FROM bpost) AS sum_b),
+    row_delta AS (
+      SELECT 'delta' AS artifact,
+        (SELECT COUNT(*) FROM bpost
+           WHERE doc_id % $lexDeltaMod = $lexDeltaRem) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(doc_id), 0) + COALESCE(SUM(tf), 0) AS BIGINT)
+           FROM bpost WHERE doc_id % $lexDeltaMod = $lexDeltaRem) AS sum_a,
+        (SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) FROM bpost
+           WHERE doc_id % $lexDeltaMod = $lexDeltaRem) AS sum_b),
+    row_df AS (
+      SELECT 'df' AS artifact,
+        (SELECT COUNT(*) FROM bdf) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(df), 0) AS BIGINT) FROM bdf) AS sum_a,
+        (SELECT CAST(COALESCE(MAX(df), 0) AS DOUBLE) FROM bdf) AS sum_b),
+    row_dl AS (
+      SELECT 'dl' AS artifact,
+        (SELECT COUNT(*) FROM bdl) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(doc_id), 0) + COALESCE(SUM(dl), 0) AS BIGINT)
+           FROM bdl) AS sum_a,
+        (SELECT CAST(COALESCE(MAX(dl), 0) AS DOUBLE) FROM bdl) AS sum_b),
+    row_totals AS (
+      SELECT 'totals' AS artifact,
+        (SELECT n_corpus FROM btot) AS n_rows,
+        (SELECT t_total FROM btot) AS sum_a,
+        (SELECT CAST(n_corpus + t_total AS DOUBLE) FROM btot) AS sum_b)
+    SELECT * FROM row_postings
+    UNION ALL SELECT * FROM row_delta
+    UNION ALL SELECT * FROM row_df
+    UNION ALL SELECT * FROM row_dl
+    UNION ALL SELECT * FROM row_totals
+    ORDER BY artifact"""
+
+  // ------------------------------------------------------ doc_lex_delete
+  // Takedown + compaction on the persisted lexical index — the
+  // emb_index_delete discipline on the text side. Deletes are
+  // TOMBSTONES (LexIndex.deleteFromIndex appends doc ids to a side
+  // table; the token-sorted store is untouched — removing one doc's
+  // postings in place would rewrite the whole token range
+  // synchronously per takedown); serving consumes the live views, so
+  // a deleted doc is unservable the moment the delete lands; physical
+  // removal is LexIndex.compactIndex — the Lucene/LSM segment merge:
+  // surviving postings rewritten (token-range-sorted again), df/dl/
+  // totals RE-DERIVED exactly from the survivors (until then those
+  // corpus statistics stay as-built: the statistics-drift rule, the
+  // lexical twin of frozen quantizer drift). The manifest pins the
+  // whole discipline in one hash: `live` is the post-delete serving
+  // view, `tombstones` the pending set, `compacted`/`df`/`totals` the
+  // RAW store after the merge — and the oracle is a pure replay of
+  // the build over the SURVIVING corpus.
+  //
+  // 100 TB shape: the delete writes |deleted| ids; serving pays one
+  // broadcast anti-join between delete and compaction; the segment
+  // merge is maintenance-cadence work ∝ store size (tiered into
+  // segment-local merges in a real deployment), never on serve.
+  private[queries] val lexDelMod = 9
+  private[queries] val lexDelRem = 4
+  private val docLexDelete: Q = (s, d) => {
+    import graft.operators.LexIndex
+    val docs = documents(s, d)
+    val dir = lexDir(s, d) + "_delete"
+    LexIndex.buildIndex(docs, dir)
+    val isDel = col("doc_id") % lexDelMod === lexDelRem
+    LexIndex.deleteFromIndex(docs.filter(isDel).select(col("doc_id")), dir)
+    val afterDel = LexIndex.loadIndex(s, dir)
+    val tombRow = LexIndex.tombstonesOf(s, dir).agg(
+      lit("tombstones").as("artifact"),
+      count(lit(1)).as("n_rows"),
+      coalesce(sum(col("doc_id")), lit(0L)).as("sum_a"),
+      countDistinct(col("doc_id")).cast(DoubleType).as("sum_b"))
+    // materialize the pre-compaction rows NOW — compaction rewrites
+    // the store (and clears the tombstones) these lazy plans read
+    val pre = lexStatRow("live", afterDel.livePostings).unionAll(tombRow)
+      .localCheckpoint(true)
+    LexIndex.compactIndex(s, dir)
+    val after = LexIndex.loadIndex(s, dir)
+    lexStatRow("compacted", after.postings)
+      .unionAll(lexDfRow(after.df))
+      .unionAll(pre)
+      .unionAll(lexTotalsRow(after.totals))
+      .orderBy(col("artifact"))
+  }
+
+  private lazy val docLexDeleteSql: String = s"""
+    WITH ${lexBuildCtes(s"WHERE doc_id % $lexDelMod <> $lexDelRem")},
+    tomb AS (
+      SELECT doc_id FROM documents WHERE doc_id % $lexDelMod = $lexDelRem),
+    live_stats AS (
+      SELECT
+        (SELECT COUNT(*) FROM bpost) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(doc_id), 0) + COALESCE(SUM(tf), 0) AS BIGINT)
+           FROM bpost) AS sum_a,
+        (SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) FROM bpost) AS sum_b),
+    row_compacted AS (
+      SELECT 'compacted' AS artifact, n_rows, sum_a, sum_b FROM live_stats),
+    row_live AS (
+      SELECT 'live' AS artifact, n_rows, sum_a, sum_b FROM live_stats),
+    row_df AS (
+      SELECT 'df' AS artifact,
+        (SELECT COUNT(*) FROM bdf) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(df), 0) AS BIGINT) FROM bdf) AS sum_a,
+        (SELECT CAST(COALESCE(MAX(df), 0) AS DOUBLE) FROM bdf) AS sum_b),
+    row_tomb AS (
+      SELECT 'tombstones' AS artifact,
+        (SELECT COUNT(*) FROM tomb) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM tomb) AS sum_a,
+        (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) FROM tomb) AS sum_b),
+    row_totals AS (
+      SELECT 'totals' AS artifact,
+        (SELECT n_corpus FROM btot) AS n_rows,
+        (SELECT t_total FROM btot) AS sum_a,
+        (SELECT CAST(n_corpus + t_total AS DOUBLE) FROM btot) AS sum_b)
+    SELECT * FROM row_compacted
+    UNION ALL SELECT * FROM row_df
+    UNION ALL SELECT * FROM row_live
+    UNION ALL SELECT * FROM row_tomb
+    UNION ALL SELECT * FROM row_totals
+    ORDER BY artifact"""
 
   // ---------------------------------------------------- doc_hybrid_rrf
   // TRUE hybrid retrieval — the production RAG shape emb_rrf_fusion's
@@ -1128,6 +1322,8 @@ object Corpus {
   val entries: Map[String, Q] = Map(
     "doc_bm25_topk" -> docBm25Topk,
     "doc_bm25_served" -> docBm25Served,
+    "doc_lex_append" -> docLexAppend,
+    "doc_lex_delete" -> docLexDelete,
     "doc_hybrid_rrf" -> docHybridRrf,
     "doc_hybrid_rrf_ann" -> docHybridRrfAnn,
     "doc_winnowing" -> docWinnowing,
@@ -1145,6 +1341,8 @@ object Corpus {
   val oracles: Map[String, String] = Map(
     "doc_bm25_topk" -> docBm25TopkSql,
     "doc_bm25_served" -> docBm25TopkSql,
+    "doc_lex_append" -> docLexAppendSql,
+    "doc_lex_delete" -> docLexDeleteSql,
     "doc_hybrid_rrf" -> docHybridRrfSql,
     "doc_hybrid_rrf_ann" -> docHybridRrfAnnSql,
     "doc_winnowing" -> docWinnowingSql,

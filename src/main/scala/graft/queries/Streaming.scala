@@ -606,6 +606,72 @@ object Streaming {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ------------------------------------------------------ st_lex_append
+  // Streaming LEXICAL index ingest — st_index_append's discipline on
+  // the text side, completing the lexical lifecycle triangle (build
+  // once [doc_bm25_served] / serve [st_bm25_serve] / ingest [this]):
+  // new documents ARRIVE as a stream and each micro-batch lands as an
+  // additive SEGMENT of the stored index (delta postings token-range
+  // sorted per segment, delta df/dl/totals rows — the exact
+  // doc_lex_append write, one delta-sized tokenization pass, base
+  // segments never rewritten). The per-batch write is IDEMPOTENT
+  // under micro-batch retry (LexIndex.appendBatchToIndex: batchId
+  // commit marker + staged overwrite + deterministic batchId-keyed
+  // publish names — IvfPq.appendBatchToIndex's protocol verbatim;
+  // LexIndexSpec replays a batch and pins store multiplicity). Each
+  // ingested doc emits a receipt (doc_id, dl, n_terms — per-row facts
+  // of the deterministic tokenization, so output is identical under
+  // ANY batching); after the stream drains the receipts are audited
+  // against the RELOADED store: the doc's dl row present EXACTLY once
+  // (store_copies — a duplicate-append bug surfaces in the hash) and
+  // its stored posting count equal to the receipt's n_terms. The
+  // oracle replays the delta docs' stats with in_store = TRUE,
+  // store_copies = 1.
+  private val stLexAppend: Q = (s, d) => {
+    import graft.operators.LexIndex
+    val isDelta = col("doc_id") % Corpus.lexDeltaMod === Corpus.lexDeltaRem
+    val docs = graft.Tables.documents(s, d)
+    val dir = Corpus.lexDir(s, d) + "_stream_append"
+    LexIndex.buildIndex(docs.filter(!isDelta), dir)
+    val arrivingDelta = QanStream.documentsStream(s, d)
+      .select(col("doc_id"), col("text"))
+      .filter(isDelta)
+    val receipts = QanStream.runForeachBatchWithId(arrivingDelta, (batch, bid) => {
+      LexIndex.appendBatchToIndex(batch, dir, bid)
+      LexIndex.postings(batch).groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("dl"), count(lit(1)).as("n_terms"))
+    })
+    // post-stream audit: every receipt readable back from the RELOADED
+    // store, exactly once, with the full posting fan-out present
+    val loaded = LexIndex.loadIndex(s, dir)
+    val storedDl = loaded.dl.groupBy(col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("store_copies"))
+    val storedTerms = loaded.postings.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("store_terms"))
+    receipts.join(storedDl, Seq("doc_id", "dl"), "left")
+      .join(storedTerms, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dl"), col("n_terms"),
+        (coalesce(col("store_copies"), lit(0L)) >= 1 &&
+          coalesce(col("store_terms"), lit(0L)) === col("n_terms"))
+          .as("in_store"),
+        coalesce(col("store_copies"), lit(0L)).as("store_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val stLexAppendSql: String = s"""
+    WITH dtok AS (
+      SELECT doc_id,
+        unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+      WHERE doc_id % ${Corpus.lexDeltaMod} = ${Corpus.lexDeltaRem}),
+    dstat AS (
+      SELECT doc_id, COUNT(*) AS dl, COUNT(DISTINCT token) AS n_terms
+      FROM dtok GROUP BY doc_id)
+    SELECT doc_id, dl, n_terms, TRUE AS in_store,
+      CAST(1 AS BIGINT) AS store_copies
+    FROM dstat
+    ORDER BY doc_id"""
+
   // ---------------------------------------------------- st_hybrid_serve
   // The full production RAG serving path, ONLINE: every arriving
   // query is answered by reciprocal-rank fusion of the two PERSISTED
@@ -1128,6 +1194,7 @@ object Streaming {
     "st_index_append" -> stIndexAppend,
     "st_bm25_serve" -> stBm25Serve,
     "st_hybrid_serve" -> stHybridServe,
+    "st_lex_append" -> stLexAppend,
     "st_index_delete" -> stIndexDelete,
     "st_exact_dedup_stream" -> stExactDedup,
     "st_multi_counter_stream" -> stMultiCounter,
@@ -1153,6 +1220,7 @@ object Streaming {
     "st_index_append" -> stIndexAppendSql,
     "st_bm25_serve" -> Corpus.docBm25TopkSql,
     "st_hybrid_serve" -> Corpus.docHybridRrfAnnSql,
+    "st_lex_append" -> stLexAppendSql,
     "st_index_delete" -> stIndexDeleteSql,
     "st_exact_dedup_stream" -> Text.oracles("doc_exact_dedup"),
     "st_multi_counter_stream" -> Qan.oracles("qan_multi_counter_delta"),

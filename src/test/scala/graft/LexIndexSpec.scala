@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.LexIndex
+
+/** Persisted lexical index LIFECYCLE (doc_lex_append / doc_lex_delete
+  * / st_lex_append): append ≡ build(base ∪ delta) table for table,
+  * tombstones gate serving immediately, compaction == build(surviving)
+  * with the crash window replayed, streaming ingest idempotent under
+  * batch replay — the IvfPq lifecycle discipline on the text side.
+  */
+class LexIndexSpec extends SparkSpec {
+
+  private def tmp(tag: String): String =
+    s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_lexlc_${tag}_" +
+      java.util.UUID.randomUUID.toString.take(8)
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** All four canonical store views, row-normalized. */
+  private def storeRows(dir: String): Seq[Seq[String]] = {
+    val l = LexIndex.loadIndex(spark, dir)
+    Seq(rows(l.postings), rows(l.df), rows(l.dl), rows(l.totals))
+  }
+
+  test("append == build(base U delta) table for table; serving equality from the appended store") {
+    val docs = Tables.documents(spark, sf)
+    val isDelta = col("doc_id") % 10 === 7
+    val (inc, mono) = (tmp("app_inc"), tmp("app_mono"))
+    LexIndex.buildIndex(docs.filter(!isDelta), inc)
+    LexIndex.appendToIndex(docs.filter(isDelta), inc)
+    LexIndex.buildIndex(docs, mono)
+    assert(storeRows(inc) == storeRows(mono),
+      "appended store diverges from the monolithic build")
+    assert(storeRows(inc).head.nonEmpty)
+    // the serve path answers identically from the appended store
+    val q = docs.filter(col("doc_id") < 5).select(col("doc_id"), col("text"))
+    val served = rows(LexIndex.bm25FromIndex(LexIndex.loadIndex(spark, inc), q, 20))
+    assert(served.nonEmpty)
+    assert(served == rows(
+      LexIndex.bm25FromIndex(LexIndex.loadIndex(spark, mono), q, 20)),
+      "serving from the appended store diverges from the monolithic store")
+  }
+
+  test("delete gates serving immediately; compact == build(surviving); applied tombstones cleared") {
+    val docs = Tables.documents(spark, sf)
+    val isDel = col("doc_id") % 9 === 4
+    val (dir, mono) = (tmp("del"), tmp("del_mono"))
+    LexIndex.buildIndex(docs, dir)
+    LexIndex.deleteFromIndex(docs.filter(isDel).select(col("doc_id")), dir)
+    val delIds = docs.filter(isDel).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(delIds.nonEmpty)
+    val l = LexIndex.loadIndex(spark, dir)
+    // raw store untouched; live view is the complement
+    assert(l.postings.filter(col("doc_id").isInCollection(delIds)).count() > 0,
+      "delete must not rewrite the store")
+    assert(l.livePostings.filter(col("doc_id").isInCollection(delIds)).count() == 0,
+      "live view must drop tombstoned docs")
+    // a deleted doc is unservable as a CANDIDATE the moment the
+    // delete lands (before any compaction)
+    val q = docs.filter(col("doc_id") < 5).select(col("doc_id"), col("text"))
+    val served = LexIndex.bm25FromIndex(l, q, 20).collect()
+    assert(served.nonEmpty)
+    assert(!served.exists(r => delIds.contains(r.getLong(1))),
+      "a tombstoned doc was served")
+    LexIndex.compactIndex(spark, dir)
+    LexIndex.buildIndex(docs.filter(!isDel), mono)
+    assert(storeRows(dir) == storeRows(mono),
+      "compacted store diverges from build(surviving)")
+    assert(LexIndex.tombstonesOf(spark, dir).count() == 0,
+      "applied tombstones must be cleared")
+  }
+
+  test("compaction crash window: staged-but-unpublished resumes; tombstones never cleared unapplied") {
+    val docs = Tables.documents(spark, sf)
+    val isDel = col("doc_id") % 9 === 4
+    val (dir, mono) = (tmp("crash"), tmp("crash_mono"))
+    LexIndex.buildIndex(docs, dir)
+    LexIndex.deleteFromIndex(docs.filter(isDel).select(col("doc_id")), dir)
+    val nAll = LexIndex.loadIndex(spark, dir).postings.count()
+    // crash point: stage + marker land, publish does not
+    LexIndex.compactIndex(spark, dir, failAfterStage = true)
+    val mid = LexIndex.loadIndex(spark, dir)
+    assert(mid.postings.count() == nAll,
+      "a crashed compaction must leave the old store intact")
+    assert(LexIndex.tombstonesOf(spark, dir).count() > 0,
+      "pending tombstones must survive the crash")
+    val delIds = docs.filter(isDel).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(mid.livePostings
+        .filter(col("doc_id").isInCollection(delIds)).count() == 0,
+      "tombstones must keep gating the old store across the crash")
+    // the next compaction call RESUMES the publish...
+    LexIndex.compactIndex(spark, dir)
+    LexIndex.buildIndex(docs.filter(!isDel), mono)
+    assert(storeRows(dir) == storeRows(mono),
+      "resumed publish diverges from build(surviving)")
+    // ...but must NOT clear tombstones (snapshot membership is
+    // unknowable after a crash); the following run re-applies them as
+    // a no-op anti-join and clears them
+    assert(LexIndex.tombstonesOf(spark, dir).count() > 0,
+      "a resumed publish cleared tombstones it cannot prove applied")
+    LexIndex.compactIndex(spark, dir)
+    assert(LexIndex.tombstonesOf(spark, dir).count() == 0)
+    assert(storeRows(dir) == storeRows(mono),
+      "re-applying already-removed tombstones must be a no-op")
+  }
+
+  test("streaming ingest replay-safe: committed no-op, pre-marker crash republished, equals batch build") {
+    val docs = Tables.documents(spark, sf)
+    val isDelta = col("doc_id") % 10 === 7
+    val (dir, mono) = (tmp("ingest"), tmp("ingest_mono"))
+    LexIndex.buildIndex(docs.filter(!isDelta), dir)
+    val delta = docs.filter(isDelta).select(col("doc_id"), col("text"))
+    LexIndex.appendBatchToIndex(delta, dir, 0L)
+    val once = storeRows(dir)
+    // committed batch replayed -> short-circuited no-op
+    LexIndex.appendBatchToIndex(delta, dir, 0L)
+    assert(storeRows(dir) == once, "a committed batch was re-applied")
+    // crash before the marker: the replay re-publishes the SAME
+    // deterministic file names — multiplicity 1, never 2
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_ingest_commits/0"), false)
+    LexIndex.appendBatchToIndex(delta, dir, 0L)
+    assert(storeRows(dir) == once,
+      "a pre-marker replay duplicated the batch")
+    // the ingested store IS the monolithic build
+    LexIndex.buildIndex(docs, mono)
+    assert(once == storeRows(mono))
+  }
+}
