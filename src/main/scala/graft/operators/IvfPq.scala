@@ -503,17 +503,26 @@ object IvfPq {
     val trained = Seq(("meta", metaSchema), ("centroids", centroidSchema),
       ("coarse", centroidSchema), ("groups", groupSchema),
       ("codebooks", codebookSchema))
-    def checksumOf(d: String, sub: String, schema: StructType): (Long, String) =
-      if (!fs.exists(new Path(s"$d/$sub"))) (0L, "0")
+    def checksumOf(d: String, sub: String, schema: StructType): (Long, String, String) =
+      // a MISSING table gets a distinct sentinel: without it a shard
+      // lacking e.g. 'coarse' would checksum identically to a shard
+      // carrying an EMPTY one and slip the identical-halves gate
+      if (!fs.exists(new Path(s"$d/$sub"))) (-1L, "missing", "missing")
       else {
         val df = spark.read.schema(schema).parquet(s"$d/$sub")
-        // hash sum through DECIMAL(38,0): exact and overflow-free
-        // under ANSI (a BIGINT sum of 64-bit hashes overflows)
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        // hash sums through DECIMAL(38,0): exact and overflow-free
+        // under ANSI (a BIGINT sum of 64-bit hashes overflows). Two
+        // independent hashes (the second folds a salt column, i.e. a
+        // different effective seed) + the row count: a sum collision
+        // would have to hold under both seeds simultaneously.
+        val cols = df.columns.map(col)
         val r = df.agg(count(lit(1)),
-          coalesce(sum(xxhash64(df.columns.map(col): _*)
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
-            lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head
-        (r.getLong(0), r.getDecimal(1).toPlainString)
+          coalesce(sum(xxhash64(cols: _*).cast(dec)), lit(0).cast(dec)),
+          coalesce(sum(xxhash64((cols :+ lit("graft-merge-salt")): _*)
+            .cast(dec)), lit(0).cast(dec))).head
+        (r.getLong(0), r.getDecimal(1).toPlainString,
+          r.getDecimal(2).toPlainString)
       }
     // shards are BUILD artifacts (encodeShard slices); a dir carrying
     // streaming-ingest receipts is a serving store whose batch commit

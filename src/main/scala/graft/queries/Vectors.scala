@@ -981,7 +981,232 @@ object Vectors {
     nex AS (SELECT COUNT(*) AS n_exact FROM exr)
     SELECT b.boost, CAST(COALESCE(c.n_cand, 0) AS BIGINT) AS n_cand,
       nex.n_exact, CAST(COALESCE(f.n_found, 0) AS BIGINT) AS n_found,
-      ROUND(CAST(COALESCE(f.n_found, 0) AS DOUBLE) / nex.n_exact, 4) AS recall
+      -- zero-row guard mirrors the engine's when(n_exact === 0, 0.0):
+      -- an unguarded division would diverge (NULL/Inf) exactly where
+      -- the engine reports 0.0
+      CASE WHEN nex.n_exact = 0 THEN 0.0 ELSE
+        ROUND(CAST(COALESCE(f.n_found, 0) AS DOUBLE) / nex.n_exact, 4)
+      END AS recall
+    FROM boosts b
+    LEFT JOIN ncand c ON c.boost = b.boost
+    LEFT JOIN nfound f ON f.boost = b.boost
+    CROSS JOIN nex
+    ORDER BY b.boost"""
+  }
+
+  // ------------------------- emb_filtered_boost_curve_two_level
+  // The probe-boost tuning curve in the FORCED TWO-LEVEL regime (the
+  // emb_two_level_probe_curve discipline applied to the boost knob):
+  // the >10⁷-vector index's trickiest filtered-search behavior is
+  // that a boosted nprobe only materializes if wProbe widens with it
+  // (IvfPq.filteredTopKWith caps fine probes by the coarse
+  // neighborhoods they can see — FilteredAnnSpec pins the arm; this
+  // query SHIPS ITS MEASURED CURVE). One pass: coarse probes ranked
+  // once at FULL width, every fine cell tagged with (coarse rank,
+  // fine distance); boost b sees the cells whose coarse rank ≤
+  // min(w·b, |coarse|) — the exact widening arm — and probes the
+  // nprobe·b nearest among them; ADC and exact cosine are computed
+  // ONCE per (query, candidate) pair (both boost-independent), the
+  // per-boost rankings are windows over the tagged pool. Output per
+  // boost: the EFFECTIVE wProbe, candidate volume (cost) and
+  // recall@k vs the exact filtered ground truth (win) — integer
+  // counts, replayed exactly by the ivf2Ctes + pq + blocked-ADC
+  // chain.
+  //
+  // 100 TB shape: an audit op (the max-width pool deliberately spans
+  // every cell — that is what a tuning curve prices; the pair pool is
+  // bounded by s·n·|Q|, the brute arm's own cost); production
+  // queries run filteredTopK at one chosen boost.
+  private val embFilteredBoostCurveTwoLevel: Q = (s, d) => {
+    import graft.operators.{AnnIvf, AnnPq, IvfPq}
+    val wBase = 2
+    val corpus = labeledCorpus(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = corpus.count()
+    val pred = col("label").isin(filteredLabels: _*)
+    val queries = corpus.filter(col("id") < 5)
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    val vecsOnly = corpus.select(col("id"), col("v"))
+    val cells = AnnIvf.adaptiveCells(n)
+    val boostMax = math.max(1, cells / ivfpqNprobe)
+    val idx = AnnIvf.twoLevelIndex(vecsOnly, cells, dim = 64, knownCount = n)
+    val index = IvfPq.TwoLevelIndexW(idx, wBase)
+    val books = AnnPq.collectCodebooks(
+      AnnPq.refinedCodebooks(vecsOnly, pqM, pqDsub, pqK), pqM)
+    val codedF = IvfPq.codedInvertedFileAttrs(index, corpus, books, pqDsub,
+        Seq("label"))
+      .filter(pred)
+      .select(col("cell"), col("id").as("neighbor_id"), col("codes"))
+    val maxWc = idx.coarseIds.length
+    // every fine cell per query, tagged (coarse rank, fine distance) —
+    // the one probe pass all boosts share
+    val qcells = queries.select(col("query_id"), col("qv"),
+        posexplode(GraftFunctions.nearestCells(col("qv"), idx.coarseCents,
+          idx.coarseIds, math.max(1, maxWc))).as(Seq("crpos", "coarse")))
+      .select(col("query_id"), col("qv"), (col("crpos") + 1).as("cr"),
+        col("coarse"))
+      .join(broadcast(idx.groups), Seq("coarse"))
+      .select(col("query_id"), col("qv"), col("cr"),
+        explode(arrays_zip(col("gids"), col("gcents"))).as("z"))
+      .select(col("query_id"), col("qv"), col("cr"),
+        col("z.gids").as("cell"), col("z.gcents").as("fc"))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(qv, fc, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS DOUBLE), (acc, t) -> acc + t)"))
+      .select(col("query_id"), col("qv"), col("cr"), col("cell"), col("dist"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import s.implicits._
+    val boosts = broadcast((1 to boostMax).toDF("boost"))
+    // boost b's probe set: fine ranking WITHIN the min(w·b, |coarse|)
+    // nearest coarse neighborhoods — the filteredTopKWith widening arm
+    val probed = qcells.join(boosts,
+        col("cr") <= least(lit(wBase) * col("boost"), lit(maxWc)))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy(col("boost"), col("query_id"))
+          .orderBy(col("dist"), col("cell"))))
+      .filter(col("cell_rank") <= col("boost") * lit(ivfpqNprobe))
+      .select(col("boost"), col("query_id"), col("cell"))
+    val fullF = corpus.filter(pred)
+      .select(col("id").as("neighbor_id"), col("v").as("cv"))
+    // the pair pool, ADC + exact cosine ONCE per pair
+    val pairs = qcells.select(col("query_id"), col("qv"), col("cell"))
+      .join(codedF, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_cos", GraftFunctions.adcCosineFromQuery(
+        col("qv"), col("codes"), books, pqDsub))
+      .join(fullF, Seq("neighbor_id"))
+      .withColumn("cos_sim",
+        GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
+      .select(col("query_id"), col("cell"), col("neighbor_id"),
+        col("adc_cos"), col("cos_sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tagged = probed.join(pairs, Seq("query_id", "cell"))
+    val topk = tagged
+      .withColumn("adc_rank", row_number().over(
+        Window.partitionBy(col("boost"), col("query_id"))
+          .orderBy(col("adc_cos").desc, col("neighbor_id"))))
+      .filter(col("adc_rank") <= ivfpqRerank)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("boost"), col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= ivfpqK)
+      .select(col("boost"), col("query_id"), col("neighbor_id"))
+    val exact = fullF.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim",
+        GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= ivfpqK)
+      .select(col("query_id"), col("neighbor_id"))
+    val nCand = tagged.groupBy(col("boost")).agg(count(lit(1)).as("n_cand"))
+    val nFound = topk.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("boost")).agg(count(lit(1)).as("n_found"))
+    val nExact = broadcast(exact.agg(count(lit(1)).as("n_exact")))
+    boosts.join(nCand, Seq("boost"), "left")
+      .join(nFound, Seq("boost"), "left")
+      .crossJoin(nExact)
+      .select(col("boost"),
+        least(lit(wBase) * col("boost"), lit(maxWc)).as("w_probe"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("n_exact"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        when(col("n_exact") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("n_found"), lit(0L)).cast(DoubleType)
+            / col("n_exact").cast(DoubleType), 4)).as("recall"))
+      .orderBy(col("boost"))
+  }
+
+  private lazy val embFilteredBoostCurveTwoLevelSql: String = {
+    val dim = 64
+    val boostMax = 16 / ivfpqNprobe // adaptiveCells = 16 at oracle scale
+    s"""
+    WITH ${ScaleOps.ivf2Ctes(16, dim, 2)},
+    $pqCtesComposable,
+    inv2_f AS (
+      SELECT iv.vec_id, iv.cell FROM inverted2 iv
+      JOIN embeddings em ON em.vec_id = iv.vec_id
+      WHERE em.label IN (${filteredLabels.mkString(", ")})),
+    maxwc AS (SELECT COUNT(*) AS mwc FROM coarsep),
+    qcoarse AS (
+      SELECT query_id, qv, coarse, cr FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c.cell AS coarse,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ${ScaleOps.ivfSqDist("e.v", "c.c", dim)}, c.cell) AS cr
+        FROM e CROSS JOIN coarsep c
+        WHERE e.vec_id < 5)),
+    qcells AS (
+      SELECT q.query_id, q.qv, q.cr, f2c.fid AS cell,
+        ${ScaleOps.ivfSqDist("q.qv", "cf.c", dim)} AS dist
+      FROM qcoarse q
+      JOIN f2c ON f2c.coarse = q.coarse
+      JOIN centf cf ON cf.cell = f2c.fid),
+    boosts AS (
+      SELECT CAST(unnest(range(1, ${boostMax + 1})) AS INT) AS boost),
+    probed AS (
+      SELECT boost, query_id, cell FROM (
+        SELECT b.boost, q.query_id, q.cell,
+          ROW_NUMBER() OVER (PARTITION BY b.boost, q.query_id
+            ORDER BY q.dist, q.cell) AS cell_rank
+        FROM boosts b JOIN qcells q
+          ON q.cr <= LEAST(2 * b.boost, (SELECT mwc FROM maxwc)))
+      WHERE cell_rank <= $ivfpqNprobe * boost),
+    probesq AS (SELECT query_id, qv, cell FROM qcells),
+    ${adcCtes("probesq", "inv2_f", dim)},
+    pcos AS (
+      SELECT a.query_id, iv.cell, a.neighbor_id, a.adc_raw,
+        ${cosFold("qe.v", "c.v", dim)} AS cos_raw
+      FROM adcr a
+      JOIN inv2_f iv ON iv.vec_id = a.neighbor_id
+      JOIN e c ON c.vec_id = a.neighbor_id
+      JOIN e qe ON qe.vec_id = a.query_id),
+    tagged AS (
+      SELECT p.boost, c.query_id, c.neighbor_id, c.adc_raw, c.cos_raw
+      FROM probed p
+      JOIN pcos c ON c.query_id = p.query_id AND c.cell = p.cell),
+    surv_b AS (
+      SELECT * FROM (
+        SELECT boost, query_id, neighbor_id, cos_raw,
+          ROW_NUMBER() OVER (PARTITION BY boost, query_id
+            ORDER BY adc_raw DESC, neighbor_id) AS adc_rank
+        FROM tagged)
+      WHERE adc_rank <= $ivfpqRerank),
+    topk_b AS (
+      SELECT boost, query_id, neighbor_id FROM (
+        SELECT boost, query_id, neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY boost, query_id
+            ORDER BY cos_raw DESC, neighbor_id) AS rank
+        FROM surv_b)
+      WHERE rank <= $ivfpqK),
+    sub AS (
+      SELECT e.vec_id, e.v FROM e
+      JOIN embeddings em ON em.vec_id = e.vec_id
+      WHERE em.label IN (${filteredLabels.mkString(", ")})),
+    exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ${cosFold("q.v", "c.v", dim)} AS cos_raw
+      FROM e q JOIN sub c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+    exr AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_raw DESC, neighbor_id) AS rank
+        FROM exact)
+      WHERE rank <= $ivfpqK),
+    ncand AS (SELECT boost, COUNT(*) AS n_cand FROM tagged GROUP BY 1),
+    nfound AS (
+      SELECT t.boost, COUNT(*) AS n_found FROM topk_b t
+      JOIN exr x ON x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id
+      GROUP BY 1),
+    nex AS (SELECT COUNT(*) AS n_exact FROM exr)
+    SELECT b.boost,
+      CAST(LEAST(2 * b.boost, (SELECT mwc FROM maxwc)) AS INT) AS w_probe,
+      CAST(COALESCE(c.n_cand, 0) AS BIGINT) AS n_cand,
+      nex.n_exact, CAST(COALESCE(f.n_found, 0) AS BIGINT) AS n_found,
+      CASE WHEN nex.n_exact = 0 THEN 0.0 ELSE
+        ROUND(CAST(COALESCE(f.n_found, 0) AS DOUBLE) / nex.n_exact, 4)
+      END AS recall
     FROM boosts b
     LEFT JOIN ncand c ON c.boost = b.boost
     LEFT JOIN nfound f ON f.boost = b.boost
@@ -1997,6 +2222,7 @@ object Vectors {
     "emb_filtered_topk_selective" -> embFilteredTopkSelective,
     "emb_filtered_recall" -> embFilteredRecall,
     "emb_filtered_boost_curve" -> embFilteredBoostCurve,
+    "emb_filtered_boost_curve_two_level" -> embFilteredBoostCurveTwoLevel,
     "emb_filtered_topk_adaptive" -> embFilteredTopkAdaptive,
     "emb_ivfpq_rerank_curve" -> embIvfpqRerankCurve,
     "emb_index_build" -> embIndexBuild,
@@ -2023,6 +2249,7 @@ object Vectors {
     "emb_filtered_topk_selective" -> embFilteredTopkSelectiveSql,
     "emb_filtered_recall" -> embFilteredRecallSql,
     "emb_filtered_boost_curve" -> embFilteredBoostCurveSql,
+    "emb_filtered_boost_curve_two_level" -> embFilteredBoostCurveTwoLevelSql,
     "emb_filtered_topk_adaptive" -> embFilteredTopkAdaptiveSql,
     "emb_ivfpq_rerank_curve" -> embIvfpqRerankCurveSql,
     "emb_index_build" -> embIndexBuildSql,

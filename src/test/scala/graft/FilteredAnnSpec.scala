@@ -146,6 +146,30 @@ class FilteredAnnSpec extends SparkSpec {
       s"curve boost=2 recall $curveRecall != emb_filtered_recall micro-avg $micro")
   }
 
+  test("two-level boost curve: volume monotone, w_probe is the widening formula") {
+    // the two-level curve ships the measured form of the widening arm
+    // the next test pins behaviorally: per boost b the effective
+    // wProbe must be exactly min(w·b, |non-empty coarse|), and the
+    // candidate pool must grow (or saturate) with the boost
+    val curve = SparkEntry
+      .queries("emb_filtered_boost_curve_two_level")(spark, sf)
+      .orderBy(col("boost")).collect()
+    assert(curve.length >= 4)
+    val corpus = labeled(sf).select(col("id"), col("v"))
+    val n = corpus.count()
+    val idx = graft.operators.AnnIvf.twoLevelIndex(corpus,
+      graft.operators.AnnIvf.adaptiveCells(n), dim = 64, knownCount = n)
+    val maxWc = idx.coarseIds.length
+    curve.foreach { r =>
+      assert(r.getInt(1) == math.min(2 * r.getInt(0), maxWc),
+        s"w_probe must be min(w*boost, $maxWc): $r")
+    }
+    val cands = curve.map(_.getLong(2))
+    assert(cands.zip(cands.tail).forall { case (a, b) => b >= a },
+      s"candidate volume must be non-decreasing in boost: ${cands.toSeq}")
+    assert(cands.last > 0)
+  }
+
   test("two-level probe arm: the boost widens the coarse neighborhood too") {
     // ADVICE r12: boosting only the fine probe count leaves the
     // boosted probes capped by the FIXED wProbe coarse neighborhoods —
