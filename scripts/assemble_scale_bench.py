@@ -36,6 +36,7 @@ def main():
         "emb_index_lifecycle_two_level", "emb_index_shard_merge",
         "emb_filtered_topk", "emb_filtered_topk_selective",
         "emb_filtered_recall", "emb_filtered_boost_curve",
+        "emb_filtered_boost_curve_two_level",
         "emb_filtered_topk_adaptive",
         "st_ivfpq_serve", "st_ivfpq_serve_topk", "st_index_append",
         "st_index_delete")
