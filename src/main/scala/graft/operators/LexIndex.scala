@@ -449,6 +449,64 @@ object LexIndex {
     publish(tombFiles)
   }
 
+  /** Merge self-contained shard stores into one serving artifact —
+    * how a 100 TB corpus is ACTUALLY tokenized: no single job runs
+    * the full corpus pass; each shard job builds an independent store
+    * over its doc slice ([[buildIndex]] — there are no trained halves
+    * on the lexical side, so unlike IvfPq.mergeIndexes nothing needs
+    * cross-shard equality verification), and the merge is FILE-LEVEL:
+    * every shard's segment files land shard-tagged under the output
+    * tables — no decode, no shuffle, no row ever read (cost ∝ file
+    * count). Correct because the store is ADDITIVE SEGMENTS by
+    * design: postings/dl rows are doc-disjoint across shards and
+    * loadIndex's segment-summed df/totals views reconstruct the
+    * monolithic aggregates exactly — merge(shards) ≡ build(corpus)
+    * row for row (LexIndexSpec pins it; the doc_lex_shard_merge
+    * oracle hash-proves it end to end). Pending shard tombstones
+    * union the same way, so deletes landed against a shard survive
+    * the merge. Refused: a shard carrying streaming-ingest receipts
+    * (per-stream batchIds cannot merge meaningfully) or a staged
+    * compaction (the shard is mid-rewrite — indeterminate).
+    */
+  def mergeIndexes(spark: SparkSession, shardDirs: Seq[String],
+      outDir: String): Unit = {
+    require(shardDirs.nonEmpty, "mergeIndexes: no shards")
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(outDir).getFileSystem(conf)
+    shardDirs.foreach { d =>
+      require(!fs.exists(new Path(s"$d/_ingest_commits")),
+        s"mergeIndexes: shard $d carries _ingest_commits receipts - " +
+          "it is a serving store, not a build shard; compact its ingest " +
+          "into a fresh build before merging")
+      require(!fs.exists(new Path(s"$d/_compact_staging")),
+        s"mergeIndexes: shard $d carries a staged compaction - finish " +
+          "or discard it (compactIndex) before merging")
+    }
+    val out = new Path(outDir)
+    if (fs.exists(out)) fs.delete(out, true): Unit
+    // the four tables always exist in the output (explicit-schema
+    // reads of an existing empty dir yield empty relations — the
+    // empty-corpus totality rule); tombstones only if a shard has any
+    Seq("postings", "df", "dl", "totals")
+      .foreach(t => fs.mkdirs(new Path(s"$outDir/$t")): Unit)
+    shardDirs.zipWithIndex.foreach { case (d, i) =>
+      Seq("postings", "df", "dl", "totals", "tombstones").foreach { t =>
+        val src = new Path(s"$d/$t")
+        if (fs.exists(src)) {
+          val target = new Path(s"$outDir/$t")
+          if (!fs.exists(target)) fs.mkdirs(target): Unit
+          fs.listStatus(src).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+            .foreach { f =>
+              FileUtil.copy(fs, f, fs,
+                new Path(target, s"shard$i-${f.getName}"), false, conf): Unit
+            }
+        }
+      }
+    }
+  }
+
   /** [[appendToIndex]] for STREAMING ingest — idempotent under
     * micro-batch retry (IvfPq.appendBatchToIndex's exact protocol):
     * a commit marker short-circuits replayed batches; the delta

@@ -1072,6 +1072,96 @@ object Corpus {
     UNION ALL SELECT * FROM row_totals
     ORDER BY artifact"""
 
+  // -------------------------------------------------- doc_lex_shard_merge
+  // The DISTRIBUTED lexical build — emb_index_shard_merge's discipline
+  // on the text side, and how a 100 TB corpus actually tokenizes: no
+  // single job runs the full corpus pass; each shard builds a
+  // self-contained store over its doc slice (no trained halves exist
+  // on the lexical side, so no cross-shard equality gate is needed)
+  // and LexIndex.mergeIndexes unions the segment files FILE-LEVEL —
+  // no decode, no shuffle, no row read, cost ∝ file count. Correct
+  // because the store is additive segments by design (postings/dl
+  // doc-disjoint across shards; segment-summed df/totals views):
+  // merge(shards) ≡ build(corpus) row for row. The manifest
+  // checksums the RELOADED merged store — all four tables plus each
+  // shard's slice — and the oracle replays the FULL-CORPUS build, so
+  // hash-green IS that equivalence (LexIndexSpec additionally pins
+  // row-level equality, serving equality from the merged store, and
+  // the ingest-receipts / staged-compaction refusals).
+  private val docLexShardMerge: Q = (s, d) => {
+    import graft.operators.LexIndex
+    val docs = documents(s, d)
+    val base = lexDir(s, d)
+    val (dirA, dirB, dirM) =
+      (base + "_shard0", base + "_shard1", base + "_merged")
+    LexIndex.buildIndex(docs.filter(col("doc_id") % 2 === 0), dirA)
+    LexIndex.buildIndex(docs.filter(col("doc_id") % 2 === 1), dirB)
+    LexIndex.mergeIndexes(s, Seq(dirA, dirB), dirM)
+    // manifest from the RELOADED merged artifact
+    val loaded = LexIndex.loadIndex(s, dirM)
+    val dlRow = loaded.dl.agg(
+      lit("dl").as("artifact"),
+      count(lit(1)).as("n_rows"),
+      (coalesce(sum(col("doc_id")), lit(0L))
+        + coalesce(sum(col("dl")), lit(0L))).as("sum_a"),
+      coalesce(max(col("dl")), lit(0L)).cast(DoubleType).as("sum_b"))
+    lexStatRow("postings", loaded.postings)
+      .unionAll(lexStatRow("shard_even",
+        loaded.postings.filter(col("doc_id") % 2 === 0)))
+      .unionAll(lexStatRow("shard_odd",
+        loaded.postings.filter(col("doc_id") % 2 === 1)))
+      .unionAll(lexDfRow(loaded.df))
+      .unionAll(dlRow)
+      .unionAll(lexTotalsRow(loaded.totals))
+      .orderBy(col("artifact"))
+  }
+
+  private lazy val docLexShardMergeSql: String = s"""
+    WITH ${lexBuildCtes()},
+    row_postings AS (
+      SELECT 'postings' AS artifact,
+        (SELECT COUNT(*) FROM bpost) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(doc_id), 0) + COALESCE(SUM(tf), 0) AS BIGINT)
+           FROM bpost) AS sum_a,
+        (SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) FROM bpost) AS sum_b),
+    row_even AS (
+      SELECT 'shard_even' AS artifact,
+        (SELECT COUNT(*) FROM bpost WHERE doc_id % 2 = 0) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(doc_id), 0) + COALESCE(SUM(tf), 0) AS BIGINT)
+           FROM bpost WHERE doc_id % 2 = 0) AS sum_a,
+        (SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) FROM bpost
+           WHERE doc_id % 2 = 0) AS sum_b),
+    row_odd AS (
+      SELECT 'shard_odd' AS artifact,
+        (SELECT COUNT(*) FROM bpost WHERE doc_id % 2 = 1) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(doc_id), 0) + COALESCE(SUM(tf), 0) AS BIGINT)
+           FROM bpost WHERE doc_id % 2 = 1) AS sum_a,
+        (SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) FROM bpost
+           WHERE doc_id % 2 = 1) AS sum_b),
+    row_df AS (
+      SELECT 'df' AS artifact,
+        (SELECT COUNT(*) FROM bdf) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(df), 0) AS BIGINT) FROM bdf) AS sum_a,
+        (SELECT CAST(COALESCE(MAX(df), 0) AS DOUBLE) FROM bdf) AS sum_b),
+    row_dl AS (
+      SELECT 'dl' AS artifact,
+        (SELECT COUNT(*) FROM bdl) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(doc_id), 0) + COALESCE(SUM(dl), 0) AS BIGINT)
+           FROM bdl) AS sum_a,
+        (SELECT CAST(COALESCE(MAX(dl), 0) AS DOUBLE) FROM bdl) AS sum_b),
+    row_totals AS (
+      SELECT 'totals' AS artifact,
+        (SELECT n_corpus FROM btot) AS n_rows,
+        (SELECT t_total FROM btot) AS sum_a,
+        (SELECT CAST(n_corpus + t_total AS DOUBLE) FROM btot) AS sum_b)
+    SELECT * FROM row_df
+    UNION ALL SELECT * FROM row_dl
+    UNION ALL SELECT * FROM row_postings
+    UNION ALL SELECT * FROM row_even
+    UNION ALL SELECT * FROM row_odd
+    UNION ALL SELECT * FROM row_totals
+    ORDER BY artifact"""
+
   // ------------------------------------------------------ doc_lex_delete
   // Takedown + compaction on the persisted lexical index — the
   // emb_index_delete discipline on the text side. Deletes are
@@ -1324,6 +1414,7 @@ object Corpus {
     "doc_bm25_served" -> docBm25Served,
     "doc_lex_append" -> docLexAppend,
     "doc_lex_delete" -> docLexDelete,
+    "doc_lex_shard_merge" -> docLexShardMerge,
     "doc_hybrid_rrf" -> docHybridRrf,
     "doc_hybrid_rrf_ann" -> docHybridRrfAnn,
     "doc_winnowing" -> docWinnowing,
@@ -1343,6 +1434,7 @@ object Corpus {
     "doc_bm25_served" -> docBm25TopkSql,
     "doc_lex_append" -> docLexAppendSql,
     "doc_lex_delete" -> docLexDeleteSql,
+    "doc_lex_shard_merge" -> docLexShardMergeSql,
     "doc_hybrid_rrf" -> docHybridRrfSql,
     "doc_hybrid_rrf_ann" -> docHybridRrfAnnSql,
     "doc_winnowing" -> docWinnowingSql,

@@ -110,6 +110,51 @@ class LexIndexSpec extends SparkSpec {
       "re-applying already-removed tombstones must be a no-op")
   }
 
+  test("shard merge == monolithic build; serving equality; unsafe shards refused") {
+    val docs = Tables.documents(spark, sf)
+    val (a, b, m, mono) =
+      (tmp("sm_a"), tmp("sm_b"), tmp("sm_m"), tmp("sm_mono"))
+    LexIndex.buildIndex(docs.filter(col("doc_id") % 2 === 0), a)
+    LexIndex.buildIndex(docs.filter(col("doc_id") % 2 === 1), b)
+    LexIndex.mergeIndexes(spark, Seq(a, b), m)
+    LexIndex.buildIndex(docs, mono)
+    assert(storeRows(m) == storeRows(mono),
+      "file-level merge diverges from the monolithic build")
+    assert(storeRows(m).head.nonEmpty)
+    // serving from the merged store == serving from the monolithic one
+    val q = docs.filter(col("doc_id") < 5).select(col("doc_id"), col("text"))
+    assert(
+      rows(LexIndex.bm25FromIndex(LexIndex.loadIndex(spark, m), q, 20)) ==
+        rows(LexIndex.bm25FromIndex(LexIndex.loadIndex(spark, mono), q, 20)),
+      "serving from the merged store diverges")
+    // a pending shard tombstone survives the merge and gates serving
+    val victim = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id")).limit(1)
+    val victimId = victim.collect().head.getLong(0)
+    LexIndex.deleteFromIndex(victim, a)
+    val m2 = tmp("sm_m2")
+    LexIndex.mergeIndexes(spark, Seq(a, b), m2)
+    val lm2 = LexIndex.loadIndex(spark, m2)
+    assert(lm2.postings.filter(col("doc_id") === victimId).count() > 0,
+      "raw merged store keeps the rows until compaction")
+    assert(lm2.livePostings.filter(col("doc_id") === victimId).count() == 0,
+      "the shard's pending tombstone must gate the merged live view")
+    // refusals: ingest receipts / staged compaction mark a shard unsafe
+    val fs = new org.apache.hadoop.fs.Path(a)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$a/_ingest_commits"))
+    val e1 = intercept[IllegalArgumentException] {
+      LexIndex.mergeIndexes(spark, Seq(a, b), tmp("sm_ref1"))
+    }
+    assert(e1.getMessage.contains("_ingest_commits"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$a/_ingest_commits"), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$b/_compact_staging"))
+    val e2 = intercept[IllegalArgumentException] {
+      LexIndex.mergeIndexes(spark, Seq(a, b), tmp("sm_ref2"))
+    }
+    assert(e2.getMessage.contains("staged compaction"))
+  }
+
   test("streaming ingest replay-safe: committed no-op, pre-marker crash republished, equals batch build") {
     val docs = Tables.documents(spark, sf)
     val isDelta = col("doc_id") % 10 === 7
