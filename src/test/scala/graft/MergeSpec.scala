@@ -155,6 +155,39 @@ class MergeSpec extends SparkSpec {
       "online serve from the merged store diverged from the monolithic store")
   }
 
+  test("online HYBRID serve from MERGED stores (both modalities) == monolithic") {
+    import graft.operators.LexIndex
+    // the full RAG serving path (st_hybrid_serve's live stages) with
+    // BOTH persisted retrievers loaded from mergeIndexes outputs —
+    // the distributed-build-to-online-serve loop closed end to end
+    val docs = Tables.documents(spark, sf)
+    val (la, lb, lm, lmono) =
+      (tmp("hs_la"), tmp("hs_lb"), tmp("hs_lm"), tmp("hs_lmono"))
+    LexIndex.buildIndex(docs.filter(col("doc_id") % 2 === 0), la)
+    LexIndex.buildIndex(docs.filter(col("doc_id") % 2 === 1), lb)
+    LexIndex.mergeIndexes(spark, Seq(la, lb), lm)
+    LexIndex.buildIndex(docs, lmono)
+    val (vm, vmono) = buildMerged(graft.operators.AnnIvf.OneLevelMaxVectors, "hs")
+    val c = corpus()
+    val full = c.select(col("id").as("neighbor_id"), col("v").as("cv"))
+    val reqs = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text"))
+      .join(c.filter(col("id") < 5)
+        .select(col("id").as("query_id"), col("v").as("qv")), Seq("query_id"))
+    def served(lexDir: String, vecDir: String): Seq[String] = {
+      val lex = LexIndex.loadIndex(spark, lexDir)
+      val feed = graft.queries.Streaming
+        .hybridFeed(IvfPq.loadIndex(spark, vecDir), reqs)
+        .localCheckpoint(true)
+      graft.queries.Streaming.hybridServeStage(lex, full, feed)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val fromMerged = served(lm, vm)
+    assert(fromMerged.nonEmpty)
+    assert(fromMerged == served(lmono, vmono),
+      "hybrid serve from merged stores diverged from the monolithic stores")
+  }
+
   test("merged store supports the full lifecycle: append + delete + compact") {
     val c = corpus().persist()
     val n = c.count()
