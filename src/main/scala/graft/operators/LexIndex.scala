@@ -27,8 +27,9 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType
   * discipline).
   *
   * Scoring contract (shared verbatim with the inline doc_bm25_topk —
-  * ONE implementation, [[queryTerms]] + [[scoreCandidates]], so the
-  * stored and inline paths cannot drift): BM25 k1 = 1.2, b = 0.75;
+  * ONE implementation: [[serveStage]] for every stored/streamed path,
+  * [[queryTerms]] + [[scoreCandidates]] underneath it and the inline
+  * chain, so the paths cannot drift): BM25 k1 = 1.2, b = 0.75;
   * the tf-saturation term as the exact integer rational
   * 44·T·tf / (20·T·tf + 6·T + 18·dl·N); idf argument (2N+2)/(2df+1);
   * per-term contributions summed through DECIMAL(28,15); ranking by

@@ -916,8 +916,9 @@ object Corpus {
   // reproduce the inline ones bit for bit — this query shares
   // doc_bm25_topk's ORACLE verbatim, and that hash equality IS the
   // store round-trip proof. Scoring is LexIndex's one implementation
-  // (queryTerms + scoreCandidates), shared with the inline chain and
-  // the streaming serve, so the three paths cannot drift.
+  // (serveStage — capQueryTerms + scoreCandidates underneath), shared
+  // with the inline chain and the streaming serves, so the paths
+  // cannot drift.
   //
   // 100 TB shape: the build is the one full corpus scan (amortized
   // across every query thereafter); serving tokenizes the |Q| query

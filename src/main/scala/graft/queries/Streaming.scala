@@ -569,8 +569,8 @@ object Streaming {
   // under ANY batching because a query's tokens explode from its ONE
   // arriving row (never split across batches) and its candidates
   // derive only from its own terms. Scoring is LexIndex's single
-  // implementation (capQueryTerms + scoreCandidates — the same code
-  // the inline and batch-served paths run), and the oracle is
+  // implementation (serveStage, via the shared [[bm25ServeStage]] —
+  // the same code the batch-served path runs), and the oracle is
   // doc_bm25_topk's chain verbatim: inline == stored == streamed,
   // hash-pinned three ways.
   //
@@ -730,8 +730,8 @@ object Streaming {
     * self-source union: slim ADC candidates (token null), one qv row
     * per query (neighbor_id + token null), per-row query-token rows
     * (token set). Composes ONLY the shared stages: serveTopkStage,
-    * LexIndex.serveStage (via [[bm25ServeStage]]'s underlying
-    * implementation), Corpus.rrfFuse.
+    * LexIndex.serveStage (the same function under
+    * [[bm25ServeStage]]), Corpus.rrfFuse.
     */
   private[graft] def hybridServeStage(lex: graft.operators.LexIndex.Loaded,
       full: DataFrame, batch: DataFrame): DataFrame = {

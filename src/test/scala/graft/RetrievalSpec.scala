@@ -164,6 +164,41 @@ class RetrievalSpec extends SparkSpec {
     assert(fallback.count() == loaded.postings.count())
   }
 
+  test("served query-doc and vocab scans are pushdown-pruned") {
+    import graft.operators.LexIndex
+    val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_lexqd_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    LexIndex.buildIndex(Tables.documents(spark, sf), dir)
+    val loaded = LexIndex.loadIndex(spark, dir)
+    // (1) the caller-supplied query docs reach the corpus scan as a
+    // doc_id pushdown — doc_bm25_served reads exactly the |Q| query
+    // rows' text, never the corpus (nor the posting store, which the
+    // token-sorted layout cannot prune by doc_id — the r13 defect)
+    val q = Tables.documents(spark, sf).filter(col("doc_id") < 5)
+      .select(col("doc_id"), col("text"))
+    val qplan = q.queryExecution.executedPlan.toString
+    assert(qplan.contains("PushedFilters:") &&
+      qplan.contains("LessThan(doc_id,5)"),
+      s"query-doc selection must push into the documents scan:\n$qplan")
+    // (2) the vocab attach prunes the df STORE scan with token IN —
+    // and the pushdown must survive the segment-summed aggregate view
+    // loadIndex puts over the store (filter on the grouping key)
+    val qtoks = LexIndex.queryTokens(q)
+    val dfPruned = LexIndex.candidatePostings(loaded.df, qtoks)
+    val plan = dfPruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"token IN must reach the vocab parquet scan below the df view:\n$plan")
+    assert(dfPruned.count() > 0)
+    // exact: the pruned read is precisely the query-token vocabulary
+    // (at this tiny sf the 5 query docs may span the WHOLE vocab, so
+    // a strict-subset assertion would be scale-dependent)
+    val expectVocab = loaded.df
+      .join(qtoks.select(col("token")).distinct(), Seq("token"), "left_semi")
+      .count()
+    assert(dfPruned.count() == expectVocab,
+      s"pruned vocab read ${dfPruned.count()} != query-token vocab $expectVocab")
+  }
+
   test("hybrid serve: NO scan of the documents table anywhere in the serving path") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import graft.operators.{IvfPq, LexIndex}
