@@ -1438,9 +1438,18 @@ object Vectors {
       case IvfPq.TwoLevelIndexW(idx, _) => (idx.coarseIds, idx.coarseCents)
     }
     import s.implicits._
+    // Exact DECIMAL(38,18) sum, rounded ONCE at the end. NOT (18,6):
+    // Spark's double->decimal cast rounds the shortest repr HALF_UP
+    // while DuckDB's TRUNCATES the exact binary expansion, so per-
+    // element quantization at 6dp diverges by +-1e-6 on computed
+    // (full-precision) doubles and only statistical sign cancellation
+    // kept the summed manifests green (it broke at sf0.1). At 18dp
+    // the two casts differ by ~1e-17/element, invisible at the final
+    // 6dp rounding.
     def decSum(c: Column): Column =
-      coalesce(sum(c.cast(DecimalType(18, 6))),
-        lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 6))).cast(DoubleType)
+      round(coalesce(sum(c.cast(DecimalType(38, 18))),
+        lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 18)))
+        .cast(DoubleType), 6)
     val centEl = cids.zip(ccents).toSeq
       .flatMap { case (cell, cent) => cent.map(x => (cell, x)) }
       .toDF("cell", "x")
@@ -1479,14 +1488,14 @@ object Vectors {
       SELECT 'centroids' AS artifact,
         (SELECT COUNT(*) FROM centf) AS n_rows,
         (SELECT CAST(COALESCE(SUM(cell), 0) AS BIGINT) FROM centf) AS sum_a,
-        CAST(COALESCE(SUM(CAST(x AS DECIMAL(18,6))), 0) AS DOUBLE) AS sum_b
+        ROUND(CAST(COALESCE(SUM(CAST(x AS DECIMAL(38,18))), 0) AS DOUBLE), 6) AS sum_b
       FROM cent_el),
     cb_el AS (SELECT sub, code, unnest(c) AS x FROM pq_cb),
     cb_stats AS (
       SELECT 'codebooks' AS artifact,
         (SELECT COUNT(*) FROM pq_cb) AS n_rows,
         (SELECT CAST(COALESCE(SUM((sub + 1) * (code + 1)), 0) AS BIGINT) FROM pq_cb) AS sum_a,
-        CAST(COALESCE(SUM(CAST(x AS DECIMAL(18,6))), 0) AS DOUBLE) AS sum_b
+        ROUND(CAST(COALESCE(SUM(CAST(x AS DECIMAL(38,18))), 0) AS DOUBLE), 6) AS sum_b
       FROM cb_el),
     inv_stats AS (
       SELECT 'inverted' AS artifact,
@@ -1540,9 +1549,18 @@ object Vectors {
     IvfPq.mergeIndexes(s, Seq(dirA, dirB), dirM)
     val loaded = IvfPq.loadIndex(s, dirM)
     import s.implicits._
+    // Exact DECIMAL(38,18) sum, rounded ONCE at the end. NOT (18,6):
+    // Spark's double->decimal cast rounds the shortest repr HALF_UP
+    // while DuckDB's TRUNCATES the exact binary expansion, so per-
+    // element quantization at 6dp diverges by +-1e-6 on computed
+    // (full-precision) doubles and only statistical sign cancellation
+    // kept the summed manifests green (it broke at sf0.1). At 18dp
+    // the two casts differ by ~1e-17/element, invisible at the final
+    // 6dp rounding.
     def decSum(c: Column): Column =
-      coalesce(sum(c.cast(DecimalType(18, 6))),
-        lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 6))).cast(DoubleType)
+      round(coalesce(sum(c.cast(DecimalType(38, 18))),
+        lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 18)))
+        .cast(DoubleType), 6)
     val (cids, ccents) = loaded.index match {
       case IvfPq.OneLevelIndex(ids, cents) => (ids, cents)
       case IvfPq.TwoLevelIndexW(idx, _) => (idx.coarseIds, idx.coarseCents)
@@ -1579,7 +1597,7 @@ object Vectors {
       SELECT 'centroids' AS artifact,
         (SELECT COUNT(*) FROM centf) AS n_rows,
         (SELECT CAST(COALESCE(SUM(cell), 0) AS BIGINT) FROM centf) AS sum_a,
-        CAST(COALESCE(SUM(CAST(x AS DECIMAL(18,6))), 0) AS DOUBLE) AS sum_b
+        ROUND(CAST(COALESCE(SUM(CAST(x AS DECIMAL(38,18))), 0) AS DOUBLE), 6) AS sum_b
       FROM cent_el),
     inv_part AS (
       SELECT i.vec_id, i.cell, c.code
@@ -1870,9 +1888,18 @@ object Vectors {
       case other => sys.error(s"forced two-level store loaded as $other")
     }
     import s.implicits._
+    // Exact DECIMAL(38,18) sum, rounded ONCE at the end. NOT (18,6):
+    // Spark's double->decimal cast rounds the shortest repr HALF_UP
+    // while DuckDB's TRUNCATES the exact binary expansion, so per-
+    // element quantization at 6dp diverges by +-1e-6 on computed
+    // (full-precision) doubles and only statistical sign cancellation
+    // kept the summed manifests green (it broke at sf0.1). At 18dp
+    // the two casts differ by ~1e-17/element, invisible at the final
+    // 6dp rounding.
     def decSum(c: Column): Column =
-      coalesce(sum(c.cast(DecimalType(18, 6))),
-        lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 6))).cast(DoubleType)
+      round(coalesce(sum(c.cast(DecimalType(38, 18))),
+        lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 18)))
+        .cast(DoubleType), 6)
     // trained halves from the RELOADED artifact (never the in-memory
     // build) — driver-local tables, ≤ √cells rows by construction
     val coarseEl = idx.coarseIds.zip(idx.coarseCents).toSeq
@@ -1934,7 +1961,7 @@ object Vectors {
       SELECT 'coarse' AS artifact,
         (SELECT COUNT(*) FROM coarsep) AS n_rows,
         (SELECT CAST(COALESCE(SUM(cell), 0) AS BIGINT) FROM coarsep) AS sum_a,
-        CAST(COALESCE(SUM(CAST(x AS DECIMAL(18,6))), 0) AS DOUBLE) AS sum_b
+        ROUND(CAST(COALESCE(SUM(CAST(x AS DECIMAL(38,18))), 0) AS DOUBLE), 6) AS sum_b
       FROM coarse_el),
     grp_el AS (
       SELECT f2c.fid, unnest(f.fv) AS x
@@ -1943,7 +1970,7 @@ object Vectors {
       SELECT 'groups' AS artifact,
         (SELECT COUNT(DISTINCT coarse) FROM f2c) AS n_rows,
         (SELECT CAST(COALESCE(SUM(fid), 0) AS BIGINT) FROM f2c) AS sum_a,
-        CAST(COALESCE(SUM(CAST(x AS DECIMAL(18,6))), 0) AS DOUBLE) AS sum_b
+        ROUND(CAST(COALESCE(SUM(CAST(x AS DECIMAL(38,18))), 0) AS DOUBLE), 6) AS sum_b
       FROM grp_el),
     live_stats AS (
       SELECT
