@@ -832,7 +832,7 @@ object Corpus {
     // retrieval cannot drift
     val post = LexIndex.postings(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    LexIndex.bm25Ranked(post, LexIndex.dfOf(post), LexIndex.dlOf(post),
+    LexIndex.bm25Ranked(post, LexIndex.dfOf(post), LexIndex.dlOf(docs, post),
       LexIndex.totalsOf(docs, post), col("doc_id") < 5, bm25QTerms)
   }
   private val docBm25Topk: Q = (s, d) =>
@@ -859,7 +859,11 @@ object Corpus {
       FROM btok
       GROUP BY doc_id, token),
     bdf AS (SELECT token, COUNT(*) AS df FROM bpost GROUP BY token),
-    bdl AS (SELECT doc_id, COUNT(*) AS dl FROM btok GROUP BY doc_id),
+    bdl AS (
+      SELECT d.doc_id, COUNT(t.token) AS dl
+      FROM (SELECT doc_id FROM documents $where) d
+      LEFT JOIN btok t ON t.doc_id = d.doc_id
+      GROUP BY d.doc_id),
     btot AS (
       SELECT (SELECT COUNT(*) FROM documents $where) AS n_corpus,
         (SELECT COUNT(*) FROM btok) AS t_total)"""

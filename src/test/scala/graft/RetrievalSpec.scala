@@ -134,7 +134,7 @@ class RetrievalSpec extends SparkSpec {
       df.collect().map(_.toString).sorted.toSeq
     assert(rows(loaded.postings) == rows(post))
     assert(rows(loaded.df) == rows(LexIndex.dfOf(post)))
-    assert(rows(loaded.dl) == rows(LexIndex.dlOf(post)))
+    assert(rows(loaded.dl) == rows(LexIndex.dlOf(docs, post)))
     assert(rows(loaded.totals) == rows(LexIndex.totalsOf(docs, post)))
     assert(rows(loaded.postings).nonEmpty)
   }
