@@ -398,7 +398,8 @@ object IvfPq {
     // no-op batch ids the new store never saw
     val tfs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("tombstones", "_ingest_commits", "_staging").foreach { sub =>
+    Seq("tombstones", "_ingest_commits", "_staging",
+        "_append_commits", "_append_staging").foreach { sub =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
       if (tfs.exists(p)) tfs.delete(p, true): Unit
     }
@@ -554,33 +555,53 @@ object IvfPq {
     // files, but the merged store must still load (explicit-schema
     // reads of an existing empty dir yield empty relations)
     fs.mkdirs(new Path(s"$outDir/inverted")): Unit
-    shardDirs.zipWithIndex.foreach { case (d, i) =>
-      val inv = new Path(s"$d/inverted")
-      if (fs.exists(inv))
-        fs.listStatus(inv)
-          .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-          .foreach { cellDir =>
-            val target = new Path(s"$outDir/inverted/${cellDir.getPath.getName}")
-            if (!fs.exists(target)) fs.mkdirs(target): Unit
-            fs.listStatus(cellDir.getPath).map(_.getPath)
-              .filter(_.getName.endsWith(".parquet"))
-              .foreach { f =>
-                FileUtil.copy(fs, f, fs,
-                  new Path(target, s"shard$i-${f.getName}"), false, conf): Unit
-              }
-          }
-      val tomb = new Path(s"$d/tombstones")
-      if (fs.exists(tomb)) {
-        val target = new Path(s"$outDir/tombstones")
-        if (!fs.exists(target)) fs.mkdirs(target): Unit
-        fs.listStatus(tomb).map(_.getPath)
-          .filter(_.getName.endsWith(".parquet"))
-          .foreach { f =>
-            FileUtil.copy(fs, f, fs,
-              new Path(target, s"shard$i-${f.getName}"), false, conf): Unit
-          }
-      }
+    // gather every (src, dst) pair up front — LIVE files only (a
+    // shard's torn append garbage never crosses a merge; a committed
+    // shard append merges like any other file) — then copy on a
+    // bounded driver thread pool: at real segment counts the per-file
+    // round trips dominate, so the pool width, not byte volume, is
+    // the cost knob (the copy itself stands in for a same-fs rename /
+    // object-store server-side copy, which must not consume the input
+    // shards)
+    val copies: Seq[(Path, Path)] = shardDirs.zipWithIndex.flatMap {
+      case (d, i) =>
+        val appends = markerIds(fs, new Path(s"$d/_append_commits"))
+        val ingests = markerIds(fs, new Path(s"$d/_ingest_commits"))
+        val inv = new Path(s"$d/inverted")
+        val coded: Seq[(Path, Path)] =
+          if (!fs.exists(inv)) Seq.empty
+          else fs.listStatus(inv)
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+            .flatMap { cellDir =>
+              fs.listStatus(cellDir.getPath).map(_.getPath)
+                .filter(p => p.getName.endsWith(".parquet")
+                  && fileIsLive(p.getName, appends, ingests))
+                .map(f => (f, new Path(
+                  s"$outDir/inverted/${cellDir.getPath.getName}",
+                  s"shard$i-${f.getName}")))
+            }.toSeq
+        val tomb = new Path(s"$d/tombstones")
+        val tombs: Seq[(Path, Path)] =
+          if (!fs.exists(tomb)) Seq.empty
+          else fs.listStatus(tomb).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+            .map(f => (f,
+              new Path(s"$outDir/tombstones", s"shard$i-${f.getName}")))
+            .toSeq
+        coded ++ tombs
     }
+    copies.map(_._2.getParent).distinct
+      .foreach(p => if (!fs.exists(p)) fs.mkdirs(p): Unit)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, copies.size max 1)))
+    try {
+      copies.map { case (src, dst) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit =
+            FileUtil.copy(fs, src, fs, dst, false, conf): Unit
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
   }
 
   /** Incremental index maintenance: assign + encode `delta` (id, v)
@@ -598,11 +619,145 @@ object IvfPq {
     * unbalance cells; emb_index_append's `balance` manifest row
     * (max-cell / mean-cell occupancy) is the retrain trigger a
     * deployment watches.
+    *
+    * CRASH-ATOMIC (the LexIndex.appendToIndex protocol): the coded
+    * rows stage under `_append_staging`, publish renames them to
+    * deterministic `append-<id>-<n>` names inside the `cell=`
+    * partitions, and the `_append_commits/<id>` marker lands strictly
+    * last — a crash mid-publish (some cells' files in, others not)
+    * leaves the whole append INVISIBLE to [[loadIndex]] /
+    * [[compactIndex]] / [[mergeIndexes]] rather than a torn coded
+    * file; the next append call rolls the torn attempt back (batch
+    * appends are transactional retry-by-caller; the STREAMING path
+    * [[appendBatchToIndex]] instead resumes by batchId). `failAfter`
+    * is the crash-window test seam ("staged" dies before any publish,
+    * "publish-partial" between cell publishes).
     */
-  def appendToIndex(loaded: Loaded, delta: DataFrame, dir: String): Unit =
+  def appendToIndex(loaded: Loaded, delta: DataFrame, dir: String,
+      failAfter: String = ""): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = delta.sparkSession
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rollbackTornAppend(fs, dir)
+    val used = markerIds(fs, new Path(s"$dir/_append_commits"))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+    val segId = if (used.isEmpty) 1L else used.max + 1L
+    val staging = new Path(s"$dir/_append_staging/seg=$segId")
     codedInvertedFile(loaded.index, delta, loaded.books, loaded.dsub)
       .select(col("id"), col("codes"), col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/inverted")
+      .repartition(col("cell")) // one deterministic file per touched cell
+      .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+    if (failAfter == "staged") return
+    // activate liveness filtering BEFORE the first rename so an
+    // in-flight append can never be read
+    fs.mkdirs(new Path(s"$dir/_append_commits")): Unit
+    val cellDirs = fs.listStatus(staging)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .sortBy(_.getPath.getName)
+    for (cellDir <- cellDirs.take(
+        if (failAfter == "publish-partial") 1 else cellDirs.length)) {
+      val target = new Path(s"$dir/inverted/${cellDir.getPath.getName}")
+      if (!fs.exists(target)) fs.mkdirs(target): Unit
+      fs.listStatus(cellDir.getPath).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex
+        .foreach { case (f, i) =>
+          val dst = new Path(target, s"append-$segId-$i.parquet")
+          if (fs.exists(dst)) fs.delete(dst, false): Unit
+          fs.rename(f, dst): Unit
+        }
+    }
+    if (failAfter == "publish-partial") return
+    fs.create(new Path(s"$dir/_append_commits/$segId")).close() // commit
+    fs.delete(new Path(s"$dir/_append_staging"), true): Unit
+  }
+
+  private def markerIds(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Set[String] =
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).map(_.getPath.getName).toSet
+
+  /** Roll back a torn batch append: purge any partially-published
+    * (invisible) files of an UNCOMMITTED staged append, then drop the
+    * staging. A committed leftover (marker landed, staging cleanup
+    * alone crashed) keeps its files.
+    */
+  private def rollbackTornAppend(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"$dir/_append_staging")
+    if (!fs.exists(root)) return
+    val inv = new Path(s"$dir/inverted")
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("seg=")).foreach { sd =>
+        val segId = sd.getName.stripPrefix("seg=")
+        if (!fs.exists(new Path(s"$dir/_append_commits/$segId")) &&
+            fs.exists(inv))
+          fs.listStatus(inv)
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+            .foreach { cellDir =>
+              fs.listStatus(cellDir.getPath).map(_.getPath)
+                .filter(_.getName.startsWith(s"append-$segId-"))
+                .foreach(p => fs.delete(p, false): Unit)
+            }
+      }
+    fs.delete(root, true): Unit
+  }
+
+  /** Is a coded-file name LIVE (committed)? `append-`/`ingest-` tagged
+    * files need their marker; everything else (base build, compaction
+    * rewrites, merged shard copies — the merge copies only live
+    * files) is live.
+    */
+  private def fileIsLive(name: String, appends: Set[String],
+      ingests: Set[String]): Boolean =
+    if (name.startsWith("append-")) appends.contains(name.split("-")(1))
+    else if (name.startsWith("ingest-")) ingests.contains(name.split("-")(1))
+    else true
+
+  /** The LIVE files of the stored inverted file — one driver-side
+    * recursive listing (∝ file count: the manifest read every LSM
+    * store pays; a deployment amortizes it in a manifest file).
+    * Returns None on the fast path (no tagged write ever landed —
+    * read the directory wholesale, no listing).
+    */
+  private def liveInvertedFiles(spark: SparkSession,
+      dir: String): Option[Seq[String]] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val appendMarks = new Path(s"$dir/_append_commits")
+    val ingestMarks = new Path(s"$dir/_ingest_commits")
+    if (!fs.exists(appendMarks) && !fs.exists(ingestMarks)) return None
+    val appends = markerIds(fs, appendMarks)
+    val ingests = markerIds(fs, ingestMarks)
+    val inv = new Path(s"$dir/inverted")
+    if (!fs.exists(inv)) return Some(Seq.empty)
+    Some(fs.listStatus(inv)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .flatMap(cd => fs.listStatus(cd.getPath).map(_.getPath))
+      .filter(p => p.getName.endsWith(".parquet")
+        && fileIsLive(p.getName, appends, ingests))
+      .map(_.toString).sorted.toSeq)
+  }
+
+  /** The stored coded file, LIVE files only (torn appends invisible);
+    * explicit-file reads keep the `cell=` partition column via
+    * basePath. Every reader of `dir/inverted` — load, compaction
+    * discovery and rewrite, merge copy — goes through this view, so
+    * an uncommitted append can never be served, folded into a
+    * compaction, or cross a merge.
+    */
+  private def readInverted(spark: SparkSession, dir: String): DataFrame =
+    liveInvertedFiles(spark, dir) match {
+      case None => spark.read.schema(invertedSchema).parquet(s"$dir/inverted")
+      case Some(files) if files.isEmpty =>
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), invertedSchema)
+      case Some(files) =>
+        spark.read.schema(invertedSchema)
+          .option("basePath", s"$dir/inverted").parquet(files: _*)
+    }
 
   /** [[appendToIndex]] for STREAMING ingest — idempotent under
     * micro-batch retry. Structured Streaming re-runs a batch after a
@@ -741,14 +896,17 @@ object IvfPq {
     // partition value) is read, never the codes
     val tombCells =
       if (tombFiles.isEmpty) Seq.empty[Int]
-      else spark.read.schema(invertedSchema).parquet(s"$dir/inverted")
+      else readInverted(spark, dir)
         .join(broadcast(tombs), Seq("id"), "left_semi")
         .select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
     val touched = (fragmented ++ tombCells).distinct.sorted
     if (touched.nonEmpty) {
       // localCheckpoint truncates the lineage off the source path so
-      // the self-overwrite is legal; only touched cells are read
-      val rows = spark.read.schema(invertedSchema).parquet(s"$dir/inverted")
+      // the self-overwrite is legal; only touched cells are read —
+      // LIVE files only: a torn (uncommitted) append must never be
+      // folded into the rewrite (the overwrite also clears its
+      // invisible garbage from the touched cells)
+      val rows = readInverted(spark, dir)
         .filter(col("cell").isin(touched: _*))
         .join(broadcast(tombs), Seq("id"), "left_anti")
         .repartition(col("cell")) // co-locate each cell → one file per cell
@@ -796,11 +954,15 @@ object IvfPq {
 
   /** Deterministic scratch location for the persisted index artifact
     * of an sf dir — /tmp scratch (the ScaleUp-tile convention), never
-    * the read-only testdata; overwritten per build.
+    * the read-only testdata; overwritten per build. Keyed by
+    * (dataset, applicationId) with exit-time reclamation
+    * ([[Scratch.sessionDir]] — the lexDir/requestDir discipline: two
+    * JVMs sharing /tmp must not race a rebuild against open readers).
+    * Resolves against the ACTIVE session, so all of a session's
+    * callers (queries, specs, probes) agree on the path.
     */
   def indexDir(sfDir: String): String =
-    s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_ivfpq_index_" +
-      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    Scratch.sessionDir("graft_ivfpq_index", SparkSession.active, sfDir)
 
   /** A loaded index: the trained halves plus the stored coded file AS
     * A DATAFRAME (cell, id, codes) — the serve path joins it directly,
@@ -841,8 +1003,8 @@ object IvfPq {
     val m = meta(0).getInt(1)
     val books = Array.tabulate(m)(s =>
       bookRows.filter(_._1 == s).sortBy(_._2).map(_._3))
-    val inverted = spark.read.schema(invertedSchema)
-      .parquet(s"$dir/inverted").select(col("cell"), col("id"), col("codes"))
+    val inverted = readInverted(spark, dir)
+      .select(col("cell"), col("id"), col("codes"))
     val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val tombFs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live =

@@ -938,23 +938,9 @@ object Corpus {
   // reclaims the per-app dirs on clean JVM exit — at sf10 the lexical
   // store is GBs, and without the hook every bench/verify JVM would
   // leave its own copy behind.
-  private val scratchCleanup =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def sessionScratch(prefix: String, s: SparkSession,
-      sfDir: String): String = {
-    val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/${prefix}_" +
-      sfDir.replaceAll("[^A-Za-z0-9._-]", "_") +
-      "_" + s.sparkContext.applicationId
-    if (scratchCleanup.add(dir))
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rec(f: java.io.File): Unit = {
-          val cs = f.listFiles(); if (cs != null) cs.foreach(rec)
-          f.delete(): Unit
-        }
-        rec(new java.io.File(dir))
-      }))
-    dir
-  }
+      sfDir: String): String =
+    graft.operators.Scratch.sessionDir(prefix, s, sfDir)
   private[graft] def lexDir(s: SparkSession, sfDir: String): String =
     sessionScratch("graft_lex_index", s, sfDir)
   /** Scratch dir for the hybrid serve's REQUEST FEED (the arrival
