@@ -1017,7 +1017,14 @@ object Corpus {
         + coalesce(sum(col("dl")), lit(0L))).as("sum_a"),
       coalesce(max(col("dl")), lit(0L)).cast(DoubleType).as("sum_b"))
     lexStatRow("postings", loaded.postings)
-      .unionAll(lexStatRow("delta", loaded.postings.filter(isDelta)))
+      // the delta slice is audited by reading JUST the delta segment's
+      // files (a segment-sized file-list read — filtering the whole
+      // reloaded store by doc_id % mod would scan every posting file,
+      // since the token-sorted layout cannot prune a doc predicate);
+      // the oracle replays the same rows from the delta DOC SUBSET, so
+      // hash equality also proves segment content == delta content
+      .unionAll(lexStatRow("delta",
+        LexIndex.segmentTable(s, dir, "postings", "seg-a1")))
       .unionAll(lexDfRow(loaded.df))
       .unionAll(dlRow)
       .unionAll(lexTotalsRow(loaded.totals))
@@ -1239,6 +1246,242 @@ object Corpus {
     UNION ALL SELECT * FROM row_totals
     ORDER BY artifact"""
 
+  // ---------------------------------------------- doc_lex_compact_tiered
+  // SEGMENT-LOCAL compaction — the IvfPq cell-local rewrite bound
+  // carried to the text side, and the reason a 100 TB takedown merge
+  // is maintenance, not an outage window: segments are doc-disjoint
+  // by construction (the append contract doc_lex_shard_merge proves),
+  // so a tombstoned doc lives in exactly ONE segment and compaction
+  // rewrites ONLY the segments holding tombstoned docs (discovered
+  // through the dl roster — one scan of the doc-count-sized dl
+  // table), folding their survivors into one new committed segment;
+  // every other segment's files are NEVER OPENED. The scenario: base
+  // build + two append segments, tombstones landing only in the
+  // first append — compaction must rewrite exactly that segment. The
+  // manifest pins the whole bound in one hash:
+  //   - `rewritten` checksums the NEW segment's files alone (a
+  //     segment-sized file-list read) against a pure SQL replay of
+  //     the first delta's SURVIVORS — the rewrite unit is exactly
+  //     the touched segment, nothing more;
+  //   - `untouched` is computed from before/after CONTENT HASHES of
+  //     the base and second-append files across all four tables
+  //     (sha-256 over the bytes; a deployment compares filesystem
+  //     checksums instead of re-reading — this is the audit query,
+  //     not the serve path): n_rows = segments fully byte-identical,
+  //     sum_a = the all-identical flag — the oracle states 2/1, so a
+  //     compactor that quietly rewrote (or dropped) an untouched
+  //     file flips the hash;
+  //   - `compacted`/`df`/`totals` checksum the RELOADED store against
+  //     the build(surviving) replay — statistics exact again;
+  //   - `tombstones` pins the applied snapshot cleared.
+  //
+  // 100 TB shape: rewrite work ∝ touched segments (the delta-sized
+  // first append), not store size; discovery is one dl-roster scan;
+  // the byte-identity audit reads only the untouched segments' files
+  // and exists to PROVE the bound, not to serve.
+  private[queries] val tieredDelMod = 20
+  private[queries] val tieredDelRem = 7
+  private val docLexCompactTiered: Q = (s, d) => {
+    import graft.operators.LexIndex
+    val docs = documents(s, d)
+    val isD1 = col("doc_id") % lexDeltaMod === lexDeltaRem   // → seg a1
+    val isD2 = col("doc_id") % lexDeltaMod === lit(8)        // → seg a2
+    val isDel = col("doc_id") % tieredDelMod === tieredDelRem // ⊂ d1
+    val dir = lexDir(s, d) + "_tiered"
+    LexIndex.buildIndex(docs.filter(!isD1 && !isD2), dir)
+    LexIndex.appendToIndex(docs.filter(isD1), dir)
+    LexIndex.appendToIndex(docs.filter(isD2), dir)
+    LexIndex.deleteFromIndex(docs.filter(isDel).select(col("doc_id")), dir)
+    // content-hash inventory of the UNTOUCHED segments' files, before
+    // and after: driver-bounded (segment-file count — a manifest-sized
+    // set), hashed distributed via the binaryFile source
+    val untouchedSegs = Set("base", "seg-a2")
+    def inventory(): Map[String, String] = {
+      val files = Seq("postings", "df", "dl", "totals").flatMap(t =>
+        LexIndex.liveFiles(s, dir, t)
+          .filter(p => untouchedSegs(LexIndex.segmentOf(p.getName)))
+          .map(_.toString))
+      if (files.isEmpty) Map.empty
+      else s.read.format("binaryFile").load(files: _*)
+        .select(col("path"), sha2(col("content"), 256).as("h"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    }
+    val before = inventory()
+    LexIndex.compactIndex(s, dir)
+    val after = inventory()
+    val identical = before == after && before.nonEmpty
+    val loaded = LexIndex.loadIndex(s, dir)
+    val untouchedRow = s.range(1).select(
+      lit("untouched").as("artifact"),
+      lit(if (identical) untouchedSegs.size.toLong else 0L).as("n_rows"),
+      lit(if (identical) 1L else 0L).as("sum_a"),
+      lit(untouchedSegs.size.toDouble).as("sum_b"))
+    val tombRow = LexIndex.tombstonesOf(s, dir).agg(
+      lit("tombstones").as("artifact"),
+      count(lit(1)).as("n_rows"),
+      coalesce(sum(col("doc_id")), lit(0L)).as("sum_a"),
+      countDistinct(col("doc_id")).cast(DoubleType).as("sum_b"))
+    lexStatRow("compacted", loaded.postings)
+      .unionAll(lexStatRow("rewritten",
+        LexIndex.segmentTable(s, dir, "postings", "seg-c1")))
+      .unionAll(lexDfRow(loaded.df))
+      .unionAll(lexTotalsRow(loaded.totals))
+      .unionAll(untouchedRow)
+      .unionAll(tombRow)
+      .orderBy(col("artifact"))
+  }
+
+  private lazy val docLexCompactTieredSql: String = s"""
+    WITH ${lexBuildCtes(
+      s"WHERE doc_id % $tieredDelMod <> $tieredDelRem")},
+    rtok AS (
+      SELECT doc_id,
+        unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+      WHERE doc_id % $lexDeltaMod = $lexDeltaRem
+        AND doc_id % $tieredDelMod <> $tieredDelRem),
+    rpost AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM rtok GROUP BY doc_id, token),
+    row_compacted AS (
+      SELECT 'compacted' AS artifact,
+        (SELECT COUNT(*) FROM bpost) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(doc_id), 0) + COALESCE(SUM(tf), 0) AS BIGINT)
+           FROM bpost) AS sum_a,
+        (SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) FROM bpost) AS sum_b),
+    row_rewritten AS (
+      SELECT 'rewritten' AS artifact,
+        (SELECT COUNT(*) FROM rpost) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(doc_id), 0) + COALESCE(SUM(tf), 0) AS BIGINT)
+           FROM rpost) AS sum_a,
+        (SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) FROM rpost) AS sum_b),
+    row_df AS (
+      SELECT 'df' AS artifact,
+        (SELECT COUNT(*) FROM bdf) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(df), 0) AS BIGINT) FROM bdf) AS sum_a,
+        (SELECT CAST(COALESCE(MAX(df), 0) AS DOUBLE) FROM bdf) AS sum_b),
+    row_totals AS (
+      SELECT 'totals' AS artifact,
+        (SELECT n_corpus FROM btot) AS n_rows,
+        (SELECT t_total FROM btot) AS sum_a,
+        (SELECT CAST(n_corpus + t_total AS DOUBLE) FROM btot) AS sum_b),
+    row_untouched AS (
+      SELECT 'untouched' AS artifact, CAST(2 AS BIGINT) AS n_rows,
+        CAST(1 AS BIGINT) AS sum_a, CAST(2.0 AS DOUBLE) AS sum_b),
+    row_tomb AS (
+      SELECT 'tombstones' AS artifact, CAST(0 AS BIGINT) AS n_rows,
+        CAST(0 AS BIGINT) AS sum_a, CAST(0.0 AS DOUBLE) AS sum_b)
+    SELECT * FROM row_compacted
+    UNION ALL SELECT * FROM row_df
+    UNION ALL SELECT * FROM row_rewritten
+    UNION ALL SELECT * FROM row_tomb
+    UNION ALL SELECT * FROM row_totals
+    UNION ALL SELECT * FROM row_untouched
+    ORDER BY artifact"""
+
+  // --------------------------------------------------------- doc_lex_stats
+  // Fragmentation / statistics-drift observability for the lexical
+  // store — the `balance` manifest row's text-side twin: what a
+  // deployment WATCHES to schedule segment-local compaction. An
+  // append-heavy store accumulates segments (per-segment posting
+  // volume tells the scheduler what a merge would fold); a
+  // delete-heavy store accumulates STALE corpus statistics — df and
+  // totals stay as-built until compaction (the frozen-quantizer-drift
+  // rule), so the tombstoned share of the token mass is exactly how
+  // far BM25's n_corpus/t_total inputs have drifted from the live
+  // corpus. Rows:
+  //   - `segment:<id>` — per-segment posting stats, each read as a
+  //     segment-sized FILE-LIST scan (the store's real physical
+  //     layout: a fabricated segment inventory cannot hash green);
+  //   - `fragmentation` — live segment count + how many segments hold
+  //     pending tombstoned docs (the rewrite bill of the next
+  //     compaction);
+  //   - `staleness` — tombstoned doc count, their dl token mass, and
+  //     the drift fraction ROUND(stale_dl / t_total, 6) a deployment
+  //     alarms on.
+  // The oracle replays every number from the scenario's doc subsets;
+  // the engine derives them from the STORE (file-attributed segment
+  // reads, the dl roster, the pending tombstone set).
+  private val docLexStats: Q = (s, d) => {
+    import graft.operators.LexIndex
+    val docs = documents(s, d)
+    val isDelta = col("doc_id") % lexDeltaMod === lexDeltaRem
+    val isDel = col("doc_id") % lexDelMod === lexDelRem
+    val dir = lexDir(s, d) + "_stats"
+    LexIndex.buildIndex(docs.filter(!isDelta), dir)
+    LexIndex.appendToIndex(docs.filter(isDelta), dir)
+    LexIndex.deleteFromIndex(docs.filter(isDel).select(col("doc_id")), dir)
+    val segs = LexIndex.segmentsOf(s, dir, "postings").keys.toSeq.sorted
+    val segRows = segs.map(seg =>
+        lexStatRow(s"segment:$seg",
+          LexIndex.segmentTable(s, dir, "postings", seg)))
+      .reduceOption(_.unionAll(_))
+      .getOrElse(s.range(0).select(lit("segment:none").as("artifact"),
+        lit(0L).as("n_rows"), lit(0L).as("sum_a"), lit(0.0).as("sum_b")))
+    val tombs = LexIndex.tombstonesOf(s, dir)
+    val loaded = LexIndex.loadIndex(s, dir)
+    // which segments hold pending tombstoned docs: the dl roster
+    // attributed per segment (the discovery scan compaction runs)
+    val tombSegs = segs.count(seg =>
+      LexIndex.segmentTable(s, dir, "dl", seg)
+        .join(tombs, Seq("doc_id"), "left_semi").limit(1).count() > 0)
+    val fragRow = s.range(1).select(
+      lit("fragmentation").as("artifact"),
+      lit(segs.size.toLong).as("n_rows"),
+      lit(tombSegs.toLong).as("sum_a"),
+      lit(segs.size.toDouble).as("sum_b"))
+    val staleRow = loaded.dl.join(tombs, Seq("doc_id"), "left_semi")
+      .crossJoin(loaded.totals)
+      .agg(lit("staleness").as("artifact"),
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_a"),
+        round(when(coalesce(first(col("t_total")), lit(0L)) === 0, lit(0.0))
+          .otherwise(coalesce(sum(col("dl")), lit(0L)).cast(DoubleType) /
+            first(col("t_total")).cast(DoubleType)), 6).as("sum_b"))
+    segRows.unionAll(fragRow).unionAll(staleRow)
+      .orderBy(col("artifact"))
+  }
+
+  private lazy val docLexStatsSql: String = s"""
+    WITH ${lexBuildCtes()},
+    base_post AS (
+      SELECT * FROM bpost WHERE doc_id % $lexDeltaMod <> $lexDeltaRem),
+    delta_post AS (
+      SELECT * FROM bpost WHERE doc_id % $lexDeltaMod = $lexDeltaRem),
+    tomb AS (
+      SELECT doc_id FROM documents WHERE doc_id % $lexDelMod = $lexDelRem),
+    row_seg_base AS (
+      SELECT 'segment:base' AS artifact,
+        (SELECT COUNT(*) FROM base_post) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(doc_id), 0) + COALESCE(SUM(tf), 0) AS BIGINT)
+           FROM base_post) AS sum_a,
+        (SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) FROM base_post) AS sum_b),
+    row_seg_a1 AS (
+      SELECT 'segment:seg-a1' AS artifact,
+        (SELECT COUNT(*) FROM delta_post) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(doc_id), 0) + COALESCE(SUM(tf), 0) AS BIGINT)
+           FROM delta_post) AS sum_a,
+        (SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) FROM delta_post) AS sum_b),
+    row_frag AS (
+      SELECT 'fragmentation' AS artifact, CAST(2 AS BIGINT) AS n_rows,
+        (SELECT CAST(COUNT(DISTINCT doc_id % $lexDeltaMod = $lexDeltaRem)
+           AS BIGINT) FROM tomb) AS sum_a,
+        CAST(2.0 AS DOUBLE) AS sum_b),
+    row_stale AS (
+      SELECT 'staleness' AS artifact,
+        (SELECT COUNT(*) FROM tomb) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(dl), 0) AS BIGINT)
+           FROM bdl WHERE doc_id IN (SELECT doc_id FROM tomb)) AS sum_a,
+        (SELECT ROUND(
+            CAST((SELECT COALESCE(SUM(dl), 0) FROM bdl
+              WHERE doc_id IN (SELECT doc_id FROM tomb)) AS DOUBLE) /
+            CAST((SELECT t_total FROM btot) AS DOUBLE), 6)) AS sum_b)
+    SELECT * FROM row_frag
+    UNION ALL SELECT * FROM row_seg_base
+    UNION ALL SELECT * FROM row_seg_a1
+    UNION ALL SELECT * FROM row_stale
+    ORDER BY artifact"""
+
   // ---------------------------------------------------- doc_hybrid_rrf
   // TRUE hybrid retrieval — the production RAG shape emb_rrf_fusion's
   // scaladoc points at: a LEXICAL retriever (the BM25 ranking above)
@@ -1405,6 +1648,8 @@ object Corpus {
     "doc_bm25_served" -> docBm25Served,
     "doc_lex_append" -> docLexAppend,
     "doc_lex_delete" -> docLexDelete,
+    "doc_lex_compact_tiered" -> docLexCompactTiered,
+    "doc_lex_stats" -> docLexStats,
     "doc_lex_shard_merge" -> docLexShardMerge,
     "doc_hybrid_rrf" -> docHybridRrf,
     "doc_hybrid_rrf_ann" -> docHybridRrfAnn,
@@ -1425,6 +1670,8 @@ object Corpus {
     "doc_bm25_served" -> docBm25TopkSql,
     "doc_lex_append" -> docLexAppendSql,
     "doc_lex_delete" -> docLexDeleteSql,
+    "doc_lex_compact_tiered" -> docLexCompactTieredSql,
+    "doc_lex_stats" -> docLexStatsSql,
     "doc_lex_shard_merge" -> docLexShardMergeSql,
     "doc_hybrid_rrf" -> docHybridRrfSql,
     "doc_hybrid_rrf_ann" -> docHybridRrfAnnSql,

@@ -672,6 +672,65 @@ object Streaming {
     FROM dstat
     ORDER BY doc_id"""
 
+  // ------------------------------------------------------ st_lex_delete
+  // Streaming LEXICAL takedown — st_index_delete's protocol on the
+  // text side, completing the streaming symmetry of the lexical
+  // lifecycle (build [doc_bm25_served] / serve [st_bm25_serve] /
+  // ingest [st_lex_append] / DELETE [this]): takedown requests (GDPR,
+  // moderation) arrive as a stream of doc ids and each micro-batch
+  // lands as a tombstone append (LexIndex.deleteFromIndex — a
+  // delta-sized write of just the ids; the token-sorted store is
+  // untouched, no state, no window). Each request emits a receipt;
+  // after the stream drains, receipts are audited against the
+  // RELOADED store: `dl` comes from the RAW dl roster (the bytes
+  // compaction will remove later — proof the store still physically
+  // holds the doc) and `still_servable` from the LIVE view, which
+  // must be FALSE for every row — takedown is effective the moment
+  // the batch commits, before any compaction, which is the latency
+  // regulators actually time. Receipts are per-row facts, so output
+  // is identical under any batching; the oracle derives the same rows
+  // from the build replay with still_servable = FALSE.
+  private val stLexDelete: Q = (s, d) => {
+    import graft.operators.LexIndex
+    val docs = graft.Tables.documents(s, d)
+    val dir = Corpus.lexDir(s, d) + "_stream_delete"
+    LexIndex.buildIndex(docs, dir)
+    val isDel = col("doc_id") % Corpus.lexDelMod === Corpus.lexDelRem
+    val arriving = QanStream.documentsStream(s, d)
+      .select(col("doc_id")).filter(isDel)
+    val receipts = QanStream.runForeachBatch(arriving, batch => {
+      LexIndex.deleteFromIndex(batch.select(col("doc_id")), dir)
+      batch.select(col("doc_id"))
+    })
+    // post-stream audit against the RELOADED store: the raw roster
+    // still holds the row (physical removal is compaction's job), but
+    // the live view must not serve it
+    val loaded = LexIndex.loadIndex(s, dir)
+    val raw = loaded.dl.select(col("doc_id"), col("dl"))
+    val live = loaded.liveDl
+      .select(col("doc_id"), lit(true).as("servable"))
+    receipts.join(raw, Seq("doc_id"), "left")
+      .join(live, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dl"),
+        coalesce(col("servable"), lit(false)).as("still_servable"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val stLexDeleteSql: String = s"""
+    WITH dtok AS (
+      SELECT doc_id,
+        unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents),
+    ddl AS (
+      SELECT d.doc_id, COUNT(t.token) AS dl
+      FROM documents d
+      LEFT JOIN dtok t ON t.doc_id = d.doc_id
+      GROUP BY d.doc_id)
+    SELECT doc_id, dl, FALSE AS still_servable
+    FROM ddl
+    WHERE doc_id % ${Corpus.lexDelMod} = ${Corpus.lexDelRem}
+    ORDER BY doc_id"""
+
   // ---------------------------------------------------- st_hybrid_serve
   // The full production RAG serving path, ONLINE: every arriving
   // query is answered by reciprocal-rank fusion of the two PERSISTED
@@ -1195,6 +1254,7 @@ object Streaming {
     "st_bm25_serve" -> stBm25Serve,
     "st_hybrid_serve" -> stHybridServe,
     "st_lex_append" -> stLexAppend,
+    "st_lex_delete" -> stLexDelete,
     "st_index_delete" -> stIndexDelete,
     "st_exact_dedup_stream" -> stExactDedup,
     "st_multi_counter_stream" -> stMultiCounter,
@@ -1221,6 +1281,7 @@ object Streaming {
     "st_bm25_serve" -> Corpus.docBm25TopkSql,
     "st_hybrid_serve" -> Corpus.docHybridRrfAnnSql,
     "st_lex_append" -> stLexAppendSql,
+    "st_lex_delete" -> stLexDeleteSql,
     "st_index_delete" -> stIndexDeleteSql,
     "st_exact_dedup_stream" -> Text.oracles("doc_exact_dedup"),
     "st_multi_counter_stream" -> Qan.oracles("qan_multi_counter_delta"),
