@@ -155,6 +155,134 @@ class LexIndexSpec extends SparkSpec {
     assert(e2.getMessage.contains("staged compaction"))
   }
 
+  test("batch append crash windows: a torn append is whole-segment-invisible and rolls back") {
+    val docs = Tables.documents(spark, sf)
+    val isDelta = col("doc_id") % 10 === 7
+    val (dir, mono) = (tmp("appcrash"), tmp("appcrash_mono"))
+    LexIndex.buildIndex(docs.filter(!isDelta), dir)
+    val baseRows = storeRows(dir)
+    val delta = docs.filter(isDelta).select(col("doc_id"), col("text"))
+    // crash between table writes: staging partial, nothing published
+    LexIndex.appendToIndex(delta, dir, failAfter = "stage-partial")
+    assert(storeRows(dir) == baseRows,
+      "a crash between staged table writes must leave the store unchanged")
+    // crash after staging completes, before any publish
+    LexIndex.appendToIndex(delta, dir, failAfter = "staged")
+    assert(storeRows(dir) == baseRows,
+      "a staged-but-unpublished append must be invisible")
+    // THE torn window: postings published, df/dl/totals not, no marker
+    // — the files are on disk but loadIndex must see NONE of the
+    // segment (whole segment or none, never torn statistics)
+    LexIndex.appendToIndex(delta, dir, failAfter = "publish-partial")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val postFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/postings"))
+      .map(_.getPath.getName).filter(_.startsWith("seg-"))
+    assert(postFiles.nonEmpty,
+      "the crash seam must leave partially-published segment files on disk")
+    assert(storeRows(dir) == baseRows,
+      "a torn multi-table publish leaked partial segment statistics")
+    // serving equally blind to the torn segment
+    val q = docs.filter(col("doc_id") < 5).select(col("doc_id"), col("text"))
+    LexIndex.buildIndex(docs.filter(!isDelta), mono)
+    assert(rows(LexIndex.bm25FromIndex(LexIndex.loadIndex(spark, dir), q, 20)) ==
+      rows(LexIndex.bm25FromIndex(LexIndex.loadIndex(spark, mono), q, 20)),
+      "serving must not see a torn append")
+    // the next append call rolls the torn attempt back and lands clean
+    LexIndex.appendToIndex(delta, dir)
+    LexIndex.buildIndex(docs, mono)
+    assert(storeRows(dir) == storeRows(mono),
+      "post-rollback append diverges from build(base ∪ delta)")
+  }
+
+  test("tiered compaction: rewrites only tombstoned segments, untouched files byte-identical, crash resume") {
+    val docs = Tables.documents(spark, sf)
+    val isD1 = col("doc_id") % 10 === 7
+    val isD2 = col("doc_id") % 10 === 8
+    val isDel = col("doc_id") % 20 === 7 // strictly inside delta 1
+    val (dir, mono) = (tmp("tiered"), tmp("tiered_mono"))
+    LexIndex.buildIndex(docs.filter(!isD1 && !isD2), dir)
+    LexIndex.appendToIndex(docs.filter(isD1), dir) // seg a1
+    LexIndex.appendToIndex(docs.filter(isD2), dir) // seg a2
+    LexIndex.deleteFromIndex(docs.filter(isDel).select(col("doc_id")), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def untouchedBytes(): Map[String, Seq[Byte]] =
+      Seq("postings", "df", "dl", "totals").flatMap { t =>
+        LexIndex.liveFiles(spark, dir, t)
+          .filter(p => Set("base", "seg-a2")(LexIndex.segmentOf(p.getName)))
+          .map { p =>
+            val in = fs.open(p)
+            val bytes = org.apache.commons.io.IOUtils.toByteArray(in).toSeq
+            in.close(); (p.toString, bytes)
+          }
+      }.toMap
+    val before = untouchedBytes()
+    assert(before.nonEmpty)
+    // crash window first: stage + plan + marker land, publish does not
+    LexIndex.compactIndex(spark, dir, failAfterStage = true)
+    val nAll = docs.count()
+    assert(LexIndex.loadIndex(spark, dir).dl.count() == nAll,
+      "a crashed compaction must leave the old store intact")
+    assert(LexIndex.tombstonesOf(spark, dir).count() > 0,
+      "pending tombstones must survive the crash")
+    // resume
+    LexIndex.compactIndex(spark, dir)
+    LexIndex.buildIndex(docs.filter(!isDel), mono)
+    assert(storeRows(dir) == storeRows(mono),
+      "tiered compaction diverges from build(surviving)")
+    // the rewrite touched ONLY segment a1: base and a2 files are
+    // byte-identical, a1's files are gone, the new segment is c1
+    assert(untouchedBytes() == before,
+      "an untouched segment's file changed across the compaction")
+    val segsAfter = LexIndex.segmentsOf(spark, dir, "postings").keySet
+    assert(!segsAfter.contains("seg-a1"), "the tombstoned segment must be dropped")
+    assert(segsAfter.contains("seg-c1"), "survivors must land as the new segment")
+    // the new segment holds EXACTLY delta-1's survivors
+    val rewritten = LexIndex.segmentTable(spark, dir, "postings", "seg-c1")
+    val expect = LexIndex.postings(docs.filter(isD1 && !isDel))
+    assert(rows(rewritten) == rows(expect),
+      "rewrite unit must be exactly the touched segment's survivors")
+    // tombstones: never cleared on a resumed publish; next call clears
+    assert(LexIndex.tombstonesOf(spark, dir).count() > 0)
+    LexIndex.compactIndex(spark, dir)
+    assert(LexIndex.tombstonesOf(spark, dir).count() == 0)
+    assert(storeRows(dir) == storeRows(mono),
+      "re-applying already-removed tombstones must be a no-op")
+    assert(untouchedBytes() == before,
+      "the no-op re-application must not rewrite anything")
+  }
+
+  test("compaction refuses an unfenced ingest store; the fence folds the stream's segments and clears receipts") {
+    val docs = Tables.documents(spark, sf)
+    val isDelta = col("doc_id") % 10 === 7
+    val isDel = col("doc_id") % 9 === 4
+    val (dir, mono) = (tmp("fence"), tmp("fence_mono"))
+    LexIndex.buildIndex(docs.filter(!isDelta), dir)
+    LexIndex.appendBatchToIndex(
+      docs.filter(isDelta).select(col("doc_id"), col("text")), dir, 0L)
+    LexIndex.deleteFromIndex(docs.filter(isDel).select(col("doc_id")), dir)
+    // unfenced: refused — an ingest publish racing the compactor's
+    // drops would be erased while its commit marker survives
+    val e = intercept[IllegalArgumentException] {
+      LexIndex.compactIndex(spark, dir)
+    }
+    assert(e.getMessage.contains("_ingest_commits"))
+    // fenced: the stream's segments fold into the rewrite, receipts
+    // clear, and the result is build(surviving)
+    LexIndex.compactIndex(spark, dir, ingestFenced = true)
+    LexIndex.buildIndex(docs.filter(!isDel), mono)
+    assert(storeRows(dir) == storeRows(mono),
+      "fenced compaction diverges from build(surviving)")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_ingest_commits")),
+      "the fence must clear the stream's receipts")
+    assert(!LexIndex.segmentsOf(spark, dir, "postings").keySet
+        .exists(_.startsWith("ingest-")),
+      "no ingest segment may survive a fenced compaction")
+  }
+
   test("streaming ingest replay-safe: committed no-op, pre-marker crash republished, equals batch build") {
     val docs = Tables.documents(spark, sf)
     val isDelta = col("doc_id") % 10 === 7
