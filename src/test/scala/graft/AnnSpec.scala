@@ -534,6 +534,60 @@ class AnnSpec extends SparkSpec {
     assert(IvfPq.compactIndex(spark, dir).isEmpty, "compaction must be idempotent")
   }
 
+  test("vector batch append crash windows: a torn append is whole-append-invisible and rolls back") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.operators.IvfPq
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val isDelta = col("id") % 10 === 7
+    val base = all.filter(!isDelta)
+    val delta = all.filter(isDelta)
+    assert(delta.count() > 0, "spec needs a non-empty delta slice")
+    val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_idx_crash_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    val (index, books) = IvfPq.buildIndex(base, base.count(), dim = 64,
+      m = 16, dsub = 4, kCodes = 64, dir = dir)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](2).toList)).toSet
+    val baseStored = asSet(IvfPq.loadIndex(spark, dir).inverted)
+    // crash after staging completes, before any publish
+    IvfPq.appendToIndex(IvfPq.loadIndex(spark, dir), delta, dir,
+      failAfter = "staged")
+    assert(asSet(IvfPq.loadIndex(spark, dir).inverted) == baseStored,
+      "a staged-but-unpublished append must be invisible")
+    // THE torn window: one cell's files renamed in, the rest not, no
+    // commit marker — the bytes are inside the store's cell= dirs but
+    // loadIndex must see NONE of the append (whole append or none)
+    IvfPq.appendToIndex(IvfPq.loadIndex(spark, dir), delta, dir,
+      failAfter = "publish-partial")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inv = new org.apache.hadoop.fs.Path(s"$dir/inverted")
+    def tornFiles(): Seq[String] = fs.listStatus(inv)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .flatMap(st => fs.listStatus(st.getPath).map(_.getPath.getName))
+      .filter(_.startsWith("append-")).toSeq
+    assert(tornFiles().nonEmpty,
+      "the crash seam must leave partially-published coded files on disk")
+    assert(asSet(IvfPq.loadIndex(spark, dir).inverted) == baseStored,
+      "a torn multi-cell publish leaked partial coded rows")
+    // the next append call rolls the torn attempt back and lands
+    // clean: store == one-shot encode of base ∪ delta (frozen halves)
+    IvfPq.appendToIndex(IvfPq.loadIndex(spark, dir), delta, dir)
+    assert(asSet(IvfPq.loadIndex(spark, dir).inverted) ==
+      asSet(IvfPq.codedInvertedFile(index, all, books, 4)),
+      "post-rollback append diverges from encode(base ∪ delta)")
+    // every surviving append file is committed, staging is gone
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_append_staging")),
+      "a completed append must clear its staging")
+    val committed = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/_append_commits"))
+      .map(_.getPath.getName).toSet
+    assert(tornFiles().forall(f => committed.contains(f.split("-")(1))),
+      "an uncommitted append file survived the rollback")
+  }
+
   test("tombstone delete: live view drops the ids immediately, compaction removes them physically and clears the set") {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     import graft.operators.IvfPq

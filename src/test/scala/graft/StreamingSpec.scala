@@ -691,6 +691,48 @@ class StreamingSpec extends SparkSpec {
     } finally h.query.stop()
   }
 
+  test("streaming lexical takedown: receipts unservable post-batch, batching-independent, delete plan stateless") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.LexIndex
+    import graft.queries.Corpus
+    import graft.streaming.QanStream
+    val out = SparkEntry.queries("st_lex_delete")(spark, sf).collect()
+    assert(out.nonEmpty, "lexical takedown stream emitted nothing")
+    // takedown must be effective BEFORE any compaction: no receipt id
+    // may remain servable in the reloaded live view
+    assert(out.forall(!_.getBoolean(2)),
+      "a deleted doc is still servable — the live view missed a tombstone")
+    // exactly the delete slice, exactly once
+    val nDel = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 9 === 4).count()
+    assert(out.length == nDel, s"${out.length} receipts for $nDel delete requests")
+    // the raw store is untouched (every receipt still reports its dl
+    // from the raw roster — physical removal is compaction's job, not
+    // the stream's) and the surviving live view is the complement
+    assert(out.forall(!_.isNullAt(1)), "receipt lost its raw-roster dl")
+    val dir = Corpus.lexDir(spark, sf) + "_stream_delete"
+    val loaded = LexIndex.loadIndex(spark, dir)
+    val nAll = Tables.documents(spark, sf).count()
+    assert(loaded.dl.count() == nAll, "stream delete must not rewrite the store")
+    assert(loaded.liveDl.count() == nAll - nDel,
+      "live view must be the complement of the takedowns")
+    // receipts are per-row facts: a second full run (fresh build +
+    // fresh stream, its own batching) is identical
+    val again = SparkEntry.queries("st_lex_delete")(spark, sf).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "takedown receipts must be independent of micro-batch boundaries")
+    // the arriving-request plan is a pure projection+filter — zero
+    // state operators in the streaming plan
+    val arriving = QanStream.documentsStream(spark, sf)
+      .select(col("doc_id")).filter(col("doc_id") % 9 === 4)
+    val h = QanStream.runToMemoryQuery(arriving)
+    try {
+      h.query.processAllAvailable()
+      assert(h.query.lastProgress.stateOperators.isEmpty,
+        s"takedown stream must keep zero state operators: ${h.query.lastProgress.json}")
+    } finally h.query.stop()
+  }
+
   test("ood filter stream is stateless: no state store, no aggregation in the streaming plan") {
     // the calibrate-offline/apply-online split means the streaming
     // side must be a pure scan-level projection+filter — any stateful
