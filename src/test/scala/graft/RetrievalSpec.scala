@@ -199,6 +199,48 @@ class RetrievalSpec extends SparkSpec {
       s"pruned vocab read ${dfPruned.count()} != query-token vocab $expectVocab")
   }
 
+  test("serveStage pays exactly ONE driver-side collect per serve batch") {
+    import graft.operators.LexIndex
+    // the per-batch driver cost contract: serveStage collects the raw
+    // query-token set ONCE and reuses it to prune BOTH store scans
+    // (the capped rare-term set is a subset, so the superset pushdown
+    // is correct by construction) — r14 paid a second collect here,
+    // pure latency at sub-second serving cadence
+    val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_lex1c_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    LexIndex.buildIndex(Tables.documents(spark, sf), dir)
+    val loaded = LexIndex.loadIndex(spark, dir)
+    val qtoks = LexIndex.queryTokens(
+      Tables.documents(spark, sf).filter(col("doc_id") < 5)
+        .select(col("doc_id"), col("text")))
+    val collects = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (funcName == "collect") { collects.incrementAndGet(): Unit }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val staged =
+      try {
+        val s = LexIndex.serveStage(loaded, qtoks, 20)
+        // the execution-listener bus is async: wait for the
+        // construction's events, then settle to catch a late second
+        val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+        while (collects.get() < 1 && System.nanoTime < deadline)
+          Thread.sleep(50)
+        Thread.sleep(500)
+        assert(collects.get() == 1,
+          s"serveStage construction ran ${collects.get()} driver collects; " +
+            "the contract is ONE raw-token-set collect reused for both scans")
+        s
+      } finally spark.listenerManager.unregister(listener)
+    assert(staged.collect().nonEmpty, "the staged serve must still score")
+  }
+
   test("hybrid serve: NO scan of the documents table anywhere in the serving path") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import graft.operators.{IvfPq, LexIndex}
