@@ -253,6 +253,43 @@ class LexIndexSpec extends SparkSpec {
       "the no-op re-application must not rewrite anything")
   }
 
+  test("tiered compaction across the merge boundary: only the tombstoned shard's slice is rewritten") {
+    val docs = Tables.documents(spark, sf)
+    val inShard0 = col("doc_id") % 2 === 0
+    val isDel = col("doc_id") % 4 === 0 // strictly inside shard 0
+    val (s0, s1, dir, mono) =
+      (tmp("xmerge_s0"), tmp("xmerge_s1"), tmp("xmerge"), tmp("xmerge_mono"))
+    LexIndex.buildIndex(docs.filter(inShard0), s0)
+    LexIndex.buildIndex(docs.filter(!inShard0), s1)
+    LexIndex.mergeIndexes(spark, Seq(s0, s1), dir)
+    LexIndex.deleteFromIndex(docs.filter(isDel).select(col("doc_id")), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // shard 1's slice of the merged store must come through compaction
+    // byte-identical — the delete predicate never touches its docs
+    def shard1Bytes(): Map[String, Seq[Byte]] =
+      Seq("postings", "df", "dl", "totals").flatMap { t =>
+        LexIndex.liveFiles(spark, dir, t)
+          .filter(_.getName.startsWith("shard1-"))
+          .map { p =>
+            val in = fs.open(p)
+            val bytes = org.apache.commons.io.IOUtils.toByteArray(in).toSeq
+            in.close(); (p.toString, bytes)
+          }
+      }.toMap
+    val before = shard1Bytes()
+    assert(before.nonEmpty)
+    LexIndex.compactIndex(spark, dir)
+    assert(shard1Bytes() == before,
+      "an untombstoned shard's merged files changed across the compaction")
+    assert(!LexIndex.liveFiles(spark, dir, "postings")
+        .exists(_.getName.startsWith("shard0-")),
+      "the tombstoned shard's slice must be folded into the new segment")
+    LexIndex.buildIndex(docs.filter(!isDel), mono)
+    assert(storeRows(dir) == storeRows(mono),
+      "cross-merge tiered compaction diverges from build(surviving)")
+  }
+
   test("compaction refuses an unfenced ingest store; the fence folds the stream's segments and clears receipts") {
     val docs = Tables.documents(spark, sf)
     val isDelta = col("doc_id") % 10 === 7
