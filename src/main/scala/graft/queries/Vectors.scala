@@ -1756,6 +1756,144 @@ object Vectors {
     ORDER BY artifact"""
   }
 
+  // --------------------------------------------------- emb_index_stats
+  // Fragmentation / statistics-drift observability for the persisted
+  // VECTOR index — doc_lex_stats' twin on the vector side, and the
+  // standalone form of the `balance` manifest row: what a deployment
+  // WATCHES to schedule cell-local compaction and quantizer retrains.
+  // An append-heavy store accumulates per-cell FILE fragments (each
+  // append lands one deterministic file per touched cell — the
+  // compactor's fold bill); a delete-heavy store accumulates pending
+  // tombstones whose share of the raw store is exactly how far the
+  // frozen trained halves' occupancy statistics have drifted from the
+  // live corpus. Scenario: base build + one frozen-encode append +
+  // tombstoned deletes, NO compaction — the stats describe the store
+  // a compactor/retrainer is ABOUT to service. Rows:
+  //   - `fragmentation` — non-empty cells in the raw store; the count
+  //     of append-tagged files read from the PHYSICAL cell dirs (the
+  //     store's real layout — a fabricated inventory cannot hash
+  //     green; one file per touched cell makes it oracle-replayable
+  //     as the delta's touched-cell count); their ratio.
+  //   - `staleness` — pending tombstone count, their id checksum, and
+  //     the stale fraction ROUND(tombstoned / store rows, 6) a
+  //     deployment alarms on.
+  //   - `balance` — live-view (post-delete serving) occupancy:
+  //     non-empty cells, largest cell, max/mean imbalance — the
+  //     retrain trigger, now measured on what serving actually scans.
+  // The oracle replays every number from the training/assignment
+  // chain (ivfCtes + the frozen delta assignment) and the two doc
+  // subsets; the engine derives them from the STORE (the reloaded
+  // coded file, the physical file listing, the tombstone side table).
+  //
+  // 100 TB shape: one pass over the coded file (cell, id only — codes
+  // pruned), a manifest-sized file listing, a tombstone-sized scan.
+  private val embIndexStats: Q = (s, d) => {
+    val all = vecs(s, d).select(col("vec_id").as("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val isDelta = col("id") % appendDeltaMod === appendDeltaRem
+    val isDel = col("id") % deleteMod === deleteRem
+    val base = all.filter(!isDelta)
+    val dir = indexDir(d) + "_stats"
+    IvfPq.buildIndex(base, base.count(), dim = 64, m = pqM, dsub = pqDsub,
+      kCodes = pqK, dir = dir)
+    IvfPq.appendToIndex(IvfPq.loadIndex(s, dir), all.filter(isDelta), dir)
+    IvfPq.deleteFromIndex(all.filter(isDel).select(col("id")), dir)
+    val loaded = IvfPq.loadIndex(s, dir)
+    val inv = loaded.inverted
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // append-fragment count from the PHYSICAL store layout: the
+    // driver-side listing is manifest-sized (∝ file count)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val invPath = new org.apache.hadoop.fs.Path(s"$dir/inverted")
+    val appendFiles: Long =
+      if (!fs.exists(invPath)) 0L
+      else fs.listStatus(invPath)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        .flatMap(cd => fs.listStatus(cd.getPath))
+        .count(st => st.getPath.getName.startsWith("append-")
+          && st.getPath.getName.endsWith(".parquet")).toLong
+    val fragRow = inv.agg(
+      lit("fragmentation").as("artifact"),
+      countDistinct(col("cell")).as("n_rows"),
+      lit(appendFiles).as("sum_a"),
+      round(when(countDistinct(col("cell")) === 0, lit(0.0))
+        .otherwise(lit(appendFiles).cast(DoubleType)
+          / countDistinct(col("cell")).cast(DoubleType)), 6).as("sum_b"))
+    val staleRow = IvfPq.tombstonesOf(s, dir)
+      .crossJoin(inv.agg(count(lit(1)).as("n_store")))
+      .agg(
+        lit("staleness").as("artifact"),
+        count(col("id")).as("n_rows"),
+        coalesce(sum(col("id")), lit(0L)).as("sum_a"),
+        round(when(coalesce(first(col("n_store")), lit(0L)) === 0, lit(0.0))
+          .otherwise(count(col("id")).cast(DoubleType)
+            / first(col("n_store")).cast(DoubleType)), 6).as("sum_b"))
+    val liveSizes = loaded.live.groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+    val balanceRow = liveSizes.agg(
+      lit("balance").as("artifact"),
+      count(lit(1)).as("n_rows"),
+      coalesce(max(col("sz")), lit(0L)).as("sum_a"),
+      coalesce(round(max(col("sz")).cast(DoubleType)
+          * count(lit(1)).cast(DoubleType)
+          / sum(col("sz")).cast(DoubleType), 6),
+        lit(0.0)).as("sum_b"))
+    fragRow.unionAll(staleRow).unionAll(balanceRow)
+      .orderBy(col("artifact"))
+  }
+
+  private lazy val embIndexStatsSql: String = {
+    val dim = 64
+    s"""
+    WITH ${ScaleOps.ivfCtes(16, dim,
+        eWhere = s"vec_id % $appendDeltaMod <> $appendDeltaRem")},
+    dl AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id % $appendDeltaMod = $appendDeltaRem),
+    dl_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT d.vec_id, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY d.vec_id
+            ORDER BY ${ScaleOps.ivfSqDist("d.v", "c.c", dim)}, c.cell) AS rn
+        FROM dl d CROSS JOIN centf c)
+      WHERE rn = 1),
+    inv_all AS (
+      SELECT vec_id, cell FROM inverted
+      UNION ALL SELECT vec_id, cell FROM dl_assign),
+    tomb AS (
+      SELECT vec_id FROM embeddings WHERE vec_id % $deleteMod = $deleteRem),
+    row_frag AS (
+      SELECT 'fragmentation' AS artifact,
+        (SELECT CAST(COUNT(DISTINCT cell) AS BIGINT) FROM inv_all) AS n_rows,
+        (SELECT CAST(COUNT(DISTINCT cell) AS BIGINT) FROM dl_assign) AS sum_a,
+        (SELECT CASE WHEN COUNT(DISTINCT cell) = 0 THEN 0.0
+           ELSE ROUND(CAST((SELECT COUNT(DISTINCT cell) FROM dl_assign)
+             AS DOUBLE) / COUNT(DISTINCT cell), 6) END
+         FROM inv_all) AS sum_b),
+    row_stale AS (
+      SELECT 'staleness' AS artifact,
+        (SELECT COUNT(*) FROM tomb) AS n_rows,
+        (SELECT CAST(COALESCE(SUM(vec_id), 0) AS BIGINT) FROM tomb) AS sum_a,
+        CASE WHEN (SELECT COUNT(*) FROM inv_all) = 0 THEN 0.0
+          ELSE ROUND(CAST((SELECT COUNT(*) FROM tomb) AS DOUBLE)
+            / (SELECT COUNT(*) FROM inv_all), 6) END AS sum_b),
+    live AS (
+      SELECT i.vec_id, i.cell FROM inv_all i
+      LEFT JOIN tomb t ON t.vec_id = i.vec_id
+      WHERE t.vec_id IS NULL),
+    sizes AS (SELECT cell, COUNT(*) AS sz FROM live GROUP BY cell),
+    row_balance AS (
+      SELECT 'balance' AS artifact,
+        (SELECT COUNT(*) FROM sizes) AS n_rows,
+        (SELECT CAST(COALESCE(MAX(sz), 0) AS BIGINT) FROM sizes) AS sum_a,
+        (SELECT COALESCE(ROUND(CAST(MAX(sz) AS DOUBLE) * COUNT(*) / SUM(sz), 6), 0)
+           FROM sizes) AS sum_b)
+    SELECT * FROM row_balance
+    UNION ALL SELECT * FROM row_frag
+    UNION ALL SELECT * FROM row_stale
+    ORDER BY artifact"""
+  }
+
   // -------------------------------------------------- emb_index_delete
   // The remaining lifecycle op of the persisted index — takedown
   // (GDPR erasure, corpus filtering) without a rebuild. Deletes are
@@ -2254,6 +2392,7 @@ object Vectors {
     "emb_ivfpq_rerank_curve" -> embIvfpqRerankCurve,
     "emb_index_build" -> embIndexBuild,
     "emb_index_append" -> embIndexAppend,
+    "emb_index_stats" -> embIndexStats,
     "emb_index_delete" -> embIndexDelete,
     "emb_index_lifecycle_two_level" -> embIndexLifecycleTwoLevel,
     "emb_index_shard_merge" -> embIndexShardMerge,
@@ -2281,6 +2420,7 @@ object Vectors {
     "emb_ivfpq_rerank_curve" -> embIvfpqRerankCurveSql,
     "emb_index_build" -> embIndexBuildSql,
     "emb_index_append" -> embIndexAppendSql,
+    "emb_index_stats" -> embIndexStatsSql,
     "emb_index_delete" -> embIndexDeleteSql,
     "emb_index_lifecycle_two_level" -> embIndexLifecycleTwoLevelSql,
     "emb_index_shard_merge" -> embIndexShardMergeSql,
