@@ -306,6 +306,58 @@ object LexIndex {
     prefix + (if (used.isEmpty) 1L else used.max + 1L)
   }
 
+  /** Scale-adaptive range-partition count for a token-sorted store
+    * write: one partition per `graft.store.targetPartitionBytes`
+    * (default 64 MB) of ESTIMATED source volume — Catalyst plan
+    * statistics, which for parquet scans are the file-size sum, so no
+    * job runs to size the write (guide §6: output files sized by
+    * bytes, not by a core-count constant). A sandbox-scale corpus or
+    * delta lands in ONE partition — which also skips the
+    * RangePartitioner's sampling pass outright (numPartitions == 1
+    * computes no bounds), removing one full Spark job per
+    * token-sorted table write — while a 100 TB corpus derives
+    * thousands of advisory-sized partitions from the same byte rule.
+    * The serve path is file-count-agnostic: token-IN row-group
+    * pruning holds per file at any partition count.
+    */
+  private[graft] def rangeParts(src: DataFrame): Int = {
+    val bytes = src.queryExecution.optimizedPlan.stats.sizeInBytes
+    // a source with NO size estimate (e.g. a foreachBatch micro-batch's
+    // LogicalRDD) reports the defaultSizeInBytes sentinel — fall back
+    // to the session's shuffle parallelism rather than trusting it
+    if (bytes >= BigInt(Long.MaxValue) / 4)
+      return src.sparkSession.sessionState.conf.numShufflePartitions
+    val target = BigInt(src.sparkSession.conf
+      .get("graft.store.targetPartitionBytes", (64L << 20).toString).toLong)
+    ((bytes / target.max(1)) + 1).min(BigInt(1 << 20)).toInt
+  }
+
+  /** The token-sorted layout of one store table write: range
+    * partitioning so each parquet file covers a tight token range
+    * (the serve path's token-IN pushdown prunes at the SCAN — a
+    * rare-term lookup reads a handful of row groups, never the
+    * corpus-sized table), sorted within partitions for row-group-level
+    * min/max stats.
+    */
+  private def tokenSorted(df: DataFrame, n: Int): DataFrame =
+    df.repartitionByRange(n, col("token")).sortWithinPartitions(col("token"))
+
+  /** Run independent store-table writes concurrently from a bounded
+    * driver pool (guide §2.6 — the derived aggregates of one build
+    * are independent jobs over the already-materialized posting
+    * cache; serializing them serializes their scheduling latency,
+    * which at delta scale IS their cost). Exceptions propagate.
+    */
+  private def inParallel(work: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)
+    try {
+      val fs = work.map(w => pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = w()
+      }))
+      fs.foreach(_.get())
+    } finally pool.shutdown()
+  }
+
   /** Build and persist the lexical index: ONE corpus tokenization
     * pass, the three derived aggregates, four parquet tables. The
     * target dir is replaced wholesale (the encodeShard discipline —
@@ -319,22 +371,18 @@ object LexIndex {
     if (fs.exists(path)) fs.delete(path, true): Unit
     val post = postings(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = rangeParts(docs)
     try {
-      // range-partitioned + sorted by token: each parquet file/row
-      // group covers a tight token range, so the serve path's
-      // token-IN pushdown ([[candidatePostings]]) prunes the posting
-      // store at the SCAN — a rare-term lookup reads a handful of row
-      // groups, never the corpus-sized table
-      post.repartitionByRange(col("token"))
-        .sortWithinPartitions(col("token"))
-        .write.parquet(s"$dir/postings")
-      // the vocab table gets the same token-sorted layout: the serve
-      // path's per-batch df attach prunes it with the same token-IN
-      dfOf(post).repartitionByRange(col("token"))
-        .sortWithinPartitions(col("token"))
-        .write.parquet(s"$dir/df")
-      dlOf(docs, post).write.parquet(s"$dir/dl")
-      totalsOf(docs, post).write.parquet(s"$dir/totals")
+      // the postings write materializes the persisted aggregate …
+      tokenSorted(post, n).write.parquet(s"$dir/postings")
+      // … so the three derived aggregates are independent jobs over
+      // the cache; overlap them (the vocab table keeps the same
+      // token-sorted layout: the serve path's per-batch df attach
+      // prunes it with the same token-IN)
+      inParallel(
+        () => tokenSorted(dfOf(post), n).write.parquet(s"$dir/df"),
+        () => dlOf(docs, post).write.parquet(s"$dir/dl"),
+        () => totalsOf(docs, post).write.parquet(s"$dir/totals"))
     } finally post.unpersist(): Unit
   }
 
@@ -559,17 +607,20 @@ object LexIndex {
     val staging = s"$dir/_append_staging/seg=$segId"
     val post = postings(deltaDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = rangeParts(deltaDocs)
     try {
-      post.repartitionByRange(col("token"))
-        .sortWithinPartitions(col("token"))
-        .write.mode("overwrite").parquet(s"$staging/postings")
-      dfOf(post).repartitionByRange(col("token"))
-        .sortWithinPartitions(col("token"))
-        .write.mode("overwrite").parquet(s"$staging/df")
+      tokenSorted(post, n).write.mode("overwrite")
+        .parquet(s"$staging/postings")
+      tokenSorted(dfOf(post), n).write.mode("overwrite")
+        .parquet(s"$staging/df")
       if (failAfter == "stage-partial") return
-      dlOf(deltaDocs, post).write.mode("overwrite").parquet(s"$staging/dl")
-      totalsOf(deltaDocs, post).write.mode("overwrite")
-        .parquet(s"$staging/totals")
+      // independent delta-sized jobs over the materialized cache —
+      // overlapped (the crash seam above stays between table writes)
+      inParallel(
+        () => dlOf(deltaDocs, post).write.mode("overwrite")
+          .parquet(s"$staging/dl"),
+        () => totalsOf(deltaDocs, post).write.mode("overwrite")
+          .parquet(s"$staging/totals"))
     } finally post.unpersist(): Unit
     fs.create(new Path(s"$dir/_append_staging/_complete")).close()
     if (failAfter == "staged") return
@@ -724,25 +775,29 @@ object LexIndex {
       else spark.read.schema(schemaOf(t)).parquet(files.map(_.toString): _*)
     }
     // stage the rewritten segment: survivors of the touched segments
-    // only — every other segment's files are never opened
-    readTouched("postings")
-      .join(broadcast(tombs), Seq("doc_id"), "left_anti")
-      .repartitionByRange(col("token"))
-      .sortWithinPartitions(col("token"))
-      .write.parquet(s"$dir/_compact_staging/postings")
+    // only — every other segment's files are never opened. The
+    // touched postings and dl stages are independent (overlapped);
+    // df/totals derive from the STAGED files (self-verifying read-
+    // back), so they wait, then overlap each other.
+    val touchedPost = readTouched("postings")
+    val n = rangeParts(touchedPost)
+    inParallel(
+      () => tokenSorted(
+          touchedPost.join(broadcast(tombs), Seq("doc_id"), "left_anti"), n)
+        .write.parquet(s"$dir/_compact_staging/postings"),
+      () => readTouched("dl").join(broadcast(tombs), Seq("doc_id"), "left_anti")
+        .write.parquet(s"$dir/_compact_staging/dl"))
     val sp = spark.read.schema(postingSchema)
       .parquet(s"$dir/_compact_staging/postings")
-    dfOf(sp).repartitionByRange(col("token"))
-      .sortWithinPartitions(col("token"))
-      .write.parquet(s"$dir/_compact_staging/df")
-    readTouched("dl").join(broadcast(tombs), Seq("doc_id"), "left_anti")
-      .write.parquet(s"$dir/_compact_staging/dl")
     // surviving totals from the dl ROSTER (null-text-safe: a doc with
     // no postings still owns a dl row) + the staged survivors' tf sum
     val sdl = spark.read.schema(dlSchema).parquet(s"$dir/_compact_staging/dl")
-    sdl.agg(count(lit(1)).as("n_corpus"))
-      .crossJoin(sp.agg(coalesce(sum(col("tf")), lit(0L)).as("t_total")))
-      .write.parquet(s"$dir/_compact_staging/totals")
+    inParallel(
+      () => tokenSorted(dfOf(sp), n)
+        .write.parquet(s"$dir/_compact_staging/df"),
+      () => sdl.agg(count(lit(1)).as("n_corpus"))
+        .crossJoin(sp.agg(coalesce(sum(col("tf")), lit(0L)).as("t_total")))
+        .write.parquet(s"$dir/_compact_staging/totals"))
     // the PLAN: every publish rename and every drop, by name — what a
     // resumed publish replays idempotently
     val plan = new StringBuilder
@@ -940,15 +995,18 @@ object LexIndex {
     val staging = s"$dir/_staging/batch=$batchId"
     val post = postings(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = rangeParts(batch)
     try {
-      post.repartitionByRange(col("token"))
-        .sortWithinPartitions(col("token"))
-        .write.mode("overwrite").parquet(s"$staging/postings")
-      dfOf(post).repartitionByRange(col("token"))
-        .sortWithinPartitions(col("token"))
-        .write.mode("overwrite").parquet(s"$staging/df")
-      dlOf(batch, post).write.mode("overwrite").parquet(s"$staging/dl")
-      totalsOf(batch, post).write.mode("overwrite").parquet(s"$staging/totals")
+      tokenSorted(post, n).write.mode("overwrite")
+        .parquet(s"$staging/postings")
+      // batch-sized independent jobs over the materialized cache
+      inParallel(
+        () => tokenSorted(dfOf(post), n).write.mode("overwrite")
+          .parquet(s"$staging/df"),
+        () => dlOf(batch, post).write.mode("overwrite")
+          .parquet(s"$staging/dl"),
+        () => totalsOf(batch, post).write.mode("overwrite")
+          .parquet(s"$staging/totals"))
     } finally post.unpersist(): Unit
     // an in-flight (unmarked) ingest segment must never be readable:
     // the marker DIR activates loadIndex's liveness filtering before

@@ -23,16 +23,27 @@ object JobProbe {
     val names = sys.env.getOrElse("SPARK_GRAFT_ONLY", "doc_lex_compact_tiered")
       .split(",").toSeq
     val warm = sys.env.getOrElse("SPARK_GRAFT_WARM", "1").toInt
-    val spark = SparkSession.builder()
+    // experimental conf overrides: SPARK_GRAFT_CONF="k=v;k=v"
+    val extraConf = sys.env.getOrElse("SPARK_GRAFT_CONF", "")
+      .split(";").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.driver.maxResultSize",
         sys.env.getOrElse("SPARK_GRAFT_MAX_RESULT", "4g"))
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = extraConf.foldLeft(builder0) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.install(spark)
 
