@@ -418,33 +418,40 @@ object IvfPq {
   private def writeStore(spark: SparkSession, index: Index,
       books: Array[Array[Array[Double]]], m: Int, dsub: Int, wProbe: Int,
       slice: DataFrame, dir: String): Unit = {
-    codedInvertedFile(index, slice, books, dsub)
-      .select(col("id"), col("codes"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/inverted")
     def toDf(rows: Seq[org.apache.spark.sql.Row], schema: StructType): DataFrame =
       spark.createDataFrame(new java.util.ArrayList(
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
-    index match {
-      case OneLevelIndex(ids, cents) =>
-        toDf(ids.zip(cents).toSeq.map { case (i, c) =>
-          org.apache.spark.sql.Row(i, c.toSeq) }, centroidSchema)
-          .write.mode("overwrite").parquet(s"$dir/centroids")
-      case TwoLevelIndexW(idx, _) =>
-        toDf(idx.coarseIds.zip(idx.coarseCents).toSeq.map { case (i, c) =>
-          org.apache.spark.sql.Row(i, c.toSeq) }, centroidSchema)
-          .write.mode("overwrite").parquet(s"$dir/coarse")
-        idx.groups.write.mode("overwrite").parquet(s"$dir/groups")
-    }
-    toDf(books.toSeq.zipWithIndex.flatMap { case (book, s) =>
-      book.toSeq.zipWithIndex.map { case (cent, code) =>
-        org.apache.spark.sql.Row(s, code, cent.toSeq) } }, codebookSchema)
-      .write.mode("overwrite").parquet(s"$dir/codebooks")
     val regime = index match {
       case _: OneLevelIndex => "one_level"
       case _: TwoLevelIndexW => "two_level"
     }
-    toDf(Seq(org.apache.spark.sql.Row(regime, m, dsub, wProbe)), metaSchema)
-      .write.mode("overwrite").parquet(s"$dir/meta")
+    // the five store tables are independent writes to disjoint subdirs
+    // — the coded file (the only data-sized job) overlaps the tiny
+    // trained-table writes instead of serializing their scheduling
+    // latency (Par.jobs; a build is wholesale-destructive so there is
+    // no cross-table commit protocol to respect here)
+    val trained: Seq[() => Unit] = (index match {
+      case OneLevelIndex(ids, cents) => Seq(() =>
+        toDf(ids.zip(cents).toSeq.map { case (i, c) =>
+          org.apache.spark.sql.Row(i, c.toSeq) }, centroidSchema)
+          .write.mode("overwrite").parquet(s"$dir/centroids"))
+      case TwoLevelIndexW(idx, _) => Seq(
+        () => toDf(idx.coarseIds.zip(idx.coarseCents).toSeq.map { case (i, c) =>
+          org.apache.spark.sql.Row(i, c.toSeq) }, centroidSchema)
+          .write.mode("overwrite").parquet(s"$dir/coarse"),
+        () => idx.groups.write.mode("overwrite").parquet(s"$dir/groups"))
+    }) ++ Seq(
+      () => toDf(books.toSeq.zipWithIndex.flatMap { case (book, s) =>
+        book.toSeq.zipWithIndex.map { case (cent, code) =>
+          org.apache.spark.sql.Row(s, code, cent.toSeq) } }, codebookSchema)
+        .write.mode("overwrite").parquet(s"$dir/codebooks"),
+      () => toDf(Seq(org.apache.spark.sql.Row(regime, m, dsub, wProbe)), metaSchema)
+        .write.mode("overwrite").parquet(s"$dir/meta"))
+    Par.jobs((Seq(() =>
+      codedInvertedFile(index, slice, books, dsub)
+        .select(col("id"), col("codes"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/inverted"))
+      ++ trained): _*)
   }
 
   // ---------------------------------------------- distributed build

@@ -342,21 +342,13 @@ object LexIndex {
   private def tokenSorted(df: DataFrame, n: Int): DataFrame =
     df.repartitionByRange(n, col("token")).sortWithinPartitions(col("token"))
 
-  /** Run independent store-table writes concurrently from a bounded
-    * driver pool (guide §2.6 — the derived aggregates of one build
-    * are independent jobs over the already-materialized posting
-    * cache; serializing them serializes their scheduling latency,
-    * which at delta scale IS their cost). Exceptions propagate.
+  /** Independent store-table writes of one publish run overlapped —
+    * the derived aggregates of one build are independent jobs over
+    * the already-materialized posting cache; serializing them
+    * serializes their scheduling latency, which at delta scale IS
+    * their cost (see [[Par.jobs]]).
     */
-  private def inParallel(work: (() => Unit)*): Unit = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)
-    try {
-      val fs = work.map(w => pool.submit(new java.util.concurrent.Callable[Unit] {
-        def call(): Unit = w()
-      }))
-      fs.foreach(_.get())
-    } finally pool.shutdown()
-  }
+  private def inParallel(work: (() => Unit)*): Unit = Par.jobs(work: _*)
 
   /** Build and persist the lexical index: ONE corpus tokenization
     * pass, the three derived aggregates, four parquet tables. The
@@ -690,6 +682,25 @@ object LexIndex {
     else emptyDf(spark, tombstoneSchema)
   }
 
+  /** The live segments whose dl roster holds any of `docIds` — the
+    * touched-segment discovery of [[compactIndex]] and the
+    * tombstone-attribution row of doc_lex_stats, as ONE
+    * file-attributed scan of the doc-count-sized dl table (the
+    * per-segment probe loop this replaces ran one join job per
+    * segment). The collected set is bounded by the dl file count — a
+    * manifest-sized read at deployment scale.
+    */
+  private[graft] def segmentsHolding(spark: SparkSession, dir: String,
+      docIds: DataFrame): Set[String] = {
+    val dlFiles = liveFiles(spark, dir, "dl")
+    if (dlFiles.isEmpty) Set.empty
+    else spark.read.schema(dlSchema).parquet(dlFiles.map(_.toString): _*)
+      .withColumn("f", input_file_name())
+      .join(broadcast(docIds), Seq("doc_id"), "left_semi")
+      .select(col("f")).distinct().collect()
+      .map(r => segmentOf(r.getString(0).split("/").last)).toSet
+  }
+
   /** SEGMENT-LOCAL compaction (see the lifecycle header): discover
     * the segments holding tombstoned docs through the dl roster,
     * rewrite ONLY those (survivors folded into one new committed
@@ -737,17 +748,11 @@ object LexIndex {
       else spark.read.schema(tombstoneSchema)
         .parquet(tombFiles.map(_.toString): _*)
     // touched segments: the dl roster rows of tombstoned docs,
-    // attributed to their segment files — one scan of the
-    // doc-count-sized dl table; the collected set is bounded by the
-    // dl file count (a manifest-sized read at deployment scale)
-    val dlFiles = liveFiles(spark, dir, "dl")
+    // attributed to their segment files ([[segmentsHolding]] — one
+    // scan of the doc-count-sized dl table)
     val touchedBySnapshot: Set[String] =
-      if (tombFiles.isEmpty || dlFiles.isEmpty) Set.empty
-      else spark.read.schema(dlSchema).parquet(dlFiles.map(_.toString): _*)
-        .withColumn("f", input_file_name())
-        .join(broadcast(tombs), Seq("doc_id"), "left_semi")
-        .select(col("f")).distinct().collect()
-        .map(r => segmentOf(r.getString(0).split("/").last)).toSet
+      if (tombFiles.isEmpty) Set.empty
+      else segmentsHolding(spark, dir, tombs)
     val fencedIngest: Set[String] =
       if (!ingestFenced) Set.empty
       else tables.flatMap(t => segmentsOf(spark, dir, t).keys)

@@ -1092,8 +1092,12 @@ object Corpus {
     val base = lexDir(s, d)
     val (dirA, dirB, dirM) =
       (base + "_shard0", base + "_shard1", base + "_merged")
-    LexIndex.buildIndex(docs.filter(col("doc_id") % 2 === 0), dirA)
-    LexIndex.buildIndex(docs.filter(col("doc_id") % 2 === 1), dirB)
+    // the two shard builds are independent job chains over disjoint
+    // dirs — exactly how a distributed build runs them (overlapped;
+    // guide §2.6)
+    graft.operators.Par.jobs(
+      () => LexIndex.buildIndex(docs.filter(col("doc_id") % 2 === 0), dirA),
+      () => LexIndex.buildIndex(docs.filter(col("doc_id") % 2 === 1), dirB))
     LexIndex.mergeIndexes(s, Seq(dirA, dirB), dirM)
     // manifest from the RELOADED merged artifact
     val loaded = LexIndex.loadIndex(s, dirM)
@@ -1421,10 +1425,11 @@ object Corpus {
     val tombs = LexIndex.tombstonesOf(s, dir)
     val loaded = LexIndex.loadIndex(s, dir)
     // which segments hold pending tombstoned docs: the dl roster
-    // attributed per segment (the discovery scan compaction runs)
-    val tombSegs = segs.count(seg =>
-      LexIndex.segmentTable(s, dir, "dl", seg)
-        .join(tombs, Seq("doc_id"), "left_semi").limit(1).count() > 0)
+    // attributed per segment — the SAME one-job discovery scan
+    // compaction runs (LexIndex.segmentsHolding; this replaced a
+    // per-segment join-probe loop, one Spark job per segment)
+    val holding = LexIndex.segmentsHolding(s, dir, tombs)
+    val tombSegs = segs.count(holding.contains)
     val fragRow = s.range(1).select(
       lit("fragmentation").as("artifact"),
       lit(segs.size.toLong).as("n_rows"),

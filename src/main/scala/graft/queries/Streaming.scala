@@ -856,29 +856,33 @@ object Streaming {
     // offline halves: both artifacts built + loaded (emb_index_build /
     // doc_bm25_served audit each store's round-trip hash-exactly)
     val lexDirPath = Corpus.lexDir(s, d)
-    LexIndex.buildIndex(graft.Tables.documents(s, d), lexDirPath)
-    val lex = LexIndex.loadIndex(s, lexDirPath)
     val corpus = graft.Tables.embeddings(s, d)
       .select(col("vec_id").as("id"),
         col("embedding").cast(ArrayType(DoubleType)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = corpus.count()
     val vecDir = Vectors.indexDir(d)
-    IvfPq.buildIndex(corpus, n, dim = 64, m = Vectors.pqM,
-      dsub = Vectors.pqDsub, kCodes = Vectors.pqK, dir = vecDir)
+    val reqDir = Corpus.requestDir(s, d)
+    // the two store builds and the request-feed write are independent
+    // job chains over disjoint dirs — overlapped (guide §2.6); the
+    // serving stream starts only once all three artifacts are on disk
+    graft.operators.Par.jobs(
+      () => LexIndex.buildIndex(graft.Tables.documents(s, d), lexDirPath),
+      () => IvfPq.buildIndex(corpus, corpus.count(), dim = 64,
+        m = Vectors.pqM, dsub = Vectors.pqDsub, kCodes = Vectors.pqK,
+        dir = vecDir): Unit,
+      // the request feed: (query_id, text, qv) per request — both
+      // construction scans are doc_id/vec_id-pushdown-pruned to the
+      // request rows; in production this directory IS the arrival queue
+      () => graft.Tables.documents(s, d).filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("text"))
+        .join(graft.Tables.embeddings(s, d).filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").cast(ArrayType(DoubleType)).as("qv")),
+          Seq("query_id"))
+        .write.mode("overwrite").parquet(reqDir))
+    val lex = LexIndex.loadIndex(s, lexDirPath)
     val loaded = IvfPq.loadIndex(s, vecDir)
     val full = corpus.select(col("id").as("neighbor_id"), col("v").as("cv"))
-    // the request feed: (query_id, text, qv) per request — both
-    // construction scans are doc_id/vec_id-pushdown-pruned to the
-    // request rows; in production this directory IS the arrival queue
-    val reqDir = Corpus.requestDir(s, d)
-    graft.Tables.documents(s, d).filter(col("doc_id") < 5)
-      .select(col("doc_id").as("query_id"), col("text"))
-      .join(graft.Tables.embeddings(s, d).filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"),
-          col("embedding").cast(ArrayType(DoubleType)).as("qv")),
-        Seq("query_id"))
-      .write.mode("overwrite").parquet(reqDir)
     val arriving = s.readStream.schema(StructType(Seq(
         StructField("query_id", LongType),
         StructField("text", StringType),

@@ -1544,8 +1544,14 @@ object Vectors {
     val base = indexDir(d)
     val (dirA, dirB, dirM) =
       (base + "_shard_even", base + "_shard_odd", base + "_merged")
-    IvfPq.encodeShard(index, books, pqDsub, corpus.filter(col("id") % 2 === 0), dirA)
-    IvfPq.encodeShard(index, books, pqDsub, corpus.filter(col("id") % 2 === 1), dirB)
+    // the two shard encodes are independent job chains under the same
+    // frozen halves — exactly how a distributed build fans them out
+    // (overlapped; guide §2.6)
+    graft.operators.Par.jobs(
+      () => IvfPq.encodeShard(index, books, pqDsub,
+        corpus.filter(col("id") % 2 === 0), dirA),
+      () => IvfPq.encodeShard(index, books, pqDsub,
+        corpus.filter(col("id") % 2 === 1), dirB))
     IvfPq.mergeIndexes(s, Seq(dirA, dirB), dirM)
     val loaded = IvfPq.loadIndex(s, dirM)
     import s.implicits._
