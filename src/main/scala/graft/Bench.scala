@@ -17,23 +17,19 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       // Let AQE size post-shuffle partitions by DATA VOLUME instead of
-      // the core-count constant above (guide §2.2/§2.4 — partitioning
-      // must be scale-adaptive, not tuned to either local mode or the
-      // cluster). Two defaults block that on this surface:
-      // cached-plan output partitioning is pinned unless
-      // canChangeCachedPlanOutputPartitioning=true (the store builds
-      // persist their posting/signature aggregates, so every stage
-      // under a persist kept the full 32-partition fan-out on KB-sized
-      // data), and coalescePartitions.parallelismFirst=true coalesces
-      // to 1 MB slivers instead of the 64 MB advisory byte target (the
-      // Spark tuning docs themselves recommend false). Both are
-      // scale-neutral byte rules: a sandbox-sized aggregate lands in
-      // one or two tasks, a 100 TB shuffle still fans out to thousands
-      // of advisory-sized partitions.
+      // the core-count constant above, INCLUDING under persisted plans
+      // (guide §2.2/§2.4 — partitioning must be scale-adaptive, not
+      // tuned to either local mode or the cluster): cached-plan output
+      // partitioning is pinned unless
+      // canChangeCachedPlanOutputPartitioning=true, so every stage
+      // under a store build's persist kept the full 32-partition
+      // fan-out on KB-sized data. Scale-neutral byte rule: a
+      // sandbox-sized aggregate lands in a handful of tasks, a 100 TB
+      // shuffle still fans out to thousands of partitions.
+      // (CPU-per-row stages that byte-sizing would starve widen
+      // themselves explicitly — operators.Par.widen, bytes-gated.)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        "false")
       .config("spark.sql.session.timeZone", "UTC")
       // declared up front (Tables.table re-sets it as a no-op): the
       // generator's un-zoned TIMESTAMP(MICROS) must read as

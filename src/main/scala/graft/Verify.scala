@@ -16,8 +16,6 @@ object Verify {
       // the bench times
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")

@@ -128,7 +128,11 @@ object Dedup {
     // prefilter, and final verification — persist so the shingle/hash
     // work runs once (per-doc state is ~2 KB; spills to disk if the
     // corpus partition outgrows executor memory)
-    val base = reps
+    val base = Par.widen(reps)
+      // widen: shingling + k-permutation signatures are CPU-per-row
+      // work; the rep aggregate's byte-sized partitioning (or a
+      // single-file scan) would serialize them (bytes-gated — the
+      // identity at scale)
       .select(col("id"),
         expr(s"transform(sequence(1, greatest(length($textCol)-${n - 1}, 1)), " +
           s"i -> substring($textCol, i, $n))").as("grams_raw"))

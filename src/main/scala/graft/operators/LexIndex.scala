@@ -84,7 +84,10 @@ object LexIndex {
     * partials — ONE explode pass over the corpus.
     */
   def postings(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    // widen: tokenization is CPU-per-row work; a single small corpus
+    // file is ONE scan task regardless of cores (bytes-gated — at
+    // scale the scan fans out and widen is the identity)
+    Par.widen(docs).select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))

@@ -12,6 +12,33 @@ package graft.operators
   * to the caller (first failure wins, the pool is drained).
   */
 object Par {
+
+  /** Widen a CPU-heavy stage's input when the upstream layout would
+    * starve it of parallelism — a single small-file scan (one parquet
+    * file = one task regardless of cores) or a byte-coalesced tiny
+    * shuffle/cache (AQE sizes partitions by bytes; per-row compute
+    * cost is invisible to it). Applies an explicit round-robin
+    * repartition to `defaultParallelism` ONLY when the estimated
+    * input is small enough that the extra exchange is trivial
+    * (bytes < parallelism × `graft.compute.widenTargetBytes`,
+    * default 64 MB — i.e. the upstream could not have fanned out to
+    * a partition per core at the advisory size anyway); above the
+    * gate, and for sources with no size estimate, this is the
+    * identity — a 100 TB scan already fans out and must NOT be
+    * reshuffled for parallelism (guide §2.5 input-starvation remedy,
+    * gated so it can never become an at-scale shuffle).
+    */
+  def widen(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes >= BigInt(Long.MaxValue) / 4) return df // no estimate
+    val target = BigInt(spark.conf
+      .get("graft.compute.widenTargetBytes", (64L << 20).toString).toLong)
+    if (bytes >= target.max(1) * cores) df
+    else df.repartition(cores)
+  }
+
   def jobs(work: (() => Unit)*): Unit = {
     if (work.size <= 1) { work.foreach(_()); return }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)

@@ -463,7 +463,11 @@ object Extended {
   // HLL as q13) where the expand disappears; this exact form is its
   // audit, the same pairing as q13/q10.
   private val q28TableProfile: Q = (s, d) => {
-    val t = orders(s, d)
+    // widen: the Expand ×(distinct cols + 1) partial aggregate is
+    // CPU-per-row work over a single small scan file = one task
+    // (bytes-gated — at scale the scan fans out and this is the
+    // identity)
+    val t = graft.operators.Par.widen(orders(s, d))
     val num = Seq("o_orderkey", "o_custkey", "o_totalprice")
     val str = Seq("o_orderstatus", "o_orderpriority")
     val ts = Seq("o_orderdate")

@@ -29,8 +29,6 @@ object AnomalyProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
