@@ -418,9 +418,14 @@ object IvfPq {
   private def writeStore(spark: SparkSession, index: Index,
       books: Array[Array[Array[Double]]], m: Int, dsub: Int, wProbe: Int,
       slice: DataFrame, dir: String): Unit = {
+    // driver-held rows (centroids/codebooks/meta are KB–MB by
+    // construction): ONE partition — createDataFrame otherwise
+    // parallelizes to defaultParallelism, writing 32 near-empty files
+    // per tiny table that every later load pays to list and read
     def toDf(rows: Seq[org.apache.spark.sql.Row], schema: StructType): DataFrame =
       spark.createDataFrame(new java.util.ArrayList(
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+        .coalesce(1)
     val regime = index match {
       case _: OneLevelIndex => "one_level"
       case _: TwoLevelIndexW => "two_level"

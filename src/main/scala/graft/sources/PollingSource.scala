@@ -99,13 +99,22 @@ object PollingSource {
     */
   def drainAvailableNow(df: DataFrame, outDir: String,
       checkpointDir: String): StreamingQuery = {
-    val q = df.writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // stateful operators snapshot spark.sql.shuffle.partitions at
+    // query start and keep one state store per partition — at the
+    // session's batch-oriented setting a bounded drain spends its
+    // time committing near-empty store deltas, not computing deltas
+    // (the QanStream.runToMemoryQuery replay rule; production drains
+    // size this to their own key cardinality). Same set→start→restore
+    // critical section, serialized through the shared replay lock.
+    val q = graft.streaming.QanStream.startReplay(df.sparkSession) {
+      df.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     q
   }

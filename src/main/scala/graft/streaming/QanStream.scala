@@ -398,11 +398,8 @@ object QanStream {
     val spark = df.sparkSession
     val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     @volatile var schema: org.apache.spark.sql.types.StructType = null
-    val q = startLock.synchronized {
-      val key = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "8")
-      try df.writeStream.outputMode(OutputMode.Append())
+    val q = startReplay(spark) {
+      df.writeStream.outputMode(OutputMode.Append())
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
           val out = finish(batch.toDF(), bid)
           val rows = out.collect()
@@ -412,10 +409,6 @@ object QanStream {
           }
           ()
         }.start()
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
     }
     q.processAllAvailable()
     q.stop()
@@ -468,19 +461,30 @@ object QanStream {
     */
   private val startLock = new Object
 
-  def runToMemoryQuery(df: DataFrame, mode: OutputMode = OutputMode.Append()): MemorySink =
+  /** The one replay-start critical section: set the replay's 8
+    * shuffle partitions, start the streaming query, restore the
+    * session conf — serialized so no other query started concurrently
+    * can snapshot the override. Every streaming start in this repo
+    * (memory-sink replays, foreachBatch serves, the polling drain)
+    * goes through here.
+    */
+  private[graft] def startReplay[T](spark: SparkSession)(start: => T): T =
     startLock.synchronized {
-      val name = s"st_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val spark = df.sparkSession
       val key = "spark.sql.shuffle.partitions"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "8")
-      val q =
-        try df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-        finally prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None => spark.conf.unset(key)
-        }
-      MemorySink(name, q)
+      try start
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
+
+  def runToMemoryQuery(df: DataFrame, mode: OutputMode = OutputMode.Append()): MemorySink = {
+    val name = s"st_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = startReplay(df.sparkSession) {
+      df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    }
+    MemorySink(name, q)
+  }
 }
