@@ -29,6 +29,7 @@ object Par {
     * gated so it can never become an at-scale shuffle).
     */
   def widen(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    if (df.isStreaming) return df // no batch plan to size; see widenStream
     val spark = df.sparkSession
     val cores = spark.sparkContext.defaultParallelism
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -38,6 +39,20 @@ object Par {
     if (bytes >= target.max(1) * cores) df
     else df.repartition(cores)
   }
+
+  /** [[widen]] for STREAMING inputs, where no size estimate exists at
+    * plan time: an unconditional round-robin repartition to
+    * defaultParallelism applied per micro-batch, placed BEFORE a
+    * CPU-per-row stage so the arrival batch's compute fans out
+    * instead of pipelining into the source scan's task count (a
+    * single-file replay source is ONE task per batch). Production
+    * shape: total cores is the right fan-out for per-arrival
+    * enrichment compute at any scale — arrival batches are bounded by
+    * the trigger, not by corpus size, and the exchange carries one
+    * bounded batch.
+    */
+  def widenStream(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   def jobs(work: (() => Unit)*): Unit = {
     if (work.size <= 1) { work.foreach(_()); return }

@@ -63,7 +63,10 @@ object DedupStream {
   def minhashBucketed(docs: DataFrame, k: Int = 36, bands: Int = 6): Dataset[BucketRow] = {
     import docs.sparkSession.implicits._
     val rows = k / bands
-    val sigs = docs
+    // widenStream: shingling + k-permutation signatures are CPU work
+    // per arriving doc; without the fan-out they pipeline into the
+    // replay source's single-file scan task
+    val sigs = graft.operators.Par.widenStream(docs)
       .select(col("doc_id"),
         expr("transform(sequence(1, greatest(length(text)-2, 1)), " +
           "i -> substring(text, i, 3))").as("grams_raw"))
