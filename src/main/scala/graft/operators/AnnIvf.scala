@@ -186,12 +186,8 @@ object AnnIvf {
     var cents = centroids0(cells, dim, seed)
     var ids = Array.tabulate(cells)(identity)
     var out: DataFrame = null
-    // widen: per-row argmin over cells×dim is CPU work; a single-file
-    // training sample is one scan task at any core count (bytes-gated
-    // — the identity at scale)
-    val corpusW = Par.widen(corpus)
     for (r <- 1 to rounds) {
-      out = corpusW
+      out = corpus
         .withColumn("cell", GraftFunctions.nearestCell(col("v"), cents, ids))
         .groupBy(col("cell"))
         .agg(GraftFunctions.vectorDecimalMean(col("v"), dim).as("centroid"))

@@ -43,10 +43,7 @@ object AnnPq {
   def refinedCodebooks(vecs: DataFrame, m: Int, dsub: Int, k: Int): DataFrame = {
     val c0 = codebook0(k, dsub)
     val ids = Array.tabulate(k)(identity)
-    // widen: the m-way subspace explode + per-row argmin over the
-    // seeded codebook is CPU work; a single-file training sample is
-    // one scan task (bytes-gated — the identity at scale)
-    val subs = Par.widen(vecs)
+    val subs = vecs
       .select(col("id"), col("v"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"))
       .withColumn("subv", expr(s"slice(v, sub * $dsub + 1, $dsub)"))

@@ -96,11 +96,7 @@ object IvfPq {
     */
   def codedInvertedFile(index: Index, corpus: DataFrame,
       books: Array[Array[Array[Double]]], dsub: Int): DataFrame =
-    // widen: assignment + m PQ-argmin kernels per row are CPU work; a
-    // single-file corpus scan is one task at any core count
-    // (bytes-gated — the identity at scale, and for stat-less
-    // streaming micro-batches)
-    AnnPq.encodeCodes(assign(index, Par.widen(corpus)), books, dsub)
+    AnnPq.encodeCodes(assign(index, corpus), books, dsub)
       .select(col("cell"), col("id"), col("codes"))
 
   /** ADC candidates for a query table (query_id, qv): probe, hash-join
@@ -247,7 +243,7 @@ object IvfPq {
   def codedInvertedFileAttrs(index: Index, corpus: DataFrame,
       books: Array[Array[Array[Double]]], dsub: Int,
       attrs: Seq[String]): DataFrame =
-    AnnPq.encodeCodes(assign(index, Par.widen(corpus)), books, dsub)
+    AnnPq.encodeCodes(assign(index, corpus), books, dsub)
       .select((Seq(col("cell"), col("id"), col("codes")) ++
         attrs.map(col)): _*)
 
