@@ -108,6 +108,8 @@ object Extended {
   // APPROX_QUANTILE; the exact form is the verifiable baseline and
   // Spark's `percentile` matches DuckDB's quantile_cont interpolation).
   private val q16: Q = (s, d) =>
+    // (widen measured a wash here — merging 32 partial percentile
+    // value buffers costs what the parallel build saves; left alone)
     lineitem(s, d)
       .groupBy(col("l_returnflag"))
       // ONE percentile buffer for all three cut points: three separate

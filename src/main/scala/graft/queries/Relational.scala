@@ -34,8 +34,11 @@ object Relational {
   // aggregate over a pruned 7-column scan — no join, one shuffle of
   // ~|groups| rows.
   private val q01: Q = (s, d) =>
-    lineitem(s, d)
-      .filter(col("l_shipdate") <= ts("2000-09-02"))
+    // widen: ~10 decimal aggregates per row over a single-row-group
+    // scan file = one task (bytes-gated — the identity at scale,
+    // where the scan fans out and the partial agg is map-side)
+    graft.operators.Par.widen(
+        lineitem(s, d).filter(col("l_shipdate") <= ts("2000-09-02")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
